@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference hardcodes ``master("yarn")`` and executor sizing inside every
+job (reference: src/scripts/project_step_1.py:119-124); here the session is
+built once, centrally, with the knobs that matter for both local testing
+(local[N], one JVM) and a real cluster (AQE, skew join, shuffle sizing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the local[N] test harness; on a real cluster these are
+# overridden by spark-submit --conf. AQE is on everywhere: it re-plans
+# shuffles at runtime (partition coalescing, skew-join splitting, broadcast
+# conversion) which is exactly what a 100 TB run needs when static estimates
+# are wrong.
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver testdata writes events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark refuses outright ([PARQUET_TYPE_ILLEGAL]). Read it as epoch-nanos
+    # long; sources.io converts to TimestampType (lossless: the generator
+    # emits whole microseconds).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    "spark.ui.enabled": "false",
+    # Files >128MB split into tasks of this size; at 100 TB this is the knob
+    # that decides scan parallelism. Kept at default here, documented for ops.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(app_name: str = "hdfs_with_pyspark_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, falling back to
+    ``local[*]``). On a cluster, pass ``None`` after spark-submit has set the
+    master, or pass an explicit URL.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,74 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S3).
+
+The reference's I/O surface is schema-inferred parquet scans plus one manual
+partition-path trick (reference: src/scripts/project_step_3.py:13-16,
+``spark.read.parquet(f"{path}/date={date}")``). Here:
+
+  * every scan carries an explicit schema (column pruning + no footer pass),
+  * partition selection is a ``where`` on the partition column, so Catalyst
+    partition pruning does the pruning *and* the partition column stays in
+    the schema,
+  * sinks support Hive-style partitioned writes for incremental marts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_with_pyspark_spark import schemas
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-enforced parquet scan of one driver testdata table (S1).
+
+    Reference reads the same way minus the schema
+    (src/scripts/project_step_1.py:8-11).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long, convert
+        # to TimestampType. Lossless — the generator emits whole micros.
+        df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
+        cols = [F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
+                if c == "ts" else F.col(c)
+                for c in df.columns]
+        return df.select(*cols)
+    schema = schemas.TESTDATA_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_geo_events(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Scan a reference-shaped, date-partitioned event log (S1)."""
+    return spark.read.schema(schema or schemas.GEO_EVENTS).parquet(path)
+
+
+def read_events_partition(spark: SparkSession, path: str, date: str,
+                          schema: T.StructType | None = None) -> DataFrame:
+    """Single-partition scan via predicate, not path suffix (S2).
+
+    The reference hand-builds ``{path}/date={date}``
+    (src/scripts/project_step_3.py:14), which drops the partition column and
+    bypasses Catalyst. A ``where`` on the partition column gives identical
+    I/O via partition pruning and keeps the column in scope.
+    """
+    return read_geo_events(spark, path, schema).where(F.col("date") == F.lit(date))
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Parquet sink (S3; reference src/scripts/project_step_1.py:140).
+
+    ``partition_by`` enables Hive-style layout so downstream partition
+    pruning works; the reference always writes unpartitioned.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
