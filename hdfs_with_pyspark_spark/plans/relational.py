@@ -1,0 +1,279 @@
+"""Relational query plans over the TPC-H-ish testdata.
+
+Each query exercises a cluster of SURVEY.md §2 operators (tagged in the
+docstrings) and is paired with its DuckDB oracle. Conventions:
+
+* every computed column is aliased identically in Spark and SQL,
+* float aggregates are ROUNDed on both sides (parallel vs serial summation
+  order differs in the last ulps),
+* DuckDB integer SUM/COUNT are cast to BIGINT (DuckDB widens SUM to
+  HUGEINT; Spark stays long),
+* timestamps never leave a query raw — dates are formatted yyyy-MM-dd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+from hdfs_with_pyspark_spark.operators.windows import top1_per_key, change_points
+
+
+# --------------------------------------------------------------------------
+# pricing_summary — TPC-H Q1 shape. §2.4 A1-A4 (hash aggs), §2.2 P3/P11
+# (filter pushed to parquet scan, cast). Map-side partial aggregation makes
+# this shuffle only |groups| rows per partition — the 100 TB-safe agg shape.
+# --------------------------------------------------------------------------
+@register("pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                   F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   F.count("*").alias("count_order")))
+
+
+# --------------------------------------------------------------------------
+# top_order_per_customer — deterministic top-1 per group. §2.5 W3
+# (row_number over a TOTAL order; the reference's top-1 idiom,
+# project_step_2.py:29-30, with the tie hole closed).
+# --------------------------------------------------------------------------
+@register("top_order_per_customer", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn = 1
+""")
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return top1_per_key(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()])
+
+
+# --------------------------------------------------------------------------
+# order_priority_pivot — §2.4 A8 (pivot with explicit value list, the
+# reference's O8 optimization: no extra distinct-values job) + null fill.
+# Oracle re-expresses pivot as COUNT(CASE WHEN).
+# --------------------------------------------------------------------------
+@register("order_priority_pivot", oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT)        AS n_urgent,
+       CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT)          AS n_high,
+       CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT)        AS n_medium,
+       CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS n_notspec,
+       CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT)           AS n_low
+FROM orders
+GROUP BY o_orderstatus
+""")
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out_names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    piv = (orders.groupBy("o_orderstatus")
+                 .pivot("o_orderpriority", prios)
+                 .count())
+    for raw, out in zip(prios, out_names):
+        piv = piv.withColumn(out, F.coalesce(F.col(f"`{raw}`"), F.lit(0))).drop(raw)
+    return piv
+
+
+# --------------------------------------------------------------------------
+# customers_without_orders — §2.3 J5 (left anti join) + J2 (dim join) +
+# A2 (count). The anti side builds from the orders FK projection only —
+# at scale that is a shuffle of one long column, not the orders table.
+# --------------------------------------------------------------------------
+@register("customers_without_orders", oracle="""
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0)
+GROUP BY n.n_name
+""")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order, per nation (anti join is non-empty at
+    every sf, unlike the no-orders-at-all variant)."""
+    ensure_session(spark)
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    return (customer
+            .join(orders.where(F.col("o_totalprice") > 300000.0)
+                        .select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti")
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey, "inner")
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_customers")))
+
+
+# --------------------------------------------------------------------------
+# revenue_by_nation — §2.3 J2 (equi-joins, broadcast dim) + §2.4 A3.
+# customer/nation broadcast; only the orders->customer join shuffles.
+# --------------------------------------------------------------------------
+@register("revenue_by_nation", oracle="""
+SELECT n.n_name AS nation,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT)      AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""")
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey, "inner")
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey, "inner")
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+# --------------------------------------------------------------------------
+# big_spender_customers — §2.3 semi join (left_semi; the reference expresses
+# semi as inner-join-on-distinct, project_step_3.py:48-49 — left_semi is the
+# native form) + §2.2 P9 range predicate.
+# --------------------------------------------------------------------------
+@register("big_spender_customers", oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+""")
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0) \
+                .select(F.col("o_custkey").alias("c_custkey"))
+    return (customer.join(big, "c_custkey", "left_semi")
+                    .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+# --------------------------------------------------------------------------
+# event_type_change_points — §2.5 W6 (lag change detection, the travel
+# idiom, project_step_1.py:93-99) over the events stream.
+# --------------------------------------------------------------------------
+@register("event_type_change_points", oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+WHERE prev_type IS NULL OR event_type <> prev_type
+GROUP BY user_id
+""")
+def event_type_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    runs = change_points(ev, keys=["user_id"], order=["ts", "event_id"],
+                         value="event_type")
+    return runs.groupBy("user_id").agg(F.count("*").alias("n_runs"))
+
+
+# --------------------------------------------------------------------------
+# events_per_week — §2.8 F5 (month / ISO weekofyear extraction,
+# project_step_2.py:48-49) + A1.
+# --------------------------------------------------------------------------
+@register("events_per_week", oracle="""
+SELECT CAST(month(ts) AS INT) AS month, CAST(weekofyear(ts) AS INT) AS week,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""")
+def events_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.month("ts").alias("month"),
+                       F.weekofyear("ts").alias("week"),
+                       "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# channel_activity — JSON props extraction (§2.8 note: the reference has no
+# JSON functions; the driver testdata's props column motivates
+# get_json_object — SURVEY.md §2.8 "Absent") + distinct count.
+# --------------------------------------------------------------------------
+@register("channel_activity", oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel,
+       CAST(COUNT(*) AS BIGINT)              AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+""")
+def channel_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.where(F.col("props").isNotNull())
+              .withColumn("channel",
+                          F.get_json_object("props", "$.k").cast("long"))
+              .groupBy("channel")
+              .agg(F.count("*").alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# part_type_stats — §2.7 U1 (unionByName) + §2.4 A7 (distinct/dedup) +
+# string predicate. Unions the brand-view and type-view of parts, dedups.
+# --------------------------------------------------------------------------
+@register("part_type_stats", oracle="""
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(p_retailprice), 2) AS total_price
+FROM (
+  SELECT DISTINCT p_partkey, 'brand:' || p_brand AS kind, p_retailprice FROM part
+  UNION ALL
+  SELECT DISTINCT p_partkey, 'size:' || CAST(p_size AS VARCHAR) AS kind, p_retailprice FROM part
+)
+GROUP BY kind
+""")
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    part = read_table(spark, sf_dir, "part")
+    brands = part.select("p_partkey",
+                         F.concat(F.lit("brand:"), F.col("p_brand")).alias("kind"),
+                         "p_retailprice").distinct()
+    sizes = part.select("p_partkey",
+                        F.concat(F.lit("size:"),
+                                 F.col("p_size").cast("string")).alias("kind"),
+                        "p_retailprice").distinct()
+    return (brands.unionByName(sizes)
+                  .groupBy("kind")
+                  .agg(F.count("*").alias("n"),
+                       F.round(F.sum("p_retailprice"), 2).alias("total_price")))
