@@ -324,3 +324,303 @@ def user_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(travel, ["user_id"], "left")
                .select("user_id", "act_city", "local_time", "home_city",
                        "travel_count", "travel_path"))
+
+
+# ---------------------------------------------------------------------------
+# D8-D11 — zone mart. "message" := event_type='click'. Shape preserved from
+# the reference (project_step_2.py): last positioned click per user (D8),
+# geo backfill via coalesce + PRE-AGGREGATION before the nearest-city
+# assignment (D9 — the reference's O4 trick: shrink N before the argmin;
+# Catalyst will not invent this rewrite, SURVEY.md §4), zone assignment
+# (D10), week+month pivots joined on the distinct (month, week, zone) spine
+# (D11 — weeks straddle months across years, project_step_2.py:95).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_SQL_ZONE_BASE = f"""
+cities AS ({SQL_CITIES}),
+ev AS (
+  SELECT event_id, user_id, event_type, ts,
+         {SQL_EVENT_LAT} AS lat, {SQL_EVENT_LON} AS lon
+  FROM events
+),
+last_click AS (
+  SELECT user_id, lat AS last_lat, lon AS last_lon
+  FROM (
+    SELECT user_id, lat, lon,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click' AND lat IS NOT NULL
+  ) WHERE rn = 1),
+with_geo AS (
+  SELECT CAST(weekofyear(e.ts) AS INT) AS week,
+         CAST(month(e.ts) AS INT) AS month,
+         e.event_type,
+         COALESCE(e.lat, l.last_lat) AS lat_def,
+         COALESCE(e.lon, l.last_lon) AS lon_def,
+         CAST(COUNT(*) AS BIGINT) AS events_count
+  FROM ev e JOIN last_click l USING (user_id)
+  GROUP BY 1, 2, 3, 4, 5),
+zoned AS (
+  SELECT week, month, event_type, events_count, city_id
+  FROM (
+    SELECT g.*, c.city_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY g.week, g.month, g.event_type, g.lat_def, g.lon_def
+             ORDER BY {sql_haversine_km('g.lat_def', 'g.lon_def', 'c.city_lat', 'c.city_lon')} ASC,
+                      c.city_id ASC) AS rn
+    FROM with_geo g CROSS JOIN cities c
+  ) WHERE rn = 1)
+"""
+
+
+def _zone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8+D9+D10: pre-aggregated per-(week, month, type, coords) counts with
+    zone ids."""
+    ev = with_synth_event_coords(read_table(spark, sf_dir, "events"))
+    last_click = latest_per_key(
+        ev.where((F.col("event_type") == "click") & F.col("lat").isNotNull()),
+        keys=["user_id"], ts="ts", tiebreak=["event_id"]
+    ).select("user_id", F.col("lat").alias("last_lat"), F.col("lon").alias("last_lon"))
+
+    with_geo = (ev
+                .join(last_click, "user_id", "inner")
+                .groupBy(F.weekofyear("ts").alias("week"),
+                         F.month("ts").alias("month"),
+                         "event_type",
+                         F.coalesce("lat", "last_lat").alias("lat_def"),
+                         F.coalesce("lon", "last_lon").alias("lon_def"))
+                .agg(F.count("*").alias("events_count")))
+
+    cities = synth_cities(read_table(spark, sf_dir, "nation"))
+    return (nearest_city(with_geo, cities, lat_col="lat_def", lon_col="lon_def")
+            .select("week", "month", "event_type", "events_count", "city_id"))
+
+
+def _pivot_counts_sql(period: str) -> str:
+    cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN events_count END) AS BIGINT)"
+        f" AS {period}_{t}" for t in EVENT_TYPES)
+    return (f"SELECT {period}, city_id,\n         {cols}\n"
+            f"  FROM zoned GROUP BY {period}, city_id")
+
+
+@register("zone_mart", oracle=f"""
+WITH {_SQL_ZONE_BASE},
+wk AS ({_pivot_counts_sql('week')}),
+mo AS ({_pivot_counts_sql('month')}),
+spine AS (SELECT DISTINCT month, week, city_id FROM zoned)
+SELECT s.month, s.week, s.city_id,
+       wk.week_click, wk.week_view, wk.week_purchase, wk.week_signup, wk.week_error,
+       mo.month_click, mo.month_view, mo.month_purchase, mo.month_signup, mo.month_error
+FROM spine s
+LEFT JOIN wk ON wk.week = s.week AND wk.city_id = s.city_id
+LEFT JOIN mo ON mo.month = s.month AND mo.city_id = s.city_id
+""")
+def zone_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    zoned = _zone_events(spark, sf_dir).cache()
+
+    def pivot_counts(period: str) -> DataFrame:
+        piv = (zoned.groupBy(period, "city_id")
+                    .pivot("event_type", EVENT_TYPES)   # explicit values: O8
+                    .agg(F.sum("events_count")))
+        for t in EVENT_TYPES:
+            piv = piv.withColumnRenamed(t, f"{period}_{t}")
+        return piv
+
+    spine = zoned.select("month", "week", "city_id").distinct()
+    return (spine
+            .join(pivot_counts("week"), ["week", "city_id"], "left")
+            .join(pivot_counts("month"), ["month", "city_id"], "left")
+            .select("month", "week", "city_id",
+                    *[f"week_{t}" for t in EVENT_TYPES],
+                    *[f"month_{t}" for t in EVENT_TYPES]))
+
+
+# ---------------------------------------------------------------------------
+# D12-D15 — friend recommendations. Roles: subscription := signup event with
+# channel props.k; message := click event with synthesized recipient
+# (user_id + event_id) % 150. Shape preserved from project_step_3.py:
+# subscribers (D12), communicated pairs = co-subscribed AND messaged (D13,
+# via least/greatest canonicalization instead of union-swap — operators/
+# pairs.py), candidate pairs on one date within a distance threshold minus
+# communicated (D14), midpoint zone assignment (D15).
+#
+# Reference bug fixed (SURVEY.md §2.12 note): project_step_3.py:134-135
+# selects user_id as BOTH user_left and user_right; the evident intent —
+# user_right = the other user — is implemented here.
+# ---------------------------------------------------------------------------
+
+_SQL_FRIENDS_BASE = f"""
+cities AS ({SQL_CITIES}),
+ev AS (
+  SELECT event_id, user_id, event_type, ts, props,
+         {SQL_EVENT_LAT} AS lat, {SQL_EVENT_LON} AS lon
+  FROM events
+),
+subscribers AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM ev
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+messages AS (
+  SELECT user_id AS message_from,
+         (user_id + event_id) % 150 AS message_to
+  FROM ev WHERE event_type = 'click'),
+sub_users AS (SELECT DISTINCT user_id FROM subscribers),
+communicated AS (
+  SELECT DISTINCT
+         GREATEST(message_from, message_to) AS user_left,
+         LEAST(message_from, message_to)    AS user_right
+  FROM messages m
+  WHERE message_from <> message_to
+    AND EXISTS (SELECT 1 FROM sub_users s WHERE s.user_id = m.message_from)
+    AND EXISTS (SELECT 1 FROM sub_users s WHERE s.user_id = m.message_to)
+    AND EXISTS (SELECT 1 FROM subscribers a JOIN subscribers b USING (channel)
+                WHERE a.user_id = m.message_from AND b.user_id = m.message_to)),
+day_pos AS (
+  SELECT user_id, lat AS last_lat, lon AS last_lon
+  FROM (
+    SELECT user_id, lat, lon,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+    WHERE CAST(ts AS DATE) = DATE '{FRIEND_DATE}' AND lat IS NOT NULL
+  ) WHERE rn = 1),
+sub_pos AS (
+  SELECT s.user_id, s.channel, p.last_lat, p.last_lon
+  FROM subscribers s JOIN day_pos p USING (user_id)),
+candidates AS (
+  SELECT DISTINCT a.user_id AS user_left, b.user_id AS user_right,
+         a.last_lat AS lat_l, a.last_lon AS lon_l,
+         b.last_lat AS lat_r, b.last_lon AS lon_r
+  FROM sub_pos a JOIN sub_pos b USING (channel)
+  WHERE a.user_id > b.user_id),
+fresh AS (
+  SELECT c.* FROM candidates c
+  LEFT JOIN communicated x
+    ON x.user_left = c.user_left AND x.user_right = c.user_right
+  WHERE x.user_left IS NULL),
+near AS (
+  SELECT user_left, user_right,
+         (lat_l + lat_r) / 2 AS lat_avg, (lon_l + lon_r) / 2 AS lon_avg,
+         {sql_haversine_km('lat_l', 'lon_l', 'lat_r', 'lon_r')} AS dist
+  FROM fresh
+  WHERE {sql_haversine_km('lat_l', 'lon_l', 'lat_r', 'lon_r')} < {FRIEND_MAX_KM})
+"""
+
+
+def _friend_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12-D14: co-subscribed, never-communicated, same-day-nearby pairs
+    with midpoint coordinates."""
+    ev = with_synth_event_coords(read_table(spark, sf_dir, "events"))
+    channel = F.get_json_object("props", "$.k").cast("long")
+
+    subscribers = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+                     .select("user_id", channel.alias("channel"))
+                     .distinct())
+    sub_users = subscribers.select("user_id").distinct()
+
+    # messages restricted to subscribers first — the reference's semi-join
+    # reduction O6 (project_step_3.py:43-51) — then co-subscription check.
+    messages = (ev.where(F.col("event_type") == "click")
+                  .select(F.col("user_id").alias("message_from"),
+                          ((F.col("user_id") + F.col("event_id")) % 150)
+                          .alias("message_to")))
+    messages = (messages
+                .join(sub_users.select(F.col("user_id").alias("message_from")),
+                      "message_from", "left_semi")
+                .join(sub_users.select(F.col("user_id").alias("message_to")),
+                      "message_to", "left_semi"))
+    co_subscribed = (subscribers.select(F.col("user_id").alias("message_from"),
+                                        "channel")
+                     .join(subscribers.select(F.col("user_id").alias("message_to"),
+                                              "channel"),
+                           "channel")
+                     .drop("channel"))
+    communicated = canonicalize_pair(
+        messages.join(co_subscribed, ["message_from", "message_to"], "left_semi"),
+        "message_from", "message_to").distinct()
+
+    day_pos = latest_per_key(
+        ev.where((F.to_date("ts") == F.lit(FRIEND_DATE)) & F.col("lat").isNotNull()),
+        keys=["user_id"], ts="ts", tiebreak=["event_id"]
+    ).select("user_id", F.col("lat").alias("last_lat"),
+             F.col("lon").alias("last_lon"))
+
+    sub_pos = subscribers.join(day_pos, "user_id", "inner")
+    right = sub_pos.select(F.col("channel"),
+                           F.col("user_id").alias("user_right"),
+                           F.col("last_lat").alias("lat_r"),
+                           F.col("last_lon").alias("lon_r"))
+    candidates = (sub_pos
+                  .select("channel", F.col("user_id").alias("user_left"),
+                          F.col("last_lat").alias("lat_l"),
+                          F.col("last_lon").alias("lon_l"))
+                  .join(right, "channel")
+                  .where(F.col("user_left") > F.col("user_right"))
+                  .drop("channel")
+                  .distinct())
+
+    dist = haversine_km(F.col("lat_l"), F.col("lon_l"),
+                        F.col("lat_r"), F.col("lon_r"))
+    return (candidates
+            .join(communicated, ["user_left", "user_right"], "left_anti")
+            .withColumn("dist", dist)
+            .where(F.col("dist") < FRIEND_MAX_KM)
+            .select("user_left", "user_right",
+                    ((F.col("lat_l") + F.col("lat_r")) / 2).alias("lat_avg"),
+                    ((F.col("lon_l") + F.col("lon_r")) / 2).alias("lon_avg"),
+                    "dist"))
+
+
+@register("friend_recommendations", oracle=f"""
+WITH {_SQL_FRIENDS_BASE},
+zoned AS (
+  SELECT user_left, user_right, city_id AS zone_id, dist
+  FROM (
+    SELECT n.*, c.city_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.user_left, n.user_right
+             ORDER BY {sql_haversine_km('n.lat_avg', 'n.lon_avg', 'c.city_lat', 'c.city_lon')} ASC,
+                      c.city_id ASC) AS rn
+    FROM near n CROSS JOIN cities c
+  ) WHERE rn = 1)
+SELECT user_left, user_right, zone_id,
+       ROUND(dist, 3) AS distance_km,
+       '{FRIEND_DATE}' AS processed_dttm
+FROM zoned
+""")
+def friend_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cands = _friend_candidates(spark, sf_dir)
+    cities = synth_cities(read_table(spark, sf_dir, "nation"))
+    zoned = nearest_city(cands, cities, lat_col="lat_avg", lon_col="lon_avg")
+    return zoned.select(
+        "user_left", "user_right",
+        F.col("city_id").alias("zone_id"),
+        F.round("dist", 3).alias("distance_km"),
+        F.lit(FRIEND_DATE).alias("processed_dttm"))
+
+
+# ---------------------------------------------------------------------------
+# D12 standalone — subscriber channel fan-out (distinct pairs + per-channel
+# reach), exercising the co-subscription self-join's input relation.
+# ---------------------------------------------------------------------------
+@register("channel_subscribers", oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_subscribers
+FROM events
+WHERE event_type = 'signup' AND json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+""")
+def channel_subscribers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    return (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .groupBy(channel.alias("channel"))
+              .agg(F.countDistinct("user_id").alias("n_subscribers")))
