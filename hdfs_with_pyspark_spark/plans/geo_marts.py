@@ -142,7 +142,11 @@ FROM (
 """)
 def user_act_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    last = latest_per_key(_assigned(spark, sf_dir), keys=["user_id"],
+    return _act_city_of(_assigned(spark, sf_dir))
+
+
+def _act_city_of(assigned: DataFrame) -> DataFrame:
+    last = latest_per_key(assigned, keys=["user_id"],
                           ts="ts", tiebreak=["event_id"])
     return last.select(
         "user_id",
@@ -186,8 +190,11 @@ FROM q WHERE pick = 1
 """)
 def user_home_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    daily = (_assigned(spark, sf_dir)
-             .select("user_id", F.to_date("ts").alias("dt"), "city"))
+    return _home_city_of(_assigned(spark, sf_dir))
+
+
+def _home_city_of(assigned: DataFrame) -> DataFrame:
+    daily = assigned.select("user_id", F.to_date("ts").alias("dt"), "city")
     s = streaks(daily, key="user_id", group="city", date_col="dt")
     qualified = s.where(F.col("streak_len") >= HOME_STREAK_DAYS)
     picked = top1_per_key(qualified, keys=["user_id"],
@@ -245,11 +252,14 @@ GROUP BY c.user_id
 """)
 def user_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    assigned = _assigned(spark, sf_dir)
+    return _travel_of(_assigned(spark, sf_dir))
+
+
+def _travel_of(assigned: DataFrame) -> DataFrame:
     changes = change_points(assigned.select("user_id", "ts", "event_id", "city"),
                             keys=["user_id"], order=["ts", "event_id"],
                             value="city")
-    home = user_home_city(spark, sf_dir).select(
+    home = _home_city_of(assigned).select(
         "user_id", F.col("home_city").alias("city"))
     visits = changes.join(home, ["user_id", "city"], "left_anti")
     path = F.array_join(
@@ -317,9 +327,13 @@ LEFT JOIN travel t USING (user_id)
 """)
 def user_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    act = user_act_city(spark, sf_dir)
-    home = user_home_city(spark, sf_dir).select("user_id", "home_city")
-    travel = user_travel(spark, sf_dir)
+    # One shared, cached nearest-city assignment feeds all three subtrees
+    # (the reference caches the same frame for the same reason, C1,
+    # project_step_1.py:35) — without it the scan+argmin runs 4x.
+    assigned = _assigned(spark, sf_dir).cache()
+    act = _act_city_of(assigned)
+    home = _home_city_of(assigned).select("user_id", "home_city")
+    travel = _travel_of(assigned)
     return (act.join(home, ["user_id"], "left")
                .join(travel, ["user_id"], "left")
                .select("user_id", "act_city", "local_time", "home_city",
