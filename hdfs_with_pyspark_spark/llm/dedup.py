@@ -1,0 +1,310 @@
+"""Deduplication operators over the ``documents`` table.
+
+Driver-mandated LLM-pipeline surface (SURVEY.md §0 addendum). Four
+strategies, cheapest to most semantic:
+
+  * exact       — full-text hash groupBy (one shuffle on a 60-bit hash),
+  * n-gram Jaccard — exact set overlap via inverted-index join,
+  * MinHash-LSH — shingle -> 32 minhashes -> 8 bands -> bucket join ->
+                  exact-Jaccard verify (the 100 TB near-dup workhorse),
+  * SimHash     — 48-bit map-side signature; Hamming<=3 pairs found with
+                  an exact pigeonhole chunk join (4 x 12-bit chunks).
+
+Everything is Column expressions + joins — no UDFs, no collect. All hash
+math is md5-prefix based (textops.hash64) so every query has an exact
+DuckDB oracle, MinHash banding included (the oracle replicates the same
+deterministic hash-parameter table, so approximate recall is *identical*
+by construction, not just similar).
+
+Scale notes per operator are inline; the common one: candidate
+verification joins are always keyed on (doc_id, shingle-hash) — they scale
+with candidate count, never with corpus^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.llm.textops import (
+    MERSENNE31,
+    MINHASH_BANDS,
+    MINHASH_PARAMS,
+    MINHASH_ROWS,
+    hash31,
+    hash64,
+    shingles,
+    tokens,
+)
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+JACCARD_THRESHOLD = 0.8     # planted near-dups in testdata sit at ~0.96+
+SIMHASH_BITS = 48           # fits bigint shifts in both engines
+SIMHASH_MAX_HAMMING = 3     # pigeonhole: 4 chunks of 12 bits
+SHINGLE_N = 3
+
+
+def _sql_tokens(expr: str = "text") -> str:
+    return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
+
+
+def _sql_shingles() -> str:
+    """DuckDB twin of textops.shingles(n=3) as exploded rows (doc_id, s)."""
+    return f"""
+t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= {SHINGLE_N}
+                     THEN list_transform(generate_series(1, len(toks) - {SHINGLE_N - 1}),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                     ELSE [] END) AS s
+  FROM t),
+shh AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31} AS h
+        FROM sh)"""
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h) 31-bit shingle hashes — the dedup spine."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"))
+    return sh.select("doc_id", hash31(F.col("s")).alias("h")).distinct()
+
+
+def _verified_jaccard(cand: DataFrame, shh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs (doc_a, doc_b).
+
+    Joins candidates against each side's shingle set — cost scales with
+    |candidates| * doc-length, never corpus^2.
+    """
+    counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = shh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (cand.join(a, "doc_a")
+                 .join(b, ["doc_b", "h"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("na")), "doc_a")
+            .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n").alias("nb")), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter")
+                            / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+                     .alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — canonical-id assignment by full-text hash. One shuffle on
+# the hash; at 100 TB this is the standard "hash, min-id per group" pass.
+# --------------------------------------------------------------------------
+@register("dedup_exact", oracle="""
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    w = (docs.select(hash64(F.col("text")).alias("th"), "doc_id")
+             .groupBy("th").agg(F.min("doc_id").alias("canonical_id")))
+    return (docs.select("doc_id", hash64(F.col("text")).alias("th"))
+                .join(w, "th")
+                .select("doc_id", "canonical_id",
+                        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup")))
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact word-3-gram Jaccard >= 0.8 pairs via an
+# inverted-index join on shingle hashes. Scale caveat (documented, not
+# hit here): hot shingles blow up the co-occurrence join; production runs
+# drop shingles with document-frequency above a cap first — that filter
+# is one extra groupBy and changes no >=t results for t > 0 thresholds
+# hit by real near-dups.
+# --------------------------------------------------------------------------
+@register("dedup_ngram_jaccard", oracle=f"""
+WITH {_sql_shingles()},
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM co
+JOIN n na ON na.doc_id = doc_a
+JOIN n nb ON nb.doc_id = doc_b
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents"))
+    counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    co = (shh.alias("a")
+             .join(shh.alias("b"),
+                   (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    j = (co.join(counts.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+           .join(counts.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+           .withColumn("jaccard_raw",
+                       F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
+    return (j.where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh — the scale path for near-dup detection:
+#   shingle-hash -> 32 minhashes (one groupBy; map-side partial min)
+#   -> 8 bands of 4 -> equi-join on (band, key) for candidates
+#   -> exact-Jaccard verify on candidates only.
+# The band join replaces ngram_jaccard's all-co-occurring-pairs join:
+# at 100 TB candidates ~ near-dups, not pairs-sharing-any-shingle.
+# Hash params are fixed module constants, embedded verbatim in the oracle,
+# so Spark and DuckDB produce the *same* candidate set — LSH recall
+# (<100% near threshold) cancels out of the comparison by construction.
+# --------------------------------------------------------------------------
+_SQL_PARAMS = ", ".join(f"({j}, {a}::BIGINT, {b}::BIGINT)"
+                        for j, (a, b) in enumerate(MINHASH_PARAMS))
+
+@register("dedup_minhash_lsh", oracle=f"""
+WITH {_sql_shingles()},
+params(j, a, b) AS (VALUES {_SQL_PARAMS}),
+mh AS (SELECT doc_id, j, MIN((a * h + b) % {MERSENNE31}) AS mh
+       FROM shh CROSS JOIN params GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // {MINHASH_ROWS} AS band,
+                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+          FROM mh GROUP BY doc_id, j // {MINHASH_ROWS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (SELECT doc_a, doc_b, count(*) AS inter
+          FROM cand
+          JOIN shh a ON a.doc_id = doc_a
+          JOIN shh b ON b.doc_id = doc_b AND b.h = a.h
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM inter
+JOIN n na ON na.doc_id = doc_a
+JOIN n nb ON nb.doc_id = doc_b
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents"))
+    sig = shh.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
+          for j, (a, b) in enumerate(MINHASH_PARAMS)])
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh{i * MINHASH_ROWS + r}").cast("string")
+                               for r in range(MINHASH_ROWS)]).alias("bkey"))
+        for i in range(MINHASH_BANDS)]
+    bands = (sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+                .select("doc_id", "b.band", "b.bkey"))
+    cand = (bands.alias("x")
+                 .join(bands.alias("y"),
+                       (F.col("x.band") == F.col("y.band"))
+                       & (F.col("x.bkey") == F.col("y.bkey"))
+                       & (F.col("x.doc_id") < F.col("y.doc_id")))
+                 .select(F.col("x.doc_id").alias("doc_a"),
+                         F.col("y.doc_id").alias("doc_b"))
+                 .distinct())
+    return (_verified_jaccard(cand, shh)
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — 48-bit SimHash computed entirely map-side per row (one
+# nested array expression; zero shuffle for signatures), then Hamming<=3
+# pairs via the exact pigeonhole chunk join: distance<=3 guarantees one of
+# 4 disjoint 12-bit chunks matches, so the chunk equi-join + exact Hamming
+# filter finds exactly the brute-force pair set (which is what the oracle
+# computes).
+# --------------------------------------------------------------------------
+_N_CHUNKS = SIMHASH_MAX_HAMMING + 1
+_CHUNK_BITS = SIMHASH_BITS // _N_CHUNKS
+
+
+def _simhash_expr(toks):
+    # Bit positions are compile-time constants, so the 48-way loop unrolls
+    # in Python: one fold over the token-hash array per bit, summed into
+    # the signature. Stays a single map-side Column expression.
+    ths = F.transform(toks, lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"))
+
+    def bitsum(i: int):
+        # NB: a plain 2-arg lambda — pyspark's higher-order-function shim
+        # binds one Column per declared parameter, so the bit index must be
+        # a closure variable, not a default argument.
+        return F.aggregate(
+            ths, F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.lit(2) * F.shiftright(x, i).bitwiseAND(F.lit(1)) - F.lit(1)))
+
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(bitsum(i) >= 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+_SQL_SIMHASH = f"""
+t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents WHERE len({_sql_tokens()}) > 0),
+h AS (SELECT doc_id, list_transform(toks, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS ths FROM t),
+sig AS (SELECT doc_id,
+               list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
+                 i -> CASE WHEN list_sum(list_transform(ths, x -> 2 * ((x >> i) & 1) - 1)) >= 0
+                           THEN 1::BIGINT << i ELSE 0::BIGINT END))::BIGINT AS simhash
+        FROM h)"""
+
+
+@register("text_simhash", oracle=f"""
+WITH {_SQL_SIMHASH}
+SELECT doc_id, simhash FROM sig
+""")
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (docs.where(F.size(toks) > 0)
+                .select("doc_id", _simhash_expr(toks).alias("simhash")))
+
+
+@register("dedup_simhash", oracle=f"""
+WITH {_SQL_SIMHASH}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    sig = text_simhash(spark, sf_dir)
+    chunk_structs = [
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
+                  .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1)).alias("ckey"))
+        for c in range(_N_CHUNKS)]
+    chunks = (sig.select("doc_id", "simhash",
+                         F.explode(F.array(*chunk_structs)).alias("c"))
+                 .select("doc_id", "simhash", "c.chunk", "c.ckey"))
+    pairs = (chunks.alias("a")
+                   .join(chunks.alias("b"),
+                         (F.col("a.chunk") == F.col("b.chunk"))
+                         & (F.col("a.ckey") == F.col("b.ckey"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   .select(F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b"),
+                           F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                            .cast("long").alias("hamming"))
+                   .distinct())
+    return pairs.where(F.col("hamming") <= SIMHASH_MAX_HAMMING)

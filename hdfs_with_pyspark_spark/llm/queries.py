@@ -1,4 +1,7 @@
-"""Registered queries for the LLM data-pipeline operators.
+"""Aggregates the LLM data-pipeline query modules for the registry.
 
-Filled in as the llm/ modules land (dedup, similarity, text, multimodal).
+Importing this module (registry._load_all) triggers every @register
+side-effect in the llm/ package.
 """
+
+from hdfs_with_pyspark_spark.llm import dedup, text  # noqa: F401

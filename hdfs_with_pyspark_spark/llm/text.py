@@ -1,0 +1,190 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Driver-mandated LLM-pipeline surface (SURVEY.md §0 addendum; the reference
+itself has no text ops — its scalar-function inventory stops at geo math,
+SURVEY.md §2.8). Four operators: token counting, quality scoring,
+language-ID, and document fingerprinting. All pure Column expressions —
+JVM-side, whole-stage-codegen, no Python workers — and each has an exact
+DuckDB oracle.
+
+Scale notes: every query here is embarrassingly parallel (per-row map +
+one final agg at most) — no shuffle except the aggregations' partial/final
+exchange, so the shape survives 100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.llm.textops import (
+    BPE_REGEX,
+    MERSENNE31,
+    bpe_token_count,
+    fold_hash,
+    hash31,
+    tokens,
+)
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+# Function-word markers per language, weighed by plain membership count.
+# Deterministic argmax with a fixed priority order on ties. On the synthetic
+# corpus (shared English-ish vocab for every lang label) accuracy is chance
+# by construction — the operator contract is determinism + plumbing.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": [],
+}
+
+STOPWORDS = ["a", "the", "and", "of", "to", "is"]
+
+
+def _marker_score(toks, words: list[str]):
+    if not words:
+        return F.lit(0)
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lit, x)))
+
+
+def _sql_tokens(expr: str = "text") -> str:
+    return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# text_token_stats — whitespace + BPE-ish-regex token counting. The two
+# counts diverge exactly on punctuation/digit splits, which is the point.
+# --------------------------------------------------------------------------
+@register("text_token_stats", oracle=f"""
+SELECT doc_id,
+       CAST(len({_sql_tokens()}) AS BIGINT)                          AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT)  AS n_bpe_tokens,
+       ROUND(length(replace(text, ' ', '')) * 1.0
+             / GREATEST(len({_sql_tokens()}), 1), 4)                 AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                / F.greatest(F.size(toks), F.lit(1)), 4).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_quality_score — length / stopword / repetition heuristics composed
+# into one score, the standard pretraining-corpus filter shape.
+# --------------------------------------------------------------------------
+_SQL_STOP = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+@register("text_quality_score", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents
+)
+SELECT doc_id, lang,
+       ROUND(len(list_filter(toks, x -> list_contains({_SQL_STOP}, x)))
+             * 1.0 / GREATEST(len(toks), 1), 4)                      AS stopword_ratio,
+       ROUND(len(list_distinct(toks)) * 1.0
+             / GREATEST(len(toks), 1), 4)                            AS distinct_ratio,
+       ROUND(LEAST(len(toks) / 100.0, 1.0) * 0.5
+             + len(list_distinct(toks)) * 1.0
+               / GREATEST(len(toks), 1) * 0.5, 4)                    AS quality_score
+FROM t
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id", "lang",
+        F.round(n_stop / n, 4).alias("stopword_ratio"),
+        F.round(n_distinct / n, 4).alias("distinct_ratio"),
+        F.round(F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.5
+                + n_distinct / n * 0.5, 4).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_lang_id — marker-token frequency heuristic with a fixed-priority
+# deterministic argmax (en > de > es > fr > zh on ties).
+# --------------------------------------------------------------------------
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+def _sql_lang_score(lang: str) -> str:
+    words = LANG_MARKERS[lang]
+    if not words:
+        return "0"
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(toks, x -> list_contains({lit}, x)))"
+
+_SQL_SCORES = ",\n       ".join(
+    f"{_sql_lang_score(lg)} AS s_{lg}" for lg in _LANG_ORDER)
+_SQL_PRED = ("CASE " + " ".join(
+    f"WHEN s_{lg} = m THEN '{lg}'" for lg in _LANG_ORDER) + " END")
+
+@register("text_lang_id", oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+       {_SQL_SCORES}
+      FROM t),
+m AS (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS m FROM s)
+SELECT doc_id, {_SQL_PRED} AS pred_lang,
+       CAST(({_SQL_PRED}) = lang AS BOOLEAN) AS is_correct
+FROM m
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang",
+        *[_marker_score(toks, LANG_MARKERS[lg]).alias(f"s_{lg}")
+          for lg in _LANG_ORDER])
+    m = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
+    pred = F
+    for lg in _LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lg}") == m, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — order-sensitive polynomial rolling hash over the token
+# stream (token reorder => different fingerprint; the exact-dup primitive
+# that, unlike md5(text), survives whitespace normalization).
+# --------------------------------------------------------------------------
+@register("doc_fingerprint", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(toks,
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {MERSENNE31})),
+         (acc, x) -> (acc * 31 + x) % {MERSENNE31})  AS fingerprint
+FROM t
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        fold_hash(F.transform(toks, hash31)).alias("fingerprint"),
+    )
