@@ -1,0 +1,158 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Driver-mandated LLM-pipeline surface (SURVEY.md §0 addendum). The design
+point: image/audio/video payloads live in a ``binary`` column next to a
+typed metadata struct; per-item work (decode, feature-extract, resize,
+frame-sample) runs as pandas-batch functions over ``mapInPandas`` — the
+one place Python-side execution is the right call, because the work is
+per-blob CPU, Arrow moves the bytes zero-copy, and no shuffle is induced
+(narrow map over whatever partitioning the scan produced).
+
+The media codecs themselves are NOT in this container, so ``decode_blob``
+is an explicit stub (NotImplementedError); ``featurize`` computes real,
+deterministic byte-level features (length, token count, md5-based content
+hash) so the full pipeline — schema, batching, partitioning — executes
+and is oracle-checkable end to end.
+
+At 100 TB: blobs dominate bytes, so the scan schema matters — metadata
+queries must NOT read the blob column. ``blob_summary`` is written
+against the metadata projection only; .explain shows the parquet scan's
+ReadSchema excluding ``blob`` when the source is a real parquet table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+MODALITIES = ["image", "audio", "video"]
+
+BLOB_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("blob", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("content_hash", T.LongType()),
+    T.StructField("frame_count", T.LongType()),  # video only, else null
+])
+
+
+def as_blobs(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal layout: binary payload + typed metadata.
+
+    The payload is the utf-8 text bytes (deterministic stand-in for real
+    media); modality and dimensions derive from doc_id so every engine
+    reproduces them.
+    """
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    n_bytes = F.octet_length("text").cast("long")
+    return docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("blob"),
+        F.struct(
+            ((F.col("doc_id") % 64 + 1) * 16).cast("int").alias("width"),
+            ((F.col("doc_id") % 36 + 1) * 16).cast("int").alias("height"),
+            n_bytes.alias("n_bytes"),
+        ).alias("meta"))
+
+
+def decode_blob(blob: bytes, modality: str):  # pragma: no cover - stub
+    """STUB: real media decode (PIL / ffmpeg / soundfile) is unavailable in
+    this environment. The Spark-side plumbing around it is real; swap this
+    body for the actual codec call in production."""
+    raise NotImplementedError(
+        f"media decode for modality={modality!r} requires codec libraries "
+        "not present in this container")
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction; deterministic byte-level features."""
+    for pdf in batches:
+        blobs = pdf["blob"]
+        n_bytes = blobs.map(len).astype("int64")
+        n_tokens = blobs.map(lambda b: len([t for t in b.split(b" ") if t]))
+        chash = blobs.map(
+            lambda b: int(hashlib.md5(b).hexdigest()[:15], 16)).astype("int64")
+        frames = pd.Series(
+            [n // 256 + 1 if m == "video" else None
+             for n, m in zip(n_bytes, pdf["modality"])], dtype="object")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "modality": pdf["modality"],
+            "n_bytes": n_bytes,
+            "n_tokens": n_tokens.astype("int64"),
+            "content_hash": chash,
+            "frame_count": frames,
+        })
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas featurizer over the multimodal layout."""
+    return (blobs.select("doc_id", "modality", "blob")
+                 .mapInPandas(_featurize_batches, FEATURE_SCHEMA))
+
+
+# --------------------------------------------------------------------------
+# multimodal_features — the full pipeline per doc: documents -> blob
+# layout -> Arrow-batched pandas featurizer. Oracle recomputes every
+# feature relationally (text is ascii-safe, so octet_length == length and
+# DuckDB's md5 hashes the same utf-8 bytes hashlib sees).
+# --------------------------------------------------------------------------
+@register("multimodal_features", oracle=f"""
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash,
+       CASE WHEN doc_id % 3 = 2
+            THEN strlen(text) // 256 + 1 END AS frame_count
+FROM documents
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    return extract_features(as_blobs(read_table(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# multimodal_summary — per-modality rollup off the metadata struct only;
+# the blob column is never referenced, so a columnar source prunes it.
+# --------------------------------------------------------------------------
+@register("multimodal_summary", oracle="""
+SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""")
+def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    blobs = as_blobs(read_table(spark, sf_dir, "documents"))
+    return (blobs.groupBy("modality")
+                 .agg(F.count("*").alias("n_blobs"),
+                      F.sum("meta.n_bytes").alias("total_bytes"),
+                      F.max("meta.n_bytes").alias("max_bytes")))

@@ -4,4 +4,9 @@ Importing this module (registry._load_all) triggers every @register
 side-effect in the llm/ package.
 """
 
-from hdfs_with_pyspark_spark.llm import dedup, text  # noqa: F401
+from hdfs_with_pyspark_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,169 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Driver-mandated LLM-pipeline surface (SURVEY.md §0 addendum). Three
+operators:
+
+  * ann_topk_bruteforce — exact top-k cosine neighbors for a query set:
+    broadcast the (small) query side against the corpus, rank with a
+    window. The correctness baseline every ANN variant is measured
+    against.
+  * ann_topk_lsh — the scale path: sign-bit LSH bucketing (fixed
+    axis-aligned hyperplanes = sign of the first B dims), equi-join on
+    bucket, rank within bucket. Deterministic — no RNG — so it has an
+    exact SQL oracle; recall loss vs brute force is a *property*, not a
+    comparison artifact.
+  * dedup_embedding_cosine — near-dup pairs by cosine >= threshold
+    (brute-force half-matrix here; at scale the same verify runs behind
+    the LSH bucket join).
+
+All vector math is Column expressions over array<double> (floats upcast
+first so both engines do identical IEEE-double arithmetic):
+``zip_with`` for the elementwise product, ``aggregate`` for the fold.
+Ranking/thresholding always uses ROUND(cos, 6) so last-ulp summation
+differences between engines cannot flip an order or a threshold.
+
+At 100 TB: the brute-force path is O(|Q| x |corpus|) with the query side
+broadcast — correct shape for small Q. The LSH path shuffles the corpus
+once on bucket id; skewed buckets are AQE's problem (skew-join splitting
+works because the join is a plain equi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+N_QUERIES = 10      # vec_id < 10 is the query set
+TOP_K = 5
+LSH_SIGN_DIMS = 4   # 16 buckets; at real scale use 8-12 dims + multiprobe
+COSINE_DUP_THRESHOLD = 0.45  # synthetic vectors are near-orthogonal; 0.45
+                             # captures the ~dozen closest pairs at sf0.01
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns (Column expr)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (read_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+
+
+_SQL_VECTORS = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+_SQL_COS = ("list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+
+
+# --------------------------------------------------------------------------
+# ann_topk_bruteforce — exact top-k. The query side (10 rows) broadcasts;
+# the corpus never shuffles. Rank on (round(cos,6) DESC, vec_id ASC) —
+# fully deterministic under float noise.
+# --------------------------------------------------------------------------
+@register("ann_topk_bruteforce", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_SQL_COS}, 6) AS cos_sim
+  FROM q a JOIN v b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (F.broadcast(q)
+              .join(v, F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# ann_topk_lsh — sign-bit bucketed ANN. Bucket = sum of sign(v[i])<<i for
+# the first LSH_SIGN_DIMS dims (fixed hyperplanes — deterministic, exact
+# oracle). Candidates = same-bucket corpus rows; then the same rank.
+# --------------------------------------------------------------------------
+_SQL_BUCKET = ("list_sum(list_transform(generate_series(1, " + str(LSH_SIGN_DIMS) + "), "
+               "i -> CASE WHEN v[i] >= 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END))")
+
+@register("ann_topk_lsh", oracle=f"""
+WITH v0 AS ({_SQL_VECTORS}),
+v AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM v0),
+q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_SQL_COS}, 6) AS cos_sim
+  FROM q a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bucket = F.lit(0).cast("long")
+    for i in range(LSH_SIGN_DIMS):
+        bucket = bucket + F.when(F.element_at(F.col("v"), i + 1) >= 0,
+                                 F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    v = _vectors(spark, sf_dir).withColumn("bucket", bucket)
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 "bucket").where(F.col("query_id") < N_QUERIES)
+    scored = (F.broadcast(q)
+              .join(v, ["bucket"])
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_cosine — near-dup pairs with cosine >= threshold.
+# Half-matrix self-join (vec_a < vec_b); threshold compared on the
+# ROUNDed value so both engines cut identically.
+# --------------------------------------------------------------------------
+@register("dedup_embedding_cosine", oracle=f"""
+WITH v AS ({_SQL_VECTORS})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_SQL_COS}, 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND({_SQL_COS}, 6) >= {COSINE_DUP_THRESHOLD}
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+             .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))

@@ -1,0 +1,180 @@
+"""Unit tests for the LLM data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) on tiny hand-built frames.
+
+The sf0.01 oracle-parity checks cover cross-engine value equality;
+these tests pin the *semantics* on known inputs: shingle windows,
+Jaccard values, SimHash pigeonhole exactness, cosine math, canonical-id
+assignment, and the mapInPandas feature schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.llm import dedup as dd
+from hdfs_with_pyspark_spark.llm import multimodal as mm
+from hdfs_with_pyspark_spark.llm import similarity as sim
+from hdfs_with_pyspark_spark.llm.textops import (
+    MERSENNE31,
+    fold_hash,
+    hash31,
+    hash64,
+    shingles,
+    tokens,
+)
+
+
+# ---------------------------------------------------------------- textops
+
+def test_tokens_drop_empties(spark):
+    df = spark.createDataFrame([("a  b   c",)], "text string")
+    out = df.select(tokens(F.col("text")).alias("t")).first()["t"]
+    assert out == ["a", "b", "c"]
+
+
+def test_hash64_matches_md5(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    h = df.select(hash64(F.col("s")).alias("h")).first()["h"]
+    assert h == int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+
+
+def test_shingles_window_and_short_doc(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(shingles(tokens(F.col("text")), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []
+
+
+def test_fold_hash_is_order_sensitive(spark):
+    df = spark.createDataFrame([("a b",), ("b a",)], "text string")
+    fps = [r["fp"] for r in df.select(
+        fold_hash(F.transform(tokens(F.col("text")), hash31)).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+    assert all(0 <= fp < MERSENNE31 for fp in fps)
+
+
+# ------------------------------------------------------------------ dedup
+
+@pytest.fixture(scope="module")
+def doc_frame(spark):
+    # 0 and 1 identical; 2 near-dup of 0 (one token changed); 3 unrelated.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, "completely different text here")],
+        "doc_id long, text string")
+
+
+def test_exact_dedup_canonical_ids(spark, doc_frame, monkeypatch, tmp_path):
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: doc_frame)
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in dd.dedup_exact(spark, "unused").collect()}
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[2] == (2, False)
+    assert out[3] == (3, False)
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, doc_frame, monkeypatch):
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: doc_frame)
+    rows = dd.dedup_ngram_jaccard(spark, "unused").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # the near-dup pair (0,2) shares most but not all shingles
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_candidates_subset_of_exact(spark, doc_frame, monkeypatch):
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: doc_frame)
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in dd.dedup_ngram_jaccard(spark, "unused").collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in dd.dedup_minhash_lsh(spark, "unused").collect()}
+    # LSH output is verified with the same exact Jaccard, so it can only
+    # be a subset of the exact pair set (recall <= 1, precision = 1).
+    assert lsh <= exact
+    assert (0, 1) in lsh  # identical docs always collide in every band
+
+
+def test_simhash_pigeonhole_equals_bruteforce(spark, doc_frame, monkeypatch):
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: doc_frame)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dd.text_simhash(spark, "unused").collect()}
+    brute = {(a, b)
+             for a in sigs for b in sigs if a < b
+             and bin(sigs[a] ^ sigs[b]).count("1") <= dd.SIMHASH_MAX_HAMMING}
+    chunked = {(r["doc_a"], r["doc_b"])
+               for r in dd.dedup_simhash(spark, "unused").collect()}
+    assert chunked == brute
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+
+
+# ------------------------------------------------------------- similarity
+
+def test_cosine_expr_matches_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>")
+    c = df.select(sim.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert math.isclose(c, 1 / math.sqrt(2), rel_tol=1e-12)
+
+
+def test_bruteforce_topk_ranks_correctly(spark, monkeypatch):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "read_table", lambda s, d, n: vecs)
+    monkeypatch.setattr(sim, "N_QUERIES", 1)  # only vec 0 queries
+    out = sim.ann_topk_bruteforce(spark, "unused").collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[:2] == [1, 2]  # closest first; anti-parallel last
+    assert order[-1] == 3
+
+
+def test_lsh_results_subset_of_bruteforce_pool(spark, monkeypatch):
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 - 1), float(i % 5 - 2), 1.0, -1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "read_table", lambda s, d, n: vecs)
+    lsh = sim.ann_topk_lsh(spark, "unused").collect()
+    assert all(r["rank"] <= sim.TOP_K for r in lsh)
+    # same-bucket constraint: every returned neighbor shares the query's
+    # sign signature on the first LSH_SIGN_DIMS dims
+    emb = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+
+    def bucket(v):
+        return tuple(x >= 0 for x in v[:sim.LSH_SIGN_DIMS])
+    for r in lsh:
+        assert bucket(emb[r["query_id"]]) == bucket(emb[r["neighbor_id"]])
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_as_blobs_schema_and_binary_payload(spark):
+    docs = spark.createDataFrame([(0, "hello world"), (5, "xy")],
+                                 "doc_id long, text string")
+    blobs = mm.as_blobs(docs)
+    assert [f.name for f in blobs.schema.fields] == ["doc_id", "modality", "blob", "meta"]
+    rows = {r["doc_id"]: r for r in blobs.collect()}
+    assert bytes(rows[0]["blob"]) == b"hello world"
+    assert rows[0]["modality"] == "image" and rows[5]["modality"] == "video"
+    assert rows[0]["meta"]["n_bytes"] == 11
+
+
+def test_extract_features_mapinpandas(spark):
+    docs = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    feats = mm.extract_features(mm.as_blobs(docs)).collect()
+    assert len(feats) == 1
+    f0 = feats[0]
+    assert f0["n_bytes"] == 5 and f0["n_tokens"] == 3
+    assert f0["modality"] == "video" and f0["frame_count"] == 1
+    assert f0["content_hash"] == int(hashlib.md5(b"a b c").hexdigest()[:15], 16)
+
+
+def test_decode_blob_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        mm.decode_blob(b"\x89PNG", "image")
