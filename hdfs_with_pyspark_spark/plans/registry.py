@@ -52,6 +52,9 @@ def _load_all() -> None:
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,
     )
+    from hdfs_with_pyspark_spark.streaming import (  # noqa: F401
+        ops as streaming_ops,
+    )
 
 
 _load_all()

@@ -22,6 +22,19 @@ from pyspark.sql import types as T
 from hdfs_with_pyspark_spark import schemas
 
 
+def nanos_ts_to_micros(columns: list[str], ts_col: str = "ts") -> list:
+    """Projection converting an epoch-nanos long column to TimestampType.
+
+    MUST be integer division: ``ts / 1000`` is double division in Spark,
+    and epoch-nanos (~1.7e18) exceed double's 53-bit mantissa — the
+    rounded quotient lands 1 us high for a fraction of values, which
+    breaks exact parity with engines that truncate (DuckDB).
+    """
+    return [F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).alias(c)
+            if c == ts_col else F.col(c)
+            for c in columns]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-enforced parquet scan of one driver testdata table (S1).
 
@@ -33,10 +46,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long, convert
         # to TimestampType. Lossless — the generator emits whole micros.
         df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
-        cols = [F.timestamp_micros((F.col(c) / 1000).cast("long")).alias(c)
-                if c == "ts" else F.col(c)
-                for c in df.columns]
-        return df.select(*cols)
+        return df.select(*nanos_ts_to_micros(df.columns))
     schema = schemas.TESTDATA_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:

@@ -1,0 +1,190 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY.md §2.9: no streams anywhere); its
+closest analogs are daily-partition incremental runs and week/month
+event-time bucketing. This module is the §7 upgrade path: the same event
+tables consumed as streams with real event-time semantics —
+
+  * ``read_events_stream``     — file-source readStream with the explicit
+    events schema (same nanos-ts conversion as the batch scan),
+  * ``windowed_event_counts``  — tumbling event-time windows + watermark,
+  * ``session_stats``          — per-user session windows (gap-based),
+  * ``running_user_state``     — custom stateful operator via
+    ``applyInPandasWithState`` (running per-user counters emitted on
+    every micro-batch).
+
+Each registered query executes the stream with ``trigger(availableNow)``
+into a memory sink and returns the sink table — the full streaming
+machinery (source -> watermark -> stateful op -> sink) runs inside the
+driver's correctness gate. Aggregations use ``complete`` output mode so
+the final state is emitted irrespective of the closing watermark, which
+makes the batch SQL oracle exact.
+
+Scale notes: file-source streams at 100 TB rely on maxFilesPerTrigger for
+backpressure; state stores scale with |keys| (users / open windows), not
+event volume; watermarks bound state growth. None of that changes the
+query shapes below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hdfs_with_pyspark_spark import schemas
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import nanos_ts_to_micros
+
+SESSION_GAP = "8 hours"      # ~3x the median inter-event gap in testdata
+COUNT_WINDOW = "1 day"
+WATERMARK = "1 day"
+
+_SINK_SEQ = [0]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema-enforced).
+
+    Same physical-to-logical ts conversion as sources.io.read_table: the
+    parquet column is TIMESTAMP(NANOS), read as long then converted.
+    """
+    # The file stream source wants a directory; select the single events
+    # file out of sf_dir with a glob (a real deployment points this at a
+    # growing directory of event files).
+    df = (spark.readStream
+               .schema(schemas.EVENTS_PHYSICAL)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+    return df.select(*nanos_ts_to_micros(df.columns))
+
+
+def windowed_event_counts(stream: DataFrame) -> DataFrame:
+    """Tumbling event-time windows per event_type, watermarked."""
+    return (stream
+            .withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", COUNT_WINDOW).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def session_stats(stream: DataFrame) -> DataFrame:
+    """Gap-based session windows per user (F.session_window)."""
+    return (stream
+            .withWatermark("ts", WATERMARK)
+            .groupBy(F.session_window("ts", SESSION_GAP).alias("s"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.date_format("s.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                     .alias("session_start"),
+                    "n_events"))
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+_STATE_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("avg_value", T.DoubleType()),
+])
+
+
+def _update_user_state(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "avg_value": [round(total / n, 6) if n else None]})
+
+
+def running_user_state(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running count + mean value.
+
+    The applyInPandasWithState surface — arbitrary Python state per key,
+    Arrow-batched input, no watermark-bounded windows needed.
+    """
+    return (stream
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_user_state,
+                outputStructType=_STATE_OUT,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_to_table(result: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming frame with availableNow into a memory sink."""
+    spark = result.sparkSession
+    _SINK_SEQ[0] += 1
+    name = f"stream_sink_{_SINK_SEQ[0]}"
+    q = (result.writeStream
+               .format("memory")
+               .queryName(name)
+               .outputMode(mode)
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Registered streaming queries. The callables genuinely stream (file
+# source, watermark, state) and return the materialized sink.
+# --------------------------------------------------------------------------
+@register("stream_windowed_counts", oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    return run_to_table(
+        windowed_event_counts(read_events_stream(spark, sf_dir)), "complete")
+
+
+@register("stream_session_stats", oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 8 HOUR OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+""")
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    return run_to_table(
+        session_stats(read_events_stream(spark, sf_dir)), "complete")
+
+
+@register("stream_user_state")  # rows-only: custom stateful op, not ANSI-SQL
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    return run_to_table(
+        running_user_state(read_events_stream(spark, sf_dir)), "update")
