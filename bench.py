@@ -29,6 +29,11 @@ HEADLINE = [
     "user_mart",
     "zone_mart",
     "friend_recommendations",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_lsh",
+    "multimodal_features",
+    "stream_windowed_counts",
 ]
 
 

@@ -141,7 +141,9 @@ WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    shh = _shingle_hashes(read_table(spark, sf_dir, "documents"))
+    # Persist: consumed by the co-occurrence self-join (twice) and the
+    # per-doc counts — (doc_id, long) rows, far smaller than the text.
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
     counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
     co = (shh.alias("a")
              .join(shh.alias("b"),
@@ -200,7 +202,9 @@ WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
 """)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    shh = _shingle_hashes(read_table(spark, sf_dir, "documents"))
+    # Persist: consumed by the signature agg and both sides of the
+    # candidate verification join.
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
     sig = shh.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
           for j, (a, b) in enumerate(MINHASH_PARAMS)])
@@ -240,21 +244,30 @@ def _simhash_expr(toks):
     # Bit positions are compile-time constants, so the 48-way loop unrolls
     # in Python: one fold over the token-hash array per bit, summed into
     # the signature. Stays a single map-side Column expression.
+    # One fold over the token-hash array carrying all 48 bit-counters as an
+    # array accumulator — the token md5 is computed exactly once per token.
+    # (48 separate per-bit folds each re-evaluate the md5 transform:
+    # Catalyst inlines the shared subexpression, costing 48x the hashing —
+    # measured 30s vs 3s at sf0.1.)
+    #
+    # Bit extraction uses floor(x / 2^i) % 2: x < 2^48 is exactly double-
+    # representable and scaling by a power of two is exact in IEEE754, so
+    # this is bit-exact with the >> in the SQL oracle.
     ths = F.transform(toks, lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"))
-
-    def bitsum(i: int):
-        # NB: a plain 2-arg lambda — pyspark's higher-order-function shim
-        # binds one Column per declared parameter, so the bit index must be
-        # a closure variable, not a default argument.
-        return F.aggregate(
-            ths, F.lit(0).cast("long"),
-            lambda acc, x: acc + (F.lit(2) * F.shiftright(x, i).bitwiseAND(F.lit(1)) - F.lit(1)))
-
-    sig = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sig = sig + F.when(bitsum(i) >= 0,
-                           F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    # Literal 2^i array: division by an exact power of two is exact IEEE
+    # scaling, and a constant array beats 48 Math.pow calls per token.
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        ths,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc, pow2,
+            lambda a, p: a + F.lit(2) * F.pmod(F.floor(x / p).cast("long"), F.lit(2)) - F.lit(1)))
+    return F.aggregate(
+        F.zip_with(counts, pow2,
+                   lambda c, p: F.when(c >= 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
 
 
 _SQL_SIMHASH = f"""
@@ -288,7 +301,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    sig = text_simhash(spark, sf_dir)
+    # Persist: the chunk self-join references the signature subtree twice,
+    # and signatures (doc_id, 8 bytes) are ~10^-4 of the text they derive
+    # from — the reference's C1 cache idiom (project_step_1.py:35).
+    sig = text_simhash(spark, sf_dir).persist()
     chunk_structs = [
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
