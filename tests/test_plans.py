@@ -1,0 +1,89 @@
+"""Physical-plan shape tests — the 100 TB design assertions.
+
+Correctness is the oracle gate's job; these tests pin the *plan
+properties* that make each query survive a 1000-executor scale-up:
+filter pushdown reaching the parquet scan, column pruning, map-side
+partial aggregation, broadcast of small sides, and the absence of
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hdfs_with_pyspark_spark.plans.registry import QUERIES
+
+
+def explain(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jvm_mode)
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical-plan nodes of a type ('(5) Exchange' detail lines)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain(spark, "pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters on the scan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # partial (map-side) + final HashAggregate around exactly one Exchange:
+    # only |groups| rows cross the wire, the scale-safe agg shape.
+    plan = explain(spark, "pricing_summary", sf_dir)
+    assert "partial_sum" in plan
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_column_pruning_on_documents(spark, sf_dir):
+    # doc_fingerprint touches doc_id + text only; the scan must not read
+    # lang/source/n_chars (blob-adjacent metadata pattern).
+    plan = explain(spark, "doc_fingerprint", sf_dir)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" in scan and "doc_id" in scan
+    assert "lang" not in scan and "n_chars" not in scan
+
+
+def test_text_stats_is_pure_map(spark, sf_dir):
+    # Per-row text analytics must induce no shuffle at all.
+    plan = explain(spark, "text_token_stats", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_nearest_city_avoids_cartesian(spark, sf_dir):
+    # The crossJoin-argmin of the reference (common_func.py:19) is
+    # re-expressed map-side; no CartesianProduct / shuffled NLJ allowed.
+    plan = explain(spark, "geo_city_event_counts", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    plan = explain(spark, "ann_topk_bruteforce", sf_dir)
+    assert "Broadcast" in plan          # query side broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    # Deliberate half-matrix/self-pair shapes are allowlisted; everything
+    # else must plan without a cartesian product.
+    allow = {"dedup_embedding_cosine"}
+    streaming = {n for n in QUERIES if n.startswith("stream_")}
+    for name in QUERIES:
+        if name in allow | streaming:
+            continue
+        plan = explain(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"cartesian in {name}"
+
+
+@pytest.mark.parametrize("name", ["revenue_by_nation", "user_mart"])
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    # Small dimension sides (nation, cities) must broadcast, not shuffle.
+    plan = explain(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan or \
+           "Exchange" not in plan
