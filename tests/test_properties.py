@@ -1,0 +1,130 @@
+"""Property-based spot checks (Hypothesis) — SURVEY.md §5.4.
+
+Each property mirrors a correctness invariant the reference relies on
+implicitly; examples are generated, pushed through the Spark operator,
+and checked against a straight-line Python model. Example counts are kept
+small (Spark-job-per-example); the pinned seeds make runs deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.operators.pairs import canonicalize_pair
+from hdfs_with_pyspark_spark.operators.spatial import nearest_city
+from hdfs_with_pyspark_spark.operators.windows import streaks
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    k = math.pi / 180
+    a = (math.sin((lat2 - lat1) * k / 2) ** 2
+         + math.cos(lat1 * k) * math.cos(lat2 * k)
+         * math.sin((lon2 - lon1) * k / 2) ** 2)
+    return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+
+coord = st.tuples(st.floats(min_value=-80, max_value=80),
+                  st.floats(min_value=-179, max_value=179))
+
+
+@SLOW
+@given(points=st.lists(coord, min_size=1, max_size=8),
+       cities=st.lists(coord, min_size=1, max_size=5))
+def test_nearest_city_total_and_argmin(spark, points, cities):
+    pts = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(points)],
+        "pid int, lat double, lon double")
+    cts = spark.createDataFrame(
+        [(i, f"c{i}", la, lo) for i, (la, lo) in enumerate(cities)],
+        "city_id int, city string, city_lat double, city_lon double")
+    out = {r["pid"]: r["city_id"]
+           for r in nearest_city(pts, cts).collect()}
+    # total: every point assigned exactly once
+    assert set(out) == set(range(len(points)))
+    # argmin with lowest-id tiebreak matches the Python model
+    for i, (la, lo) in enumerate(points):
+        dists = [(_haversine(la, lo, cla, clo), cid)
+                 for cid, (cla, clo) in enumerate(cities)]
+        best = min(dists)[0]
+        want = min(cid for d, cid in dists if d == best)
+        assert out[i] == want
+
+
+@SLOW
+@given(pairs=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                      max_size=20))
+def test_canonicalize_pair_invariants(spark, pairs):
+    df = spark.createDataFrame([(a, b) for a, b in pairs] or [(0, 0)],
+                               "u long, v long")
+    if not pairs:
+        df = df.limit(0)
+    out = [(r["user_left"], r["user_right"])
+           for r in canonicalize_pair(df, "u", "v").collect()]
+    # orientation: always (max, min); no self-pairs
+    assert all(a > b for a, b in out)
+    # as undirected multisets: exactly the non-self input pairs
+    want = sorted((max(a, b), min(a, b)) for a, b in pairs if a != b)
+    assert sorted(out) == want
+
+
+@SLOW
+@given(days_a=st.sets(st.integers(0, 20), min_size=1, max_size=12),
+       days_b=st.sets(st.integers(0, 20), max_size=12))
+def test_streaks_match_rank_algebra_model(spark, days_a, days_b):
+    # Streaks are runs of a user's *activity sequence* spent in one city
+    # (reference project_step_1.py:56-62: active days, not calendar days):
+    # a run breaks when a different city's active day interleaves, not on
+    # calendar gaps. Cross-check the operator against a direct Python
+    # model of the dense_rank - row_number island algebra.
+    import datetime
+    base = datetime.date(2024, 1, 1)
+    rows = [("u", "A", base + datetime.timedelta(d)) for d in days_a] + \
+           [("u", "B", base + datetime.timedelta(d)) for d in days_b]
+    df = spark.createDataFrame(rows, "user_id string, city string, dt date")
+    out = sorted((r["city"], r["streak_len"], r["streak_end"])
+                 for r in streaks(df, key="user_id", group="city",
+                                  date_col="dt").collect())
+
+    all_days = sorted({d for _, _, d in rows}, reverse=True)
+    rk = {d: i + 1 for i, d in enumerate(all_days)}
+    want = []
+    for city, days in (("A", days_a), ("B", days_b)):
+        islands: dict[int, list] = {}
+        for rn, d in enumerate(
+                sorted((base + datetime.timedelta(x) for x in days),
+                       reverse=True), start=1):
+            islands.setdefault(rk[d] - rn, []).append(d)
+        want += [(city, len(v), max(v)) for v in islands.values()]
+    assert out == sorted(want)
+    # islands partition each city's active days
+    assert sum(n for c, n, _ in out if c == "A") == len(days_a)
+    assert sum(n for c, n, _ in out if c == "B") == len(days_b)
+
+
+@SLOW
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                      min_size=1, max_size=6))
+def test_fingerprint_depends_only_on_token_stream(spark, texts):
+    from hdfs_with_pyspark_spark.llm.textops import (
+        MERSENNE31, fold_hash, hash31, tokens)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id",
+        fold_hash(F.transform(tokens(F.col("text")), hash31)).alias("fp")
+    ).collect()}
+    # range invariant
+    assert all(0 <= fp < MERSENNE31 for fp in fps.values())
+    # whitespace-normalization invariance: same token stream => same fp
+    norm = {i: tuple(t.split()) for i, t in enumerate(texts)}
+    for i in fps:
+        for j in fps:
+            if norm[i] == norm[j]:
+                assert fps[i] == fps[j]
