@@ -56,6 +56,9 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+        # Each reference mart runs as its own spark-submit; mirror that by
+        # not letting one query's persisted frames crowd the next.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total",

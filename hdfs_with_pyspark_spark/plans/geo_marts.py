@@ -329,8 +329,11 @@ def user_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     # One shared, cached nearest-city assignment feeds all three subtrees
     # (the reference caches the same frame for the same reason, C1,
-    # project_step_1.py:35) — without it the scan+argmin runs 4x.
-    assigned = _assigned(spark, sf_dir).cache()
+    # project_step_1.py:35) — without it the scan+argmin runs 4x. The
+    # repartition puts the cache on user_id hash layout, so every
+    # downstream Window.partitionBy(user_id) and the final joins reuse it
+    # instead of each adding an Exchange.
+    assigned = _assigned(spark, sf_dir).repartition("user_id").cache()
     act = _act_city_of(assigned)
     home = _home_city_of(assigned).select("user_id", "home_city")
     travel = _travel_of(assigned)
@@ -533,9 +536,13 @@ def _friend_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = with_synth_event_coords(read_table(spark, sf_dir, "events"))
     channel = F.get_json_object("props", "$.k").cast("long")
 
+    # Persist: feeds sub_users (x2 semi-joins), co_subscribed (both sides)
+    # and sub_pos — the reference caches it for the same reason (C1,
+    # project_step_3.py:32).
     subscribers = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
                      .select("user_id", channel.alias("channel"))
-                     .distinct())
+                     .distinct()
+                     .persist())
     sub_users = subscribers.select("user_id").distinct()
 
     # messages restricted to subscribers first — the reference's semi-join
