@@ -147,6 +147,95 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ann_topk_ivf — inverted-file ANN: a coarse quantizer assigns every
+# corpus vector to its nearest centroid (the inverted list); a query
+# scores only the vectors in its nprobe closest lists. Centroids here are
+# the first N_CENTROIDS corpus vectors — deterministic, so the oracle can
+# replicate the quantizer exactly; production swaps in k-means centroids
+# (an offline iterative job) without changing this query shape.
+# At 100 TB: one shuffle of the corpus on list id; queries broadcast;
+# per-list fan-out is |corpus| * nprobe / n_lists.
+# --------------------------------------------------------------------------
+N_CENTROIDS = 8
+NPROBE = 2
+
+_SQL_ASSIGN = f"""
+cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY ROUND(list_dot_product(b.v, c.cv)
+                            / (sqrt(list_dot_product(b.v, b.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v b CROSS JOIN cent c
+  ) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, c.cv)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE})"""
+
+
+@register("ann_topk_ivf", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_ASSIGN},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, a.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    cent = (v.where(F.col("vec_id") < N_CENTROIDS)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+
+    def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = (side.join(F.broadcast(cent), F.lit(True))
+                      .select(id_col, "v", "cid",
+                              F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c")))
+        w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("cid").asc())
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") <= keep)
+                      .drop("__rn", "c"))
+
+    assign = rank_centroids(v, "vec_id", 1)
+    probes = (rank_centroids(v.where(F.col("vec_id") < N_QUERIES)
+                              .select(F.col("vec_id").alias("query_id"), "v"),
+                             "query_id", NPROBE)
+              .select("query_id", F.col("v").alias("qv"), "cid"))
+    scored = (F.broadcast(probes)
+              .join(assign, "cid")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
 # dedup_embedding_cosine — near-dup pairs with cosine >= threshold.
 # Half-matrix self-join (vec_a < vec_b); threshold compared on the
 # ROUNDed value so both engines cut identically.
