@@ -123,6 +123,26 @@ def geo_city_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events")))
 
 
+# Same mart through the grid-bucketed spatial join (SURVEY.md §7.3 — the
+# scale path for city tables too large to fold into a literal array).
+# Same oracle as geo_city_event_counts: the grid variant is exact by
+# construction (boundary-margin fallback), and this query is the proof.
+@register("geo_city_event_counts_gridded", oracle=f"""
+WITH {_SQL_ASSIGNED}
+SELECT city, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM assigned
+GROUP BY city, event_type
+""")
+def geo_city_event_counts_gridded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.operators.spatial import nearest_city_gridded
+    ev = _positioned_events(spark, sf_dir)
+    cities = synth_cities(read_table(spark, sf_dir, "nation"))
+    return (nearest_city_gridded(ev, cities, cell_deg=8.0)
+            .groupBy("city", "event_type")
+            .agg(F.count("*").alias("n_events")))
+
+
 # ---------------------------------------------------------------------------
 # D4 — act_city: each user's latest positioned event -> city + local time.
 # Reference keeps ALL max-ts ties then first() (project_step_1.py:42-51);
