@@ -137,6 +137,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(as_blobs(read_table(spark, sf_dir, "documents")))
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_offset", T.LongType()),  # byte offset into blob
+])
+
+MAX_SAMPLED_FRAMES = 4
+
+
+def _sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Evenly-spaced frame sampling per video blob (deterministic).
+
+    Stand-in for real frame extraction: a production build decodes via
+    decode_blob and emits pixel tensors; the fan-out shape (one row per
+    sampled frame, 1->N) and offsets are the real contract.
+    """
+    for pdf in batches:
+        ids, idxs, offs = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n_frames = len(blob) // 256 + 1
+            k = min(n_frames, MAX_SAMPLED_FRAMES)
+            for j in range(k):
+                ids.append(doc_id)
+                idxs.append(j * n_frames // k)
+                offs.append((j * n_frames // k) * 256)
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "frame_idx": pd.Series(idxs, dtype="int64"),
+                            "frame_offset": pd.Series(offs, dtype="int64")})
+
+
+def sample_frames(blobs: DataFrame) -> DataFrame:
+    """1->N frame-sample fan-out over video blobs (mapInPandas)."""
+    return (blobs.where(F.col("modality") == "video")
+                 .select("doc_id", "blob")
+                 .mapInPandas(_sample_frame_batches, FRAME_SCHEMA))
+
+
+# --------------------------------------------------------------------------
+# multimodal_frame_sample — the 1->N pandas fan-out through the driver
+# gate. Oracle reproduces the even-spacing arithmetic relationally.
+# --------------------------------------------------------------------------
+@register("multimodal_frame_sample", oracle=f"""
+WITH vids AS (
+  SELECT doc_id, strlen(text) // 256 + 1 AS n_frames,
+         LEAST(strlen(text) // 256 + 1, {MAX_SAMPLED_FRAMES}) AS k
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT doc_id,
+       j * n_frames // k AS frame_idx,
+       (j * n_frames // k) * 256 AS frame_offset
+FROM vids, LATERAL unnest(generate_series(0, (k - 1)::INT)) AS t(j)
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    return sample_frames(as_blobs(read_table(spark, sf_dir, "documents")))
+
+
 # --------------------------------------------------------------------------
 # multimodal_summary — per-modality rollup off the metadata struct only;
 # the blob column is never referenced, so a columnar source prunes it.

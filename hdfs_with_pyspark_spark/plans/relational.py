@@ -277,3 +277,35 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("kind")
                   .agg(F.count("*").alias("n"),
                        F.round(F.sum("p_retailprice"), 2).alias("total_price")))
+
+
+# --------------------------------------------------------------------------
+# sql_monthly_order_stats — same engine through the SQL-string frontend
+# (spark.sql over registered views) instead of the DataFrame DSL: both
+# land in the identical Catalyst logical plan (SURVEY.md §3 "IR summary").
+# The reference never uses SQL strings; this query pins that the engine's
+# tables work from either surface.
+# --------------------------------------------------------------------------
+@register("sql_monthly_order_stats", oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY 1, 2
+""")
+def sql_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS order_month,
+               o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY 1, 2
+    """)
