@@ -164,6 +164,79 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# text_lang_id_ngram — character-bigram profile scoring, the classic
+# n-gram language-ID heuristic: explode the text into overlapping char
+# bigrams, join a (bigram, lang, weight) profile table, argmax the summed
+# weight per doc. Profiles are compile-time literals (standard
+# high-frequency bigrams per language), embedded identically in the
+# oracle's VALUES table. Deterministic fixed-priority tiebreak;
+# 'und' (undetermined) when nothing matches.
+# Scale shape: explode + broadcast-join a ~dozens-row profile dim +
+# one groupBy(doc) — linear in corpus bytes, one shuffle on doc_id.
+# --------------------------------------------------------------------------
+NGRAM_PROFILES: dict[str, dict[str, int]] = {
+    "en": {"th": 3, "he": 2, "in": 1, "er": 1, "an": 1, "re": 1, "ng": 2},
+    "de": {"en": 2, "er": 2, "ch": 3, "de": 2, "ei": 2, "sc": 2, "un": 1},
+    "es": {"de": 2, "en": 1, "qu": 2, "la": 2, "os": 2, "ar": 1, "ci": 2},
+    "fr": {"le": 2, "es": 2, "ou": 2, "ai": 2, "on": 2, "eu": 2, "qu": 1},
+    "zh": {},
+}
+
+_PROFILE_ROWS = [(bg, lg, w)
+                 for lg, prof in NGRAM_PROFILES.items()
+                 for bg, w in prof.items()]
+_SQL_PROFILE = ", ".join(f"('{bg}', '{lg}', {w})" for bg, lg, w in _PROFILE_ROWS)
+_SQL_NGRAM_PRED = ("CASE " + " ".join(
+    f"WHEN COALESCE(s_{lg}, 0) = m AND m > 0 THEN '{lg}'" for lg in _LANG_ORDER)
+    + " ELSE 'und' END")
+_SQL_NGRAM_SCORES = ",\n       ".join(
+    f"SUM(CASE WHEN p.lang = '{lg}' THEN p.w ELSE 0 END) AS s_{lg}"
+    for lg in _LANG_ORDER)
+
+@register("text_lang_id_ngram", oracle=f"""
+WITH bigrams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, GREATEST(length(text) - 1, 0)),
+                               i -> substr(text, i::INT, 2))) AS bg
+  FROM documents),
+profile(bg, lang, w) AS (VALUES {_SQL_PROFILE}),
+scores AS (
+  SELECT b.doc_id, b.lang,
+       {_SQL_NGRAM_SCORES}
+  FROM bigrams b LEFT JOIN profile p ON p.bg = b.bg
+  GROUP BY b.doc_id, b.lang),
+m AS (SELECT *, GREATEST(COALESCE(s_en,0), COALESCE(s_de,0), COALESCE(s_es,0),
+                         COALESCE(s_fr,0), COALESCE(s_zh,0)) AS m FROM scores)
+SELECT doc_id, {_SQL_NGRAM_PRED} AS pred_lang,
+       CAST(({_SQL_NGRAM_PRED}) = lang AS BOOLEAN) AS is_correct
+FROM m
+""")
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id", "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 1, F.lit(0))),
+            lambda i: F.substring(F.col("text"), i, 2))).alias("bg"))
+    profile = docs.sparkSession.createDataFrame(
+        _PROFILE_ROWS, "bg string, plang string, w long")
+    scored = (bigrams
+              .join(F.broadcast(profile), bigrams["bg"] == profile["bg"], "left")
+              .groupBy("doc_id", "lang")
+              .agg(*[F.sum(F.when(F.col("plang") == lg, F.col("w")).otherwise(0))
+                     .alias(f"s_{lg}") for lg in _LANG_ORDER]))
+    m = F.greatest(*[F.coalesce(F.col(f"s_{lg}"), F.lit(0)) for lg in _LANG_ORDER])
+    pred = F
+    for lg in _LANG_ORDER:
+        pred = pred.when((F.coalesce(F.col(f"s_{lg}"), F.lit(0)) == m) & (m > 0),
+                         F.lit(lg))
+    pred = pred.otherwise(F.lit("und"))
+    return scored.select("doc_id", pred.alias("pred_lang"),
+                         (pred == F.col("lang")).alias("is_correct"))
+
+
+# --------------------------------------------------------------------------
 # doc_fingerprint — order-sensitive polynomial rolling hash over the token
 # stream (token reorder => different fingerprint; the exact-dup primitive
 # that, unlike md5(text), survives whitespace normalization).
