@@ -30,6 +30,8 @@ works because the join is a plain equi-join).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -233,6 +235,46 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .where(F.col("rank") <= TOP_K)
                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# embedding_label_centroids — per-label mean vector via grouped
+# applyInPandas: the batch custom-operator surface (Arrow ships each
+# label's vectors to one pandas function; numpy does the column mean).
+# Output is long-form (label, dim, v) so the float compare is elementwise.
+# Scale shape: one shuffle on label; state per group is a single vector.
+# --------------------------------------------------------------------------
+def _centroid_of_group(pdf):
+    import numpy as np
+    mat = np.stack(pdf["v"].to_list())          # |group| x dim
+    mean = mat.mean(axis=0)
+    out = pd.DataFrame({"dim": np.arange(len(mean), dtype="int64"),
+                        "v": np.round(mean, 6)})
+    out.insert(0, "label", int(pdf["label"].iloc[0]))
+    return out
+
+
+@register("embedding_label_centroids", oracle="""
+WITH e AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       ROUND(AVG(x), 6) AS v
+FROM e GROUP BY label, dim
+""")
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("label", T.LongType()),
+        T.StructField("dim", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    vecs = (read_table(spark, sf_dir, "embeddings")
+            .select(F.col("label").cast("long").alias("label"),
+                    F.col("embedding").cast("array<double>").alias("v")))
+    return vecs.groupBy("label").applyInPandas(_centroid_of_group, schema)
 
 
 # --------------------------------------------------------------------------

@@ -160,6 +160,32 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_event_counts(read_events_stream(spark, sf_dir)), "complete")
 
 
+@register("stream_sliding_counts", oracle="""
+WITH buckets AS (
+  SELECT event_type, value,
+         date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS w_start
+  FROM events, LATERAL unnest([0, 1]) AS t(k))
+SELECT strftime(w_start, '%Y-%m-%d') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM buckets
+GROUP BY 1, 2
+""")
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2-day window, 1-day slide): every event
+    lands in exactly two windows; the oracle replicates the bucket fan-out
+    relationally."""
+    ensure_session(spark)
+    stream = read_events_stream(spark, sf_dir)
+    agg = (stream
+           .withWatermark("ts", WATERMARK)
+           .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"))
+           .select(F.date_format("w.start", "yyyy-MM-dd").alias("window_start"),
+                   "event_type", "n_events"))
+    return run_to_table(agg, "complete")
+
+
 @register("stream_session_stats", oracle="""
 WITH g AS (
   SELECT user_id, ts,
