@@ -32,8 +32,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "doc_fingerprint",
     "multimodal_features",
     "stream_windowed_counts",
+    "stream_session_stats",
 ]
 
 

@@ -23,7 +23,7 @@ with candidate count, never with corpus^2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdfs_with_pyspark_spark.llm.textops import (
@@ -33,7 +33,6 @@ from hdfs_with_pyspark_spark.llm.textops import (
     MINHASH_ROWS,
     hash31,
     hash64,
-    shingles,
     tokens,
 )
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
@@ -50,27 +49,49 @@ def _sql_tokens(expr: str = "text") -> str:
 
 
 def _sql_shingles() -> str:
-    """DuckDB twin of textops.shingles(n=3) as exploded rows (doc_id, s)."""
+    """DuckDB twin of _shingle_hashes as a CTE chain ending in shh(doc_id, h).
+
+    Shingle hash = ((h1*31 + h2)*31 + h3) % P over per-token 31-bit md5
+    hashes — one md5 per token instead of one per (longer) shingle string,
+    and no per-shingle string assembly. Max intermediate < 2^41: no
+    overflow in either engine.
+    """
     return f"""
 t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
-sh AS (
+th AS (SELECT doc_id,
+              list_transform(toks,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {MERSENNE31}) AS ths
+       FROM t),
+shh AS (
   SELECT DISTINCT doc_id,
-         unnest(CASE WHEN len(toks) >= {SHINGLE_N}
-                     THEN list_transform(generate_series(1, len(toks) - {SHINGLE_N - 1}),
-                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                     ELSE [] END) AS s
-  FROM t),
-shh AS (SELECT DISTINCT doc_id,
-               ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31} AS h
-        FROM sh)"""
+         unnest(CASE WHEN len(ths) >= {SHINGLE_N}
+                     THEN list_transform(generate_series(1, len(ths) - {SHINGLE_N - 1}),
+                                         i -> ((ths[i] * 31 + ths[i+1]) * 31 + ths[i+2])
+                                              % {MERSENNE31})
+                     ELSE [] END) AS h
+  FROM th)"""
 
 
 def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, h) 31-bit shingle hashes — the dedup spine."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"))
-    return sh.select("doc_id", hash31(F.col("s")).alias("h")).distinct()
+    """Distinct (doc_id, h) 31-bit shingle hashes — the dedup spine.
+
+    Token hashes computed once (one md5 per token occurrence), shingle
+    hashes combined arithmetically — see _sql_shingles for the identity.
+    """
+    # posexplode evaluates the token-hash transform exactly once per row
+    # (indexing the array expression with element_at would instead
+    # re-inline — and re-md5 — the whole array per reference; measured
+    # 10x). lead() then assembles the 3-gram. The window's doc_id
+    # partitioning also satisfies the distinct's clustering, so the whole
+    # spine costs ONE shuffle.
+    ths = F.transform(tokens(F.col("text")), hash31)
+    tok_rows = docs.select("doc_id", F.posexplode(ths).alias("pos", "th"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = ((F.col("th") * 31 + F.lead("th", 1).over(w)) * 31
+         + F.lead("th", 2).over(w)) % MERSENNE31
+    return (tok_rows.select("doc_id", h.alias("h"))
+                    .where(F.col("h").isNotNull())
+                    .distinct())
 
 
 def _verified_jaccard(cand: DataFrame, shh: DataFrame) -> DataFrame:
@@ -205,9 +226,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist: consumed by the signature agg and both sides of the
     # candidate verification join.
     shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    # Persist the signatures as well: the band self-join would otherwise
+    # recompute the 32-way min aggregation on both sides. K longs per doc.
     sig = shh.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
-          for j, (a, b) in enumerate(MINHASH_PARAMS)])
+          for j, (a, b) in enumerate(MINHASH_PARAMS)]).persist()
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
