@@ -309,3 +309,30 @@ def sql_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         GROUP BY 1, 2
     """)
+
+
+# --------------------------------------------------------------------------
+# event_props_typed — from_json with a declared schema (the typed upgrade
+# over channel_activity's get_json_object): props parses once into a
+# struct, fields project out of it. At scale this halves JSON parsing vs
+# repeated get_json_object calls and gives nullability a schema.
+# --------------------------------------------------------------------------
+@register("event_props_typed", oracle="""
+SELECT event_type,
+       CAST(COUNT(CASE WHEN CAST(props->>'k' AS BIGINT) IS NOT NULL THEN 1 END)
+            AS BIGINT)                                         AS n_with_channel,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT)        AS min_channel,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT)        AS max_channel
+FROM events
+GROUP BY event_type
+""")
+def event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from pyspark.sql import types as T
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    ev = (read_table(spark, sf_dir, "events")
+          .withColumn("p", F.from_json("props", props_schema)))
+    return (ev.groupBy("event_type")
+              .agg(F.count("p.k").alias("n_with_channel"),
+                   F.min("p.k").alias("min_channel"),
+                   F.max("p.k").alias("max_channel")))
