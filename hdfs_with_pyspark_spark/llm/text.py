@@ -261,3 +261,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         fold_hash(F.transform(toks, hash31)).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# term_doc_frequencies — corpus vocabulary statistics: per-token collection
+# frequency + document frequency, top-N by df (the vocab-building pass of
+# a training-data pipeline). explode -> two-level agg; top-N via a single
+# ORDER-BY-LIMIT on the (tiny) aggregated result, with a total order so
+# the cut is deterministic.
+# --------------------------------------------------------------------------
+TOP_TERMS = 20
+
+@register("term_doc_frequencies", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS token FROM documents)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok
+GROUP BY token
+ORDER BY doc_freq DESC, term_freq DESC, token ASC
+LIMIT {TOP_TERMS}
+""")
+def term_doc_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (tok.groupBy("token")
+               .agg(F.count("*").alias("term_freq"),
+                    F.countDistinct("doc_id").alias("doc_freq"))
+               .orderBy(F.col("doc_freq").desc(), F.col("term_freq").desc(),
+                        F.col("token").asc())
+               .limit(TOP_TERMS))
