@@ -275,12 +275,13 @@ def user_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _travel_of(_assigned(spark, sf_dir))
 
 
-def _travel_of(assigned: DataFrame) -> DataFrame:
+def _travel_of(assigned: DataFrame, home: DataFrame | None = None) -> DataFrame:
     changes = change_points(assigned.select("user_id", "ts", "event_id", "city"),
                             keys=["user_id"], order=["ts", "event_id"],
                             value="city")
-    home = _home_city_of(assigned).select(
-        "user_id", F.col("home_city").alias("city"))
+    if home is None:
+        home = _home_city_of(assigned)
+    home = home.select("user_id", F.col("home_city").alias("city"))
     visits = changes.join(home, ["user_id", "city"], "left_anti")
     path = F.array_join(
         F.transform(
@@ -355,8 +356,11 @@ def user_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of each adding an Exchange.
     assigned = _assigned(spark, sf_dir).repartition("user_id").cache()
     act = _act_city_of(assigned)
-    home = _home_city_of(assigned).select("user_id", "home_city")
-    travel = _travel_of(assigned)
+    # Home is consumed twice (mart column + travel's anti-join): compute the
+    # streaks subtree once and share the frame between both consumers.
+    home_full = _home_city_of(assigned)
+    home = home_full.select("user_id", "home_city")
+    travel = _travel_of(assigned, home=home_full)
     return (act.join(home, ["user_id"], "left")
                .join(travel, ["user_id"], "left")
                .select("user_id", "act_city", "local_time", "home_city",
@@ -552,39 +556,39 @@ near AS (
 
 def _friend_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12-D14: co-subscribed, never-communicated, same-day-nearby pairs
-    with midpoint coordinates."""
+    with midpoint coordinates.
+
+    Scale notes (vs the reference's project_step_3.py:37-96 shape):
+
+    - The reference builds the co-subscribed pair relation TWICE — once to
+      qualify communicated pairs, once for candidates. The co-subscription
+      qualifier on `communicated` is redundant for the anti-join: every
+      candidate pair is co-subscribed by construction, so anti-joining
+      candidates against plain canonicalized message pairs excludes exactly
+      the same rows. That removes the second quadratic self-join and the
+      two semi-join reductions feeding it.
+    - The distance predicate is applied BEFORE the pair `distinct`: the
+      haversine filter is map-side (no shuffle) and each (left, right) pair
+      carries identical coordinates in every duplicate, so
+      filter-then-distinct is equivalent to distinct-then-filter while
+      shuffling only the nearby survivors.
+    """
     ev = with_synth_event_coords(read_table(spark, sf_dir, "events"))
     channel = F.get_json_object("props", "$.k").cast("long")
 
-    # Persist: feeds sub_users (x2 semi-joins), co_subscribed (both sides)
-    # and sub_pos — the reference caches it for the same reason (C1,
-    # project_step_3.py:32).
     subscribers = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
                      .select("user_id", channel.alias("channel"))
-                     .distinct()
-                     .persist())
-    sub_users = subscribers.select("user_id").distinct()
+                     .distinct())
 
-    # messages restricted to subscribers first — the reference's semi-join
-    # reduction O6 (project_step_3.py:43-51) — then co-subscription check.
+    # Canonicalized distinct message pairs; small relation → broadcast
+    # anti-join against candidates (AQE picks the build side at runtime).
     messages = (ev.where(F.col("event_type") == "click")
                   .select(F.col("user_id").alias("message_from"),
                           ((F.col("user_id") + F.col("event_id")) % 150)
-                          .alias("message_to")))
-    messages = (messages
-                .join(sub_users.select(F.col("user_id").alias("message_from")),
-                      "message_from", "left_semi")
-                .join(sub_users.select(F.col("user_id").alias("message_to")),
-                      "message_to", "left_semi"))
-    co_subscribed = (subscribers.select(F.col("user_id").alias("message_from"),
-                                        "channel")
-                     .join(subscribers.select(F.col("user_id").alias("message_to"),
-                                              "channel"),
-                           "channel")
-                     .drop("channel"))
+                          .alias("message_to"))
+                  .where(F.col("message_from") != F.col("message_to")))
     communicated = canonicalize_pair(
-        messages.join(co_subscribed, ["message_from", "message_to"], "left_semi"),
-        "message_from", "message_to").distinct()
+        messages, "message_from", "message_to").distinct()
 
     day_pos = latest_per_key(
         ev.where((F.to_date("ts") == F.lit(FRIEND_DATE)) & F.col("lat").isNotNull()),
@@ -597,6 +601,8 @@ def _friend_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("user_id").alias("user_right"),
                            F.col("last_lat").alias("lat_r"),
                            F.col("last_lon").alias("lon_r"))
+    dist = haversine_km(F.col("lat_l"), F.col("lon_l"),
+                        F.col("lat_r"), F.col("lon_r"))
     candidates = (sub_pos
                   .select("channel", F.col("user_id").alias("user_left"),
                           F.col("last_lat").alias("lat_l"),
@@ -604,14 +610,12 @@ def _friend_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .join(right, "channel")
                   .where(F.col("user_left") > F.col("user_right"))
                   .drop("channel")
+                  .withColumn("dist", dist)
+                  .where(F.col("dist") < FRIEND_MAX_KM)
                   .distinct())
 
-    dist = haversine_km(F.col("lat_l"), F.col("lon_l"),
-                        F.col("lat_r"), F.col("lon_r"))
     return (candidates
             .join(communicated, ["user_left", "user_right"], "left_anti")
-            .withColumn("dist", dist)
-            .where(F.col("dist") < FRIEND_MAX_KM)
             .select("user_left", "user_right",
                     ((F.col("lat_l") + F.col("lat_r")) / 2).alias("lat_avg"),
                     ((F.col("lon_l") + F.col("lon_r")) / 2).alias("lon_avg"),
