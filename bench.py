@@ -34,6 +34,9 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "doc_fingerprint",
+    "asof_last_order_before_event",
+    "user_sessions",
+    "rolling_daily_revenue",
     "multimodal_features",
     "stream_windowed_counts",
     "stream_session_stats",

@@ -50,6 +50,7 @@ def _load_all() -> None:
     from hdfs_with_pyspark_spark.plans import (  # noqa: F401
         relational,
         geo_marts,
+        temporal,
     )
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,

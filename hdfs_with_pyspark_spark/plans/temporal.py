@@ -1,0 +1,276 @@
+"""Temporal / frame-window / hierarchical-agg query plans.
+
+Families the reference never uses (SURVEY.md §2.5 notes frame specs are
+absent; §2.3 notes as-of/range joins are absent; §2.4 notes rollup and
+percentiles are absent) but that a complete engine must offer. Each is
+built scale-first:
+
+* rolling windows run AFTER a pre-aggregation, so the frame scans
+  |days| rows per group, not |orders|;
+* the as-of join is the union + last(ignorenulls) rewrite — ONE shuffle
+  on the key, no inequality join, no per-key fan-out (the classic
+  scalable as-of used by time-series engines);
+* sessionization is lag + cumulative-sum (two window passes over one
+  partitioning — a single Exchange);
+* the range-band join broadcasts the 3-row bands dim (BroadcastNestedLoop
+  on a tiny side is O(n·3), not a shuffle).
+
+Oracles: DuckDB ASOF JOIN, RANGE frames, ROLLUP/GROUPING, quantile_cont.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+
+# --------------------------------------------------------------------------
+# rolling_daily_revenue — 7-day trailing sum/avg per order priority.
+# W-frame coverage (rangeBetween); two-level: pre-agg to (priority, day)
+# first so the frame window runs over |priorities|×|days| rows only.
+# Daily revenue is rounded BEFORE the rolling sum so both engines fold
+# identical values (parallel float summation differs in last ulps).
+# --------------------------------------------------------------------------
+@register("rolling_daily_revenue", oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE)                       AS day,
+         DATEDIFF('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE))             AS day_num,
+         ROUND(SUM(o_totalprice), 2)                     AS revenue
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority,
+       STRFTIME(day, '%Y-%m-%d') AS day,
+       revenue,
+       ROUND(SUM(revenue) OVER w, 2) AS revenue_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""")
+def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (orders
+             .groupBy("o_orderpriority",
+                      F.to_date("o_orderdate").alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             .withColumn("day_num", F.datediff("day", F.lit("1970-01-01"))))
+    w = (Window.partitionBy("o_orderpriority").orderBy("day_num")
+               .rangeBetween(-6, Window.currentRow))
+    return (daily
+            .withColumn("revenue_7d", F.round(F.sum("revenue").over(w), 2))
+            .withColumn("n_days_7d", F.count("*").over(w))
+            .select("o_orderpriority",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "revenue", "revenue_7d", "n_days_7d"))
+
+
+# --------------------------------------------------------------------------
+# asof_last_order_before_event — for every event, the customer's latest
+# order at-or-before the event time; aggregated per event type.
+#
+# Scalable rewrite: tag orders (is_event=0) and events (is_event=1),
+# union, ONE shuffle on user_id, then last(order_price, ignorenulls)
+# over (time, is_event) — orders sort before events at equal timestamps,
+# giving inclusive <= semantics. No inequality join, no per-key blowup;
+# at 100 TB this is a single sort-merge pass per key partition.
+# Orders are pre-deduped to max price per (custkey, day) so the as-of
+# pick is deterministic on ties in both engines.
+# --------------------------------------------------------------------------
+@register("asof_last_order_before_event", oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS order_price
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT e.event_type, o.order_price
+  FROM events e
+  ASOF LEFT JOIN o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)          AS n_events,
+       CAST(COUNT(order_price) AS BIGINT) AS n_matched,
+       ROUND(AVG(order_price), 2)        AS avg_last_order_price
+FROM j
+GROUP BY event_type
+""")
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = (read_table(spark, sf_dir, "orders")
+              .groupBy(F.col("o_custkey").alias("user_id"),
+                       F.col("o_orderdate").alias("t"))
+              .agg(F.max("o_totalprice").alias("order_price"))
+              .select("user_id", "t", "order_price",
+                      F.lit(0).alias("is_event"),
+                      F.lit(None).cast("string").alias("event_type")))
+    events = (read_table(spark, sf_dir, "events")
+              .select("user_id", F.col("ts").alias("t"),
+                      F.lit(None).cast("double").alias("order_price"),
+                      F.lit(1).alias("is_event"), "event_type"))
+    w = (Window.partitionBy("user_id").orderBy("t", "is_event")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = (orders.unionByName(events)
+              .withColumn("last_order_price",
+                          F.last("order_price", ignorenulls=True).over(w))
+              .where(F.col("is_event") == 1))
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count("last_order_price").alias("n_matched"),
+                 F.round(F.avg("last_order_price"), 2)
+                  .alias("avg_last_order_price")))
+
+
+# --------------------------------------------------------------------------
+# user_sessions — batch sessionization: a >30-minute silence starts a new
+# session. lag → gap flag → running sum = session id; both window passes
+# share ONE partitioning (user_id), so the whole query is a single
+# Exchange + sort. Durations are integer microseconds (exact — no float
+# in the compare path).
+# --------------------------------------------------------------------------
+@register("user_sessions", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR DATE_DIFF('microseconds', LAG(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         DATE_DIFF('microseconds', MIN(ts), MAX(ts)) AS duration_us
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)        AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT)   AS n_events,
+       CAST(MAX(duration_us) AS BIGINT) AS max_session_us,
+       ROUND(AVG(n_events), 4)         AS avg_events_per_session
+FROM per_session
+GROUP BY user_id
+""")
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0))
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per_session = (sessions.groupBy("user_id", "session_id")
+                   .agg(F.count("*").alias("n_events"),
+                        F.timestamp_diff("MICROSECOND", F.min("ts"),
+                                         F.max("ts")).alias("duration_us")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.max("duration_us").alias("max_session_us"),
+                 F.round(F.avg("n_events"), 4)
+                  .alias("avg_events_per_session")))
+
+
+# --------------------------------------------------------------------------
+# revenue_rollup — hierarchical totals via ROLLUP + grouping_id. Subtotal
+# rows are labeled 'ALL' (source columns are non-null in this dataset;
+# gid disambiguates regardless). Single shuffle: rollup is one hash agg
+# with grouping-set expansion, map-side partial.
+# --------------------------------------------------------------------------
+@register("revenue_rollup", oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT)         AS n_orders,
+       ROUND(SUM(o_totalprice), 2)      AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "gid", "n_orders", "revenue"))
+
+
+# --------------------------------------------------------------------------
+# order_value_percentiles — EXACT percentiles (linear interpolation) per
+# order status. Spark `percentile` and DuckDB `quantile_cont` share the
+# continuous-quantile definition, so values hash-match after rounding.
+# Exact percentile shuffles all values per group — at 100 TB swap in
+# approx_percentile (t-digest, map-side mergeable); kept exact here
+# because the oracle demands bit-stable answers.
+# --------------------------------------------------------------------------
+@register("order_value_percentiles", oracle="""
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS p25,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.50), 2) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS p75,
+       ROUND(MIN(o_totalprice), 2)                 AS min_price,
+       ROUND(MAX(o_totalprice), 2)                 AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""")
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+                 F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+# --------------------------------------------------------------------------
+# order_price_bands — range (interval-containment) join against a tiny
+# in-memory bands dimension. Spark plans BroadcastNestedLoopJoin: each
+# order row tests 3 band rows map-side — no shuffle of the fact table,
+# the only safe shape for theta joins at scale (tiny broadcast side).
+# --------------------------------------------------------------------------
+@register("order_price_bands", oracle="""
+SELECT b.band,
+       CAST(COUNT(*) AS BIGINT)    AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN (VALUES ('low', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('high', 250000.0, 1e18)) AS b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""")
+def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
+         ("high", 250000.0, 1e18)],
+        "band string, lo double, hi double")
+    cond = (F.col("o_totalprice") >= F.col("lo")) & \
+           (F.col("o_totalprice") < F.col("hi"))
+    return (orders.join(F.broadcast(bands), cond)
+            .groupBy("band")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))

@@ -87,3 +87,36 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     plan = explain(spark, name, sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan or \
            "Exchange" not in plan
+
+
+def test_asof_join_is_union_window(spark, sf_dir):
+    # The as-of join must be the union + last(ignorenulls) rewrite: one
+    # Window pass, zero join nodes (an inequality join would fan out
+    # per-key and die at scale).
+    plan = explain(spark, "asof_last_order_before_event", sf_dir)
+    assert n_nodes(plan, "Window") == 1
+    assert not re.search(r"^\(\d+\) \w*Join", plan, flags=re.M)
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    # lag-window, cumsum-window, per-session agg, and per-user agg must
+    # ALL reuse the one hash(user_id) Exchange (subset-clustering reuse).
+    plan = explain(spark, "user_sessions", sf_dir)
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 2
+
+
+def test_price_bands_broadcast_theta_join(spark, sf_dir):
+    # Range-band (theta) join must broadcast the 3-row bands dim: the
+    # fact table never shuffles; only the 3-row aggregate does.
+    plan = explain(spark, "order_price_bands", sf_dir)
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_rolling_window_runs_over_preaggregate(spark, sf_dir):
+    # The 7-day frame must scan (priority, day) pre-agg rows, not raw
+    # orders: the window's sum argument is the aggregated `revenue`.
+    plan = explain(spark, "rolling_daily_revenue", sf_dir)
+    assert n_nodes(plan, "Window") == 1
+    assert re.search(r"sum\(revenue#\d+", plan)
