@@ -82,3 +82,40 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# CSV / JSON(L) connectors — beyond the reference (it is parquet-only,
+# SURVEY.md §2.1 "no other formats/connectors exist"). Both readers demand
+# an explicit schema: schema inference on text formats is a FULL extra
+# pass over the data — a non-starter at 100 TB — and silently widens
+# types. Both formats split by line, so a 100 TB directory still
+# parallelizes into per-block tasks.
+# --------------------------------------------------------------------------
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, **options) -> DataFrame:
+    """Schema-enforced CSV scan. PERMISSIVE corrupt-row handling by
+    default; pass mode='FAILFAST' for strict ingestion gates."""
+    return (spark.read.schema(schema)
+            .options(header=str(header).lower(), **options)
+            .csv(path))
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True,
+              mode: str = "overwrite", **options) -> None:
+    """CSV sink. Arrays/structs must be serialized by the caller
+    (``to_json``) — CSV is flat; Spark rejects complex types here."""
+    df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType,
+              **options) -> DataFrame:
+    """Schema-enforced JSON-lines scan (nested structs/arrays allowed)."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               **options) -> None:
+    """JSON-lines sink — round-trips nested columns losslessly."""
+    df.write.mode(mode).options(**options).json(path)

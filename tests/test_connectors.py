@@ -1,0 +1,79 @@
+"""CSV / JSON connector round-trips (engine extension; the reference is
+parquet-only — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hdfs_with_pyspark_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_table,
+    write_csv,
+    write_json,
+)
+
+NATION_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.LongType()),
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_regionkey", T.LongType()),
+])
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv(spark, out, NATION_SCHEMA)
+    assert rows(back) == rows(nation)
+
+
+def test_csv_reader_does_not_infer(spark, sf_dir, tmp_path):
+    # Declared schema wins: a long column read as string stays string —
+    # proof there is no silent inference pass.
+    nation = read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv2")
+    write_csv(nation, out)
+    as_str = T.StructType([T.StructField(f.name, T.StringType())
+                           for f in NATION_SCHEMA.fields])
+    back = read_csv(spark, out, as_str)
+    assert [f.dataType for f in back.schema.fields] == [T.StringType()] * 3
+
+
+def test_json_round_trip_nested(spark, tmp_path):
+    # JSON must round-trip nested struct + array columns losslessly.
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("tag", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ])),
+        T.StructField("xs", T.ArrayType(T.LongType())),
+    ])
+    df = spark.createDataFrame(
+        [(1, ("a", 0.5), [1, 2, 3]), (2, ("b", -1.25), []), (3, None, None)],
+        schema)
+    out = str(tmp_path / "nested_json")
+    write_json(df, out)
+    back = read_json(spark, out, schema)
+    assert rows(back.select("id", "meta.tag", "meta.score",
+                            F.col("xs"))) == \
+           rows(df.select("id", "meta.tag", "meta.score", F.col("xs")))
+
+
+def test_csv_permissive_corrupt_rows(spark, tmp_path):
+    # PERMISSIVE default: a malformed line nulls out, doesn't kill the job
+    # (ingestion-gate semantics are opt-in via mode='FAILFAST').
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part.csv").write_text("id,score\n1,2.5\nnot_a_number,oops\n3,4.0\n")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("score", T.DoubleType())])
+    back = read_csv(spark, str(p), schema)
+    got = {tuple(r) for r in back.collect()}
+    assert {(1, 2.5), (3, 4.0), (None, None)} <= got
