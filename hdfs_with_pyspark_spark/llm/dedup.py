@@ -165,6 +165,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist: consumed by the co-occurrence self-join (twice) and the
     # per-doc counts — (doc_id, long) rows, far smaller than the text.
     shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    return _jaccard_pairs(shh).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+
+
+def _jaccard_pairs(shh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard_raw) pairs with exact 3-gram Jaccard >=
+    threshold, via the inverted-index co-occurrence join."""
     counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
     co = (shh.alias("a")
              .join(shh.alias("b"),
@@ -179,8 +186,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("n").alias("nb")), "doc_b")
            .withColumn("jaccard_raw",
                        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
-    return (j.where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-             .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")))
+    return j.where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -347,3 +353,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .cast("long").alias("hamming"))
                    .distinct())
     return pairs.where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+# --------------------------------------------------------------------------
+# dedup_components — near-dup CLUSTERS, not just pairs: connected
+# components over the >= threshold Jaccard pair graph, each doc labeled
+# with the min doc_id of its component (the canonical survivor a training
+# pipeline keeps) + the component size.
+#
+# Iterative min-label propagation — the one genuinely iterative algorithm
+# in the engine (SURVEY.md §7.4.6 family). Each round is ONE equi-join +
+# ONE agg, both keyed on node id: label(v) <- min(label(v), min over
+# neighbors label(u)). Rounds needed = graph diameter; near-dup components
+# are tiny cliques (diameter 1-2), so the loop converges in 2-3 rounds at
+# ANY corpus size — the 100 TB cost is a handful of shuffles on the (small)
+# pair graph, never on the corpus. Convergence is checked with a count of
+# changed labels; a 25-round cap bounds pathological chains.
+#
+# Oracle: DuckDB recursive CTE enumerating reachable labels, MIN per node
+# — exact same fixpoint.
+# --------------------------------------------------------------------------
+@register("dedup_components", oracle=f"""
+WITH RECURSIVE {_sql_shingles()},
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM co
+  JOIN n na ON na.doc_id = doc_a
+  JOIN n nb ON nb.doc_id = doc_b
+  WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+         FROM reach GROUP BY node)
+SELECT doc_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size
+FROM comp
+""")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    pairs = _jaccard_pairs(shh).select("doc_a", "doc_b").persist()
+    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b")))
+             .persist())
+
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    labels.count()  # materialize before the loop
+    for _ in range(25):
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("node", "b"), "b")
+                        .groupBy(F.col("a").alias("node"))
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nbr_label", "label"))
+                               .alias("label"))
+                      .persist())
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "node")
+                   .where(F.col("new_label") != F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("component_id")
+    return (labels
+            .select(F.col("node").alias("doc_id"),
+                    F.col("label").alias("component_id"))
+            .withColumn("cluster_size", F.count("*").over(w)))

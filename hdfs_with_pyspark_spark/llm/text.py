@@ -14,7 +14,7 @@ exchange, so the shape survives 100 TB unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdfs_with_pyspark_spark.llm.textops import (
@@ -293,3 +293,51 @@ def term_doc_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy(F.col("doc_freq").desc(), F.col("term_freq").desc(),
                         F.col("token").asc())
                .limit(TOP_TERMS))
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms — per-document top-3 terms by TF-IDF (the keyword /
+# topic-signal pass of a training-data pipeline). Three shuffles total at
+# any scale: (doc, token) counts; token -> doc_freq (re-aggregation of the
+# first — map-side partial); top-k per doc (window over doc_id). The
+# corpus size N joins in as a broadcast single-row frame, and doc_freq is
+# broadcast onto the per-doc counts (vocabulary << corpus). Score is
+# computed identically in both engines: tf * ln(N / df), rounded.
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+@register("tfidf_top_terms", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * LN(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * LN(n.n_docs * 1.0 / df.df) DESC,
+                                     tf.term ASC) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= {TFIDF_TOP_K}
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (tf.join(F.broadcast(df), "term")
+              .join(F.broadcast(n))
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= TFIDF_TOP_K)
+              .select("doc_id", "term", "tf",
+                      F.round(score, 6).alias("tfidf"),
+                      F.col("rank").cast("long").alias("rank")))
