@@ -336,3 +336,95 @@ def event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count("p.k").alias("n_with_channel"),
                    F.min("p.k").alias("min_channel"),
                    F.max("p.k").alias("max_channel")))
+
+
+# --------------------------------------------------------------------------
+# user_type_setops — set operations (SURVEY.md §2.7: the reference only
+# has unionByName; intersect/except were absent). Both branches are
+# distinct-set semantics (Spark intersect/subtract == SQL INTERSECT/
+# EXCEPT). Each set op plans as a distinct-aggregate join — one shuffle
+# per side on user_id.
+# --------------------------------------------------------------------------
+@register("user_type_setops", oracle="""
+SELECT 'error_and_purchase' AS op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'error_not_purchase' AS op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+""")
+def user_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("user_id")
+    buy = ev.where(F.col("event_type") == "purchase").select("user_id")
+    both = err.intersect(buy).select(F.lit("error_and_purchase").alias("op"),
+                                     "user_id")
+    only = err.subtract(buy).select(F.lit("error_not_purchase").alias("op"),
+                                    "user_id")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# revenue_by_nation_salted — the same mart through the explicit hot-key
+# salt-and-replicate rewrite (operators/skew.py): left rows get a
+# deterministic salt, the dim replicates n_salts times, the join key
+# becomes (key, salt) — a skewed customer's rows spread over n_salts
+# reducers. Oracle identical to revenue_by_nation: salting must be
+# invisible in results. (AQE skew-join handles this automatically when
+# stats surface it; the explicit rewrite is for keys AQE can't split,
+# e.g. a single giant build-side key in a broadcast-ineligible join.)
+# --------------------------------------------------------------------------
+@register("revenue_by_nation_salted", oracle="""
+SELECT n.n_name AS nation,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT)      AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""")
+def revenue_by_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.operators.skew import salted_join
+    orders = (read_table(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"))
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = salted_join(orders, customer, on=["c_custkey"], n_salts=8)
+    return (joined
+            .join(F.broadcast(nation),
+                  joined.c_nationkey == nation.n_nationkey, "inner")
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+# --------------------------------------------------------------------------
+# lineitem_dispersion_stats — second-moment aggregates (stddev, variance,
+# correlation; absent from the reference, §2.4). All are map-side
+# mergeable (sum/sum-of-squares/co-moments), so the shuffle carries one
+# small state per group. Rounded to 4 decimals: Spark and DuckDB merge
+# partial moments in different orders, identical to ~1e-12 relative.
+# --------------------------------------------------------------------------
+@register("lineitem_dispersion_stats", oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_stddev,
+       ROUND(VAR_SAMP(l_quantity), 4)         AS qty_var,
+       ROUND(CORR(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       CAST(COUNT(*) AS BIGINT)               AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def lineitem_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+                   F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+                   F.round(F.corr("l_extendedprice", "l_quantity"), 4)
+                    .alias("price_qty_corr"),
+                   F.count("*").alias("n_items")))
