@@ -214,3 +214,23 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     return run_to_table(
         running_user_state(read_events_stream(spark, sf_dir)), "update")
+
+
+@register("stream_dedup", oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: watermarked ``dropDuplicates`` on
+    (user_id, event_type) chained into a downstream aggregation — two
+    stateful operators in one query (dedup state + agg state). At scale
+    the dedup state holds one entry per distinct key inside the
+    watermark horizon, not per event."""
+    ensure_session(spark)
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (stream
+               .withWatermark("ts", WATERMARK)
+               .dropDuplicates(["user_id", "event_type"]))
+    agg = (deduped.groupBy("event_type")
+                  .agg(F.count("*").alias("n_users")))
+    return run_to_table(agg, "complete")
