@@ -274,3 +274,58 @@ def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("band")
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+# --------------------------------------------------------------------------
+# user_activity_cogroup — the co-grouped pandas surface
+# (groupBy().cogroup().applyInPandas): two tables shuffled once each on
+# the same key, each key's slices handed to one Python function as two
+# pandas frames. The Spark-idiomatic custom-merge escape hatch when a
+# per-key merge can't be said relationally; here the merge IS relational
+# (so the DuckDB oracle can check it exactly), but the plumbing — Arrow
+# batches, two-sided grouping, empty-side handling — is the real surface.
+# Scale: cost is one shuffle per side keyed on user_id; Python sees only
+# one key's rows at a time, never a partition-sized frame.
+# --------------------------------------------------------------------------
+@register("user_activity_cogroup", oracle="""
+WITH e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM events GROUP BY user_id),
+o AS (
+  SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS sum_spend
+  FROM orders WHERE o_custkey <= 149 GROUP BY o_custkey)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.sum_value, 0.0) AS sum_value,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.sum_spend, 0.0) AS sum_spend
+FROM e FULL OUTER JOIN o USING (user_id)
+""")
+def user_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import pandas as pd
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "value")
+    # Restrict orders to the events-table key domain (user_id < 150) so the
+    # cogroup exercises both matched and one-sided keys, not 14k
+    # orders-only groups.
+    orders = (read_table(spark, sf_dir, "orders")
+              .where(F.col("o_custkey") <= 149)
+              .select(F.col("o_custkey").alias("user_id"), "o_totalprice"))
+
+    def merge(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [len(ev)],
+            "sum_value": [round(float(ev["value"].sum()), 2) if len(ev) else 0.0],
+            "n_orders": [len(od)],
+            "sum_spend": [round(float(od["o_totalprice"].sum()), 2) if len(od) else 0.0],
+        })
+
+    out_schema = ("user_id long, n_events long, sum_value double, "
+                  "n_orders long, sum_spend double")
+    return (events.groupBy("user_id")
+            .cogroup(orders.groupBy("user_id"))
+            .applyInPandas(merge, out_schema))
