@@ -103,27 +103,20 @@ GROUP BY event_type
 """)
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
+    from hdfs_with_pyspark_spark.operators.asof import asof_join
     orders = (read_table(spark, sf_dir, "orders")
               .groupBy(F.col("o_custkey").alias("user_id"),
-                       F.col("o_orderdate").alias("t"))
-              .agg(F.max("o_totalprice").alias("order_price"))
-              .select("user_id", "t", "order_price",
-                      F.lit(0).alias("is_event"),
-                      F.lit(None).cast("string").alias("event_type")))
-    events = (read_table(spark, sf_dir, "events")
-              .select("user_id", F.col("ts").alias("t"),
-                      F.lit(None).cast("double").alias("order_price"),
-                      F.lit(1).alias("is_event"), "event_type"))
-    w = (Window.partitionBy("user_id").orderBy("t", "is_event")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    joined = (orders.unionByName(events)
-              .withColumn("last_order_price",
-                          F.last("order_price", ignorenulls=True).over(w))
-              .where(F.col("is_event") == 1))
+                       F.col("o_orderdate").alias("order_ts"))
+              .agg(F.max("o_totalprice").alias("order_price")))
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    joined = asof_join(events, orders, on=["user_id"],
+                       left_ts="ts", right_ts="order_ts",
+                       value_cols=["order_price"])
     return (joined.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.count("last_order_price").alias("n_matched"),
-                 F.round(F.avg("last_order_price"), 2)
+                 F.count("order_price").alias("n_matched"),
+                 F.round(F.avg("order_price"), 2)
                   .alias("avg_last_order_price")))
 
 

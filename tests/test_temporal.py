@@ -1,0 +1,76 @@
+"""Temporal-operator correctness armor.
+
+The as-of union+window rewrite is the subtlest algorithm in plans/
+temporal.py — a Hypothesis property checks it against a brute-force
+Python model (latest right row with ts <= left ts, inclusive).
+Sessionization and rolling-window invariants are spot-checked on the
+sf0.001 testdata.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.operators.asof import asof_join
+from hdfs_with_pyspark_spark.plans.registry import QUERIES
+
+SLOW = settings(max_examples=10, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+key = st.integers(min_value=0, max_value=2)
+ts = st.integers(min_value=0, max_value=20)
+
+
+@SLOW
+@given(lefts=st.lists(st.tuples(key, ts), min_size=1, max_size=10),
+       rights=st.lists(st.tuples(key, ts), min_size=0, max_size=10))
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    # Right must be unique per (key, ts) — the operator's contract; the
+    # value encodes (key, ts) so the match content is checkable.
+    rights = {(k, t): k * 1000 + t for (k, t) in rights}
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid int, k int, t int")
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rights.items()] or [(None, None, None)],
+        "k int, t int, v int").where(F.col("k").isNotNull())
+    out = {r["lid"]: r["v"]
+           for r in asof_join(ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+                              value_cols=["v"]).collect()}
+    for i, (k, t) in enumerate(lefts):
+        earlier = [ts_ for (k_, ts_) in rights if k_ == k and ts_ <= t]
+        expect = (k * 1000 + max(earlier)) if earlier else None
+        assert out[i] == expect, (i, k, t, out[i], expect)
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    ldf = spark.createDataFrame([(1, 5)], "k int, t int")
+    rdf = spark.createDataFrame([(1, 5, 99)], "k int, t int, v int")
+    [row] = asof_join(ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+                      value_cols=["v"]).collect()
+    assert row["v"] == 99  # right row at equal ts IS eligible
+
+
+def test_sessions_partition_events(spark, sf_dir):
+    total = QUERIES["user_sessions"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = total.agg(F.sum("n_events"), F.sum("n_sessions")).collect()[0]
+    assert agg[0] == ev.count()          # sessions partition the events
+    assert 0 < agg[1] <= agg[0]
+
+
+def test_rolling_frame_matches_bruteforce(spark, sf_dir):
+    rows = QUERIES["rolling_daily_revenue"](spark, sf_dir).collect()
+    daily = {}  # (priority, day) -> revenue
+    for r in rows:
+        daily[(r["o_orderpriority"], r["day"])] = r["revenue"]
+    import datetime
+    for r in rows:
+        d = datetime.date.fromisoformat(r["day"])
+        win = [daily.get((r["o_orderpriority"],
+                          (d - datetime.timedelta(days=i)).isoformat()))
+               for i in range(7)]
+        present = [v for v in win if v is not None]
+        assert abs(sum(present) - r["revenue_7d"]) < 1e-6
+        assert len(present) == r["n_days_7d"]
