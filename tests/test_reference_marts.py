@@ -133,3 +133,26 @@ def test_friend_distance_threshold_excludes(spark, geo_tables):
     events = read_geo_events(spark, path)
     on_date = read_events_partition(spark, path, "2024-01-15")
     assert R.friend_recommendations(events, on_date, cities, max_km=10.0).count() == 0
+
+
+def test_run_marts_cli(spark, geo_tables, tmp_path):
+    # The spark-submit-style batch entry (the analog of the reference's
+    # three jobs + DAG) must build all three marts parquet -> parquet.
+    import sys
+    sys.path.insert(0, "scripts")
+    import run_marts
+
+    path, cities = geo_tables
+    cities_path = str(tmp_path / "cities")
+    cities.write.mode("overwrite").parquet(cities_path)
+    out = str(tmp_path / "marts")
+    run_marts.main(["--events", path, "--cities", cities_path,
+                    "--out", out, "--date", "2024-01-15", "--max-km", "100"])
+    user = spark.read.parquet(f"{out}/user_mart")
+    zone = spark.read.parquet(f"{out}/zone_mart")
+    friends = spark.read.parquet(f"{out}/friend_recommendations")
+    assert user.count() == 3 and {"user_id", "act_city", "home_city"} <= set(user.columns)
+    assert zone.count() > 0 and "week_message" in zone.columns
+    # u2+u3 co-subscribed, never messaged, both at charlie on the 15th
+    [rec] = friends.collect()
+    assert (rec["user_left"], rec["user_right"]) == (3, 2)
