@@ -77,3 +77,19 @@ def test_csv_permissive_corrupt_rows(spark, tmp_path):
     back = read_csv(spark, str(p), schema)
     got = {tuple(r) for r in back.collect()}
     assert {(1, 2.5), (3, 4.0), (None, None)} <= got
+
+
+def test_sql_frontend_views(spark, sf_dir):
+    # The SQL frontend must see the same schema-enforced scans (pushdown
+    # included) as the DataFrame path.
+    from hdfs_with_pyspark_spark.frontend import sql
+
+    df = sql(spark, sf_dir, """
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY nation
+    """)
+    rows = df.collect()
+    assert len(rows) == 25 and all(r["n_customers"] > 0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan  # views are plan aliases, not caches
