@@ -269,34 +269,30 @@ _N_CHUNKS = SIMHASH_MAX_HAMMING + 1
 _CHUNK_BITS = SIMHASH_BITS // _N_CHUNKS
 
 
-def _simhash_expr(toks):
-    # Bit positions are compile-time constants, so the 48-way loop unrolls
-    # in Python: one fold over the token-hash array per bit, summed into
-    # the signature. Stays a single map-side Column expression.
-    # One fold over the token-hash array carrying all 48 bit-counters as an
-    # array accumulator — the token md5 is computed exactly once per token.
-    # (48 separate per-bit folds each re-evaluate the md5 transform:
-    # Catalyst inlines the shared subexpression, costing 48x the hashing —
-    # measured 30s vs 3s at sf0.1.)
-    #
-    # Bit extraction uses floor(x / 2^i) % 2: x < 2^48 is exactly double-
-    # representable and scaling by a power of two is exact in IEEE754, so
-    # this is bit-exact with the >> in the SQL oracle.
-    ths = F.transform(toks, lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"))
-    # Literal 2^i array: division by an exact power of two is exact IEEE
-    # scaling, and a constant array beats 48 Math.pow calls per token.
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
-    counts = F.aggregate(
-        ths,
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, x: F.zip_with(
-            acc, pow2,
-            lambda a, p: a + F.lit(2) * F.pmod(F.floor(x / p).cast("long"), F.lit(2)) - F.lit(1)))
-    return F.aggregate(
-        F.zip_with(counts, pow2,
-                   lambda c, p: F.when(c >= 0, p).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x)
+def _simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for every doc with >= 1 token.
+
+    Shape: explode tokens -> one 48-bit md5 hash per token -> ONE hash
+    aggregate on doc_id carrying 48 per-bit +/-1 counters -> sign-threshold
+    into the signature. Every expression (shiftright/bitwiseAND/sum/when)
+    is whole-stage-codegen'd; the shuffle moves only 48 longs per doc per
+    map partition thanks to partial aggregation. An earlier version
+    computed the signature map-side as an F.aggregate fold over the token
+    array — zero shuffle, but Spark evaluates higher-order functions
+    interpreted per element: 82s vs ~3s at sf0.1 for this one shuffle.
+    """
+    tok_rows = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+    bit_sums = tok_rows.select("doc_id", th.alias("th")).groupBy("doc_id").agg(
+        *[F.sum(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+           .alias(f"s{i}")
+          for i in range(SIMHASH_BITS)])
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"s{i}") >= 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", sig.alias("simhash"))
 
 
 _SQL_SIMHASH = f"""
@@ -315,10 +311,7 @@ SELECT doc_id, simhash FROM sig
 """)
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    docs = read_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    return (docs.where(F.size(toks) > 0)
-                .select("doc_id", _simhash_expr(toks).alias("simhash")))
+    return _simhash_signatures(read_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_simhash", oracle=f"""

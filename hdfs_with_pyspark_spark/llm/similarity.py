@@ -45,18 +45,46 @@ COSINE_DUP_THRESHOLD = 0.45  # synthetic vectors are near-orthogonal; 0.45
                              # captures the ~dozen closest pairs at sf0.01
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+EMBED_DIM = 64  # testdata embedding width (TESTDATA.md)
 
 
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+def _dot(a, b, dim: int | None = None):
+    """Dot product of two array<double> columns.
+
+    With ``dim`` (the fixed corpus width): unrolled sum of element_at
+    terms, left-associative ((0 + t1) + t2) + ... — the exact summation
+    order of a sequential fold, so results are bit-identical to the
+    fold form — but the whole expression stays in whole-stage codegen.
+    Spark evaluates higher-order functions interpreted per element;
+    unrolling measured ~10x faster on the 64-dim corpus.
+
+    Without ``dim``: the generic fold, for variable-length arrays.
+
+    ``dim`` is an upper bound, not an exact requirement: positions past an
+    array's end contribute an exact +0.0 (try_element_at -> NULL ->
+    coalesce 0.0), which never changes the sum.
+    """
+    if dim is None:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.coalesce(F.try_element_at(a, F.lit(i))
+                               * F.try_element_at(b, F.lit(i)), F.lit(0.0))
+    return acc
 
 
-def cosine(a, b):
-    """Cosine similarity of two array<double> columns (Column expr)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a, dim: int | None = None):
+    return F.sqrt(_dot(a, a, dim))
+
+
+def cosine(a, b, dim: int | None = None):
+    """Cosine similarity of two array<double> columns (Column expr).
+
+    Pass ``dim`` when the width is fixed and known (all corpus queries
+    do) to get the codegen'd unrolled form.
+    """
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +124,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (F.broadcast(q)
               .join(v, F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim")))
+                      F.round(cosine(F.col("qv"), F.col("v"), EMBED_DIM), 6).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -140,7 +168,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(v, ["bucket"])
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim")))
+                      F.round(cosine(F.col("qv"), F.col("v"), EMBED_DIM), 6).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -214,7 +242,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
         scored = (side.join(F.broadcast(cent), F.lit(True))
                       .select(id_col, "v", "cid",
-                              F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c")))
+                              F.round(cosine(F.col("v"), F.col("cv"), EMBED_DIM), 6).alias("c")))
         w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("cid").asc())
         return (scored.withColumn("__rn", F.row_number().over(w))
                       .where(F.col("__rn") <= keep)
@@ -229,7 +257,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(assign, "cid")
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim")))
+                      F.round(cosine(F.col("qv"), F.col("v"), EMBED_DIM), 6).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -296,5 +324,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (a.join(b, F.col("vec_a") < F.col("vec_b"))
              .select("vec_a", "vec_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+                     F.round(cosine(F.col("va"), F.col("vb"), EMBED_DIM), 6).alias("cos_sim"))
              .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
