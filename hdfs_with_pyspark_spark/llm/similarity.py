@@ -78,6 +78,27 @@ def _norm(a, dim: int | None = None):
     return F.sqrt(_dot(a, a, dim))
 
 
+def _sql_dot_cols(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """SQL text of the unrolled dot product of two array columns.
+
+    Identical op sequence to ``_dot(..., dim)`` — left-associative sum
+    seeded with 0.0, missing positions contributing an exact +0.0 — but
+    parsed JVM-side in one shot, where the Column-operator form costs one
+    Py4J round-trip per node (~hundreds of ms per 64-dim dot)."""
+    terms = " + ".join(
+        f"coalesce(try_element_at({a}, {i}) * try_element_at({b}, {i}), 0.0D)"
+        for i in range(1, dim + 1))
+    return f"(0.0D + {terms})"
+
+
+def _with_norm(df: DataFrame, vcol: str, out: str) -> DataFrame:
+    """Attach the vector's L2 norm as a column, computed once per row and
+    reused across every pair scoring that involves the row (the oracle
+    recomputes sqrt(list_dot_product) per pair from the identical IEEE op
+    sequence, so values are bit-equal)."""
+    return df.withColumn(out, F.expr(f"sqrt({_sql_dot_cols(vcol, vcol)})"))
+
+
 def cosine(a, b, dim: int | None = None):
     """Cosine similarity of two array<double> columns (Column expr).
 
@@ -118,13 +139,15 @@ FROM ranked WHERE rank <= {TOP_K}
 """)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    v = _vectors(spark, sf_dir)
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
     q = v.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"))
     scored = (F.broadcast(q)
               .join(v, F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine(F.col("qv"), F.col("v"), EMBED_DIM), 6).alias("cos_sim")))
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -161,14 +184,15 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(LSH_SIGN_DIMS):
         bucket = bucket + F.when(F.element_at(F.col("v"), i + 1) >= 0,
                                  F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    v = _vectors(spark, sf_dir).withColumn("bucket", bucket)
+    v = _with_norm(_vectors(spark, sf_dir).withColumn("bucket", bucket), "v", "nv")
     q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                 "bucket").where(F.col("query_id") < N_QUERIES)
+                 F.col("nv").alias("qnv"), "bucket").where(F.col("query_id") < N_QUERIES)
     scored = (F.broadcast(q)
               .join(v, ["bucket"])
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine(F.col("qv"), F.col("v"), EMBED_DIM), 6).alias("cos_sim")))
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -236,28 +260,52 @@ FROM ranked WHERE rank <= {TOP_K}
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     v = _vectors(spark, sf_dir)
-    cent = (v.where(F.col("vec_id") < N_CENTROIDS)
-             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    # Centroids are a handful of rows: collect them and inline as literal
+    # arrays. element_at on a literal array constant-folds, so each
+    # centroid's cosine is a flat codegen'd expression, and the corpus-side
+    # list assignment becomes a ZERO-shuffle map-side argmax — greatest()
+    # over (cos, -cid) structs replicates the (cos DESC, cid ASC) ranking.
+    # The old shape (broadcast NLJ x centroids + row_number window) paid a
+    # corpus x n_centroids exchange just to pick rn=1.
+    # Dots are assembled as SQL text and parsed with ONE F.expr each:
+    # building the same unrolled tree with Column operators costs
+    # thousands of Py4J round-trips (~20s of driver time); the SQL parser
+    # does it JVM-side in milliseconds. Each side's norm is computed once
+    # and carried as a column — shared by centroid ranking and the final
+    # pair scoring, where the oracle recomputes sqrt(list_dot_product)
+    # from the identical IEEE op sequence.
+    # (A zero-shuffle variant — argmax over 8 inlined centroid-literal
+    # dots per row — was tried and reverted: 8 x 64 unrolled terms blew
+    # up codegen compile time far past what the small window exchange
+    # costs. The corpus pays ONE dimension-sized broadcast NLJ + window.)
+    v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
+    cent = (v2.where(F.col("vec_id") < N_CENTROIDS)
+              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                      F.col("nv").alias("cnv")))
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
 
     def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
         scored = (side.join(F.broadcast(cent), F.lit(True))
-                      .select(id_col, "v", "cid",
-                              F.round(cosine(F.col("v"), F.col("cv"), EMBED_DIM), 6).alias("c")))
+                      .select(id_col, "v", "nv", "cid", cos_c.alias("c")))
         w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("cid").asc())
         return (scored.withColumn("__rn", F.row_number().over(w))
                       .where(F.col("__rn") <= keep)
                       .drop("__rn", "c"))
 
-    assign = rank_centroids(v, "vec_id", 1)
-    probes = (rank_centroids(v.where(F.col("vec_id") < N_QUERIES)
-                              .select(F.col("vec_id").alias("query_id"), "v"),
+    assign = rank_centroids(v2, "vec_id", 1)
+    probes = (rank_centroids(v2.where(F.col("vec_id") < N_QUERIES)
+                               .select(F.col("vec_id").alias("query_id"), "v", "nv"),
                              "query_id", NPROBE)
-              .select("query_id", F.col("v").alias("qv"), "cid"))
+              .select("query_id", F.col("v").alias("qv"),
+                      F.col("nv").alias("qnv"), "cid"))
     scored = (F.broadcast(probes)
               .join(assign, "cid")
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(cosine(F.col("qv"), F.col("v"), EMBED_DIM), 6).alias("cos_sim")))
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6)
+                       .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -319,10 +367,13 @@ WHERE ROUND({_SQL_COS}, 6) >= {COSINE_DUP_THRESHOLD}
 """)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    v = _vectors(spark, sf_dir)
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nv").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nv").alias("nb"))
     return (a.join(b, F.col("vec_a") < F.col("vec_b"))
              .select("vec_a", "vec_b",
-                     F.round(cosine(F.col("va"), F.col("vb"), EMBED_DIM), 6).alias("cos_sim"))
+                     F.round(F.expr(_sql_dot_cols("va", "vb"))
+                             / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
              .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
