@@ -25,6 +25,8 @@ HEADLINE = [
     "pricing_summary",
     "top_order_per_customer",
     "revenue_by_nation",
+    "small_quantity_part_revenue",
+    "top_revenue_orders",
     "geo_city_event_counts",
     "user_mart",
     "zone_mart",

@@ -428,3 +428,178 @@ def lineitem_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.corr("l_extendedprice", "l_quantity"), 4)
                     .alias("price_qty_corr"),
                    F.count("*").alias("n_items")))
+
+
+# --------------------------------------------------------------------------
+# Decision-support pack — the classic TPC-H shapes the engine was still
+# missing: correlated scalar subquery (Q17), EXISTS semi-join with a
+# non-equi conjunct (Q4), HAVING + join-back (Q18), NOT IN anti-join under
+# a count-distinct agg (Q16), left-outer count histogram (Q13), and a
+# global top-k (absent from the reference entirely, SURVEY.md §2.6).
+# Each is written the way the shape should run at 100 TB: subqueries
+# decorrelated into aggregate + join, the small side broadcast, top-k via
+# orderBy+limit (TakeOrderedAndProject - per-partition heaps, never a
+# global sort).
+# --------------------------------------------------------------------------
+
+# small_quantity_part_revenue — TPC-H Q17 shape. The correlated scalar
+# subquery (0.2 * per-part avg quantity) decorrelates into a per-part
+# aggregate joined back on partkey. l_quantity is integer-valued, so the
+# AVG is a ratio of exactly-represented sums — bit-equal across engines
+# and summation orders; the < comparison cannot flip.
+@register("small_quantity_part_revenue", oracle="""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cap
+      FROM lineitem GROUP BY l_partkey) caps
+  ON caps.l_partkey = l.l_partkey
+WHERE l.l_quantity < caps.qty_cap
+""")
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    caps = (li.groupBy("l_partkey")
+              .agg((0.2 * F.avg("l_quantity")).alias("qty_cap")))
+    return (li.join(caps, "l_partkey")
+              .where(F.col("l_quantity") < F.col("qty_cap"))
+              .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
+# late_shipment_priority_counts — TPC-H Q4 shape: EXISTS with an extra
+# non-equi conjunct (shipped > 90 days after order date), expressed as a
+# LEFT SEMI join so each order is counted once no matter how many late
+# lines it has. Semi joins shuffle only the join keys + the filter column.
+@register("late_shipment_priority_counts", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""")
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi"))
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# big_ticket_orders — TPC-H Q18 shape: HAVING-filtered aggregate joined
+# back to its fact's dimensions. The aggregate runs FIRST (map-side
+# partial sums shrink the shuffle), and only the surviving handful of
+# orderkeys join to orders/customer — never the full lineitem.
+@register("big_ticket_orders", oracle="""
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       ROUND(o.o_totalprice, 2) AS total_price,
+       ROUND(big.total_qty, 2)  AS total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300) big
+JOIN orders o   ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("total_qty"))
+             .where(F.col("total_qty") > 300))
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+               .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+               .select("c_name", "o_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                       F.round("o_totalprice", 2).alias("total_price"),
+                       F.round("total_qty", 2).alias("total_qty")))
+
+
+# parts_supplier_counts — TPC-H Q16 shape: NOT IN subquery (suppliers with
+# negative account balance stand in for the "complaints" predicate) as a
+# LEFT ANTI join, then COUNT DISTINCT per (brand, type). The anti side is
+# dimension-sized -> broadcast; count distinct shuffles (brand, type,
+# suppkey) once to dedupe, then once to count — Spark's two-phase plan.
+@register("parts_supplier_counts", oracle="""
+SELECT p.p_brand, p.p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+""")
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (read_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") != "Brand#1")
+            .select("p_partkey", "p_brand", "p_type"))
+    bad = (read_table(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad),
+                    F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+              .join(part, F.col("p_partkey") == F.col("l_partkey"))
+              .groupBy("p_brand", "p_type")
+              .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+# customer_order_histogram — TPC-H Q13 shape: left outer join preserving
+# order-less customers, per-customer count, then a histogram of counts.
+# COUNT(o_orderkey) counts only matched rows — the LEFT JOIN's NULLs fall
+# out, which is the shape's whole point.
+@register("customer_order_histogram", oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+""")
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# top_revenue_orders — global top-k (TPC-H Q3's ORDER BY ... LIMIT). The
+# reference has no global sort/limit anywhere (SURVEY.md §2.6); a complete
+# engine needs one. orderBy + limit plans as TakeOrderedAndProject:
+# per-partition bounded heaps + a driver merge of k rows — no global sort,
+# no single-partition shuffle, safe at any scale. Ties break on o_orderkey
+# so the k-row cut is deterministic in both engines.
+@register("top_revenue_orders", oracle="""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, revenue
+FROM (SELECT l_orderkey AS o_orderkey,
+             ANY_VALUE(o_orderdate) AS o_orderdate,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_orderkey)
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""")
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = (read_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+              .select("o_orderkey", "o_orderdate"))
+    return (li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+              .groupBy("o_orderkey")
+              .agg(F.any_value("o_orderdate").alias("o_orderdate"),
+                   F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"))
+              .select("o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                      "revenue")
+              .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+              .limit(10))
