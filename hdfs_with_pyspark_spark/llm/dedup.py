@@ -273,24 +273,51 @@ def _simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) for every doc with >= 1 token.
 
     Shape: explode tokens -> one 48-bit md5 hash per token -> ONE hash
-    aggregate on doc_id carrying 48 per-bit +/-1 counters -> sign-threshold
+    aggregate on doc_id carrying 48 per-bit popcounts -> majority-threshold
     into the signature. Every expression (shiftright/bitwiseAND/sum/when)
-    is whole-stage-codegen'd; the shuffle moves only 48 longs per doc per
-    map partition thanks to partial aggregation. An earlier version
-    computed the signature map-side as an F.aggregate fold over the token
-    array — zero shuffle, but Spark evaluates higher-order functions
-    interpreted per element: 82s vs ~3s at sf0.1 for this one shuffle.
+    is whole-stage-codegen'd, and the shuffle moves only the aggregate
+    state per doc per map partition thanks to partial aggregation. An
+    earlier version computed the signature map-side as an F.aggregate fold
+    over the token array — zero shuffle, but Spark evaluates higher-order
+    functions interpreted per element: 82s vs ~3s at sf0.1 for this one
+    shuffle.
+
+    Counters are PACKED four per 64-bit sum (16-bit lanes): a lane holds
+    the popcount of one bit position, so the majority test is
+    2*popcount >= n_tokens — integer-equivalent to the oracle's
+    sum(2*bit - 1) >= 0. Packing cuts the aggregate count 48 -> 13,
+    which shrinks both the per-group shuffle state and the generated
+    aggregate-update code (cold-start codegen compile was the dominant
+    per-process cost at 48 aggregates). Lanes cannot carry into each
+    other below 65536 tokens per doc; ingest-scale corpora chunk long
+    documents far below that.
     """
+    lanes = 4
+    lane_bits = 16
     tok_rows = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     th = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
-    bit_sums = tok_rows.select("doc_id", th.alias("th")).groupBy("doc_id").agg(
-        *[F.sum(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-           .alias(f"s{i}")
-          for i in range(SIMHASH_BITS)])
+
+    def packed(g: int):
+        expr = None
+        for f in range(lanes):
+            i = g * lanes + f
+            t = F.shiftleft(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)).cast("long"),
+                f * lane_bits)
+            expr = t if expr is None else expr + t
+        return F.sum(expr).alias(f"p{g}")
+
+    bit_sums = (tok_rows.select("doc_id", th.alias("th"))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n"),
+                     *[packed(g) for g in range(SIMHASH_BITS // lanes)]))
     sig = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"s{i}") >= 0,
+        g, f = divmod(i, lanes)
+        pop = (F.shiftright(F.col(f"p{g}"), f * lane_bits)
+                .bitwiseAND(F.lit((1 << lane_bits) - 1)))
+        sig = sig + F.when(pop * 2 >= F.col("n"),
                            F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("doc_id", sig.alias("simhash"))
 
