@@ -120,3 +120,40 @@ def test_rolling_window_runs_over_preaggregate(spark, sf_dir):
     plan = explain(spark, "rolling_daily_revenue", sf_dir)
     assert n_nodes(plan, "Window") == 1
     assert re.search(r"sum\(revenue#\d+", plan)
+
+
+def test_top_k_never_global_sorts(spark, sf_dir):
+    # orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    # heaps + k-row driver merge), NOT a global Sort over all rows — the
+    # difference between O(k) driver memory and a single-partition sort
+    # at 100 TB.
+    plan = explain(spark, "top_revenue_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "Sort") == 0
+
+
+def test_not_in_is_broadcast_anti_join(spark, sf_dir):
+    # The NOT IN subquery (dimension-sized) must run as a broadcast anti
+    # join against the fact — no shuffle of lineitem for the exclusion.
+    plan = explain(spark, "parts_supplier_counts", sf_dir)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+
+
+def test_exists_is_semi_join(spark, sf_dir):
+    # EXISTS must stay a semi join (each order emitted at most once,
+    # join output never wider than the probe side).
+    plan = explain(spark, "late_shipment_priority_counts", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_having_aggregates_before_join_back(spark, sf_dir):
+    # Q18 shape: the HAVING aggregate must run on lineitem BEFORE the
+    # join-back — i.e. appear as a join INPUT. The tree prints
+    # parent-first, so the join node must precede the aggregate in the
+    # text, and the aggregate must be partial (map-side) + final.
+    plan = explain(spark, "big_ticket_orders", sf_dir)
+    agg_pos = plan.index("HashAggregate")
+    join_pos = min(plan.index("SortMergeJoin") if "SortMergeJoin" in plan else 1 << 30,
+                   plan.index("BroadcastHashJoin") if "BroadcastHashJoin" in plan else 1 << 30)
+    assert join_pos < agg_pos
+    assert "partial_sum" in plan
