@@ -119,3 +119,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
                **options) -> None:
     """JSON-lines sink — round-trips nested columns losslessly."""
     df.write.mode(mode).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None, **options) -> DataFrame:
+    """ORC scan. Columnar like parquet — vectorized reader, predicate
+    pushdown and column pruning all apply; schema optional because ORC
+    carries one in its footer (still pass it for drift protection)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite", **options) -> None:
+    """ORC sink, optionally Hive-partitioned like :func:`write_parquet`."""
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

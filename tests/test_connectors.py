@@ -93,3 +93,19 @@ def test_sql_frontend_views(spark, sf_dir):
     assert len(rows) == 25 and all(r["n_customers"] > 0 for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan  # views are plan aliases, not caches
+
+
+def test_orc_round_trip_with_partitioning(spark, sf_dir, tmp_path):
+    # ORC is the second columnar format: round-trip with a Hive-style
+    # partition column, read back through a partition-pruning filter.
+    from hdfs_with_pyspark_spark.sources.io import read_orc, write_orc
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_year"])
+    back = read_orc(spark, out)
+    assert rows(back.select(*orders.columns)) == rows(orders)
+    pruned = back.where(F.col("o_year") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan
+    assert pruned.count() == orders.where(F.year("o_orderdate") == 1996).count()
