@@ -234,3 +234,42 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (deduped.groupBy("event_type")
                   .agg(F.count("*").alias("n_users")))
     return run_to_table(agg, "complete")
+
+
+@register("stream_click_after_signup", oracle="""
+SELECT s.user_id,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM events s JOIN events c
+  ON c.user_id = s.user_id
+ AND s.event_type = 'signup' AND c.event_type = 'click'
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 DAY
+""")
+def stream_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: two independent watermarked streams
+    (signups, clicks) inner-joined on user with an event-time range —
+    clicks within 1 day after a signup. The range condition is what lets
+    the state store evict: each side buffers only rows younger than
+    watermark + interval, so state is bounded by arrival skew, never by
+    stream length. Inner-join matches emit as they arrive (append mode);
+    the watermark exists for cleanup, not emission."""
+    ensure_session(spark)
+    signups = (read_events_stream(spark, sf_dir)
+               .where(F.col("event_type") == "signup")
+               .select("user_id", F.col("ts").alias("signup_ts"))
+               .withWatermark("signup_ts", WATERMARK))
+    clicks = (read_events_stream(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", WATERMARK))
+    joined = signups.join(
+        clicks,
+        F.expr("user_id = click_user AND "
+               "click_ts >= signup_ts AND "
+               "click_ts <= signup_ts + INTERVAL 1 DAY"))
+    out = joined.select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"))
+    return run_to_table(out, "append")
