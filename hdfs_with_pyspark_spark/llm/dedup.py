@@ -452,3 +452,82 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").alias("doc_id"),
                     F.col("label").alias("component_id"))
             .withColumn("cluster_size", F.count("*").over(w)))
+
+
+# --------------------------------------------------------------------------
+# corpus_curation — the end-to-end training-data curation pass: every doc
+# gets a keep/drop verdict with the FIRST matching drop reason, in the
+# order a production pipeline applies them (cheapest first):
+#
+#   1. 'short'      — fewer than MIN_TOKENS whitespace tokens (map-side),
+#   2. 'exact_dup'  — not the min-doc_id survivor of its full-text hash
+#                     group (one shuffle on the hash),
+#   3. 'near_dup'   — the higher-id side of any >= threshold 3-gram
+#                     Jaccard pair (inverted-index join; at 100 TB this
+#                     stage swaps in the MinHash-LSH candidate join with
+#                     no change to the verdict semantics),
+#   4. keep         — reason NULL.
+#
+# Composing the stages as one DataFrame means Catalyst sees the whole
+# pipeline: the doc scan happens once, and the near-dup join only
+# receives docs that survived the cheaper stages (drop-early is the whole
+# economics of curation at scale).
+# --------------------------------------------------------------------------
+MIN_TOKENS = 5
+
+
+@register("corpus_curation", oracle=f"""
+WITH {_sql_shingles()},
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM co
+  JOIN n na ON na.doc_id = doc_a
+  JOIN n nb ON nb.doc_id = doc_b
+  WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}),
+exact AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents),
+verdicts AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN len({_sql_tokens()}) < {MIN_TOKENS} THEN 'short'
+           WHEN e.canon <> d.doc_id THEN 'exact_dup'
+           WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         END AS drop_reason
+  FROM documents d
+  JOIN exact e USING (doc_id)
+  LEFT JOIN near nr USING (doc_id))
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason
+FROM verdicts
+""")
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").persist()
+    short = F.size(tokens(F.col("text"))) < MIN_TOKENS
+
+    canon = (docs.select("doc_id", hash64(F.col("text")).alias("th"))
+                 .groupBy("th").agg(F.min("doc_id").alias("canon")))
+    with_exact = (docs.select("doc_id", "text",
+                              hash64(F.col("text")).alias("th"))
+                      .join(canon, "th")
+                      .withColumn("is_exact_dup", F.col("doc_id") != F.col("canon")))
+
+    shh = _shingle_hashes(docs).persist()
+    near = (_jaccard_pairs(shh)
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+            .withColumn("is_near_dup", F.lit(True)))
+
+    verdict = (with_exact
+               .join(near, "doc_id", "left")
+               .select("doc_id",
+                       F.when(short, "short")
+                        .when(F.col("is_exact_dup"), "exact_dup")
+                        .when(F.col("is_near_dup"), "near_dup")
+                        .alias("drop_reason")))
+    return verdict.select("doc_id",
+                          F.col("drop_reason").isNull().alias("keep"),
+                          "drop_reason")
