@@ -469,9 +469,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   4. keep         — reason NULL.
 #
 # Composing the stages as one DataFrame means Catalyst sees the whole
-# pipeline: the doc scan happens once, and the near-dup join only
-# receives docs that survived the cheaper stages (drop-early is the whole
-# economics of curation at scale).
+# pipeline and the doc scan is shared. Reasons are assigned with `when`
+# precedence over the full corpus (so verdicts are order-independent and
+# the oracle is exact); the production drop-early variant — filtering
+# each stage's survivors before the next, which changes near-dup
+# verdicts for docs whose only partner was already dropped — is the same
+# plan with three added filters.
 # --------------------------------------------------------------------------
 MIN_TOKENS = 5
 
