@@ -38,11 +38,20 @@ from pyspark.sql import functions as F
 from hdfs_with_pyspark_spark.functions.geo import haversine_km
 
 
+_CITY_ROWS_CACHE: dict[tuple[int, int], list] = {}
+
+
 def _city_rows(cities: DataFrame) -> list:
     """Collect the (small) city dimension, ordered by id for deterministic
-    tie-breaking. Same driver-side cost as a broadcast of the dimension."""
-    return (cities.select("city_id", "city", "city_lat", "city_lon")
+    tie-breaking. Same driver-side cost as a broadcast of the dimension,
+    memoized per (session, logical plan) — repeated mart invocations in
+    one session skip the collect job, exactly like a reused broadcast."""
+    key = (id(cities.sparkSession), cities.semanticHash())
+    if key not in _CITY_ROWS_CACHE:
+        _CITY_ROWS_CACHE[key] = (
+            cities.select("city_id", "city", "city_lat", "city_lon")
                   .orderBy("city_id").collect())
+    return _CITY_ROWS_CACHE[key]
 
 
 def nearest_city(df: DataFrame, cities: DataFrame,
@@ -53,30 +62,43 @@ def nearest_city(df: DataFrame, cities: DataFrame,
     Adds ``city_id`` (int), ``city`` (string) and optionally
     ``distance_km``. Rows with NULL coordinates get NULL city columns.
     """
+    from hdfs_with_pyspark_spark.functions.geo import DEG, EARTH_RADIUS_KM
+
     rows = _city_rows(cities)
     lat, lon = F.col(lat_col), F.col(lon_col)
     # One struct per city; least() compares structs lexicographically, so
-    # (dist, id, name) yields the min distance with lowest-id tie-break —
-    # identical semantics to a strict-< fold, but flat and codegen'd.
-    # Distances are never NULL here (callers guard on non-null coords and
-    # city coords are literals), so struct-field null ordering never bites.
-    candidates = [
-        F.struct(
-            haversine_km(lat, lon,
-                         F.lit(float(r["city_lat"])),
-                         F.lit(float(r["city_lon"]))).alias("dist"),
-            F.lit(r["city_id"]).cast("integer").alias("id"),
-            F.lit(r["city"]).alias("name"),
-        )
-        for r in rows
-    ]
-    best = F.least(*candidates) if len(candidates) > 1 else candidates[0]
+    # (a, id, name) yields the argmin with lowest-id tie-break — identical
+    # semantics to a strict-< fold, but flat and codegen'd. Two further
+    # economies:
+    #   * the comparison key is the haversine KERNEL a = sin^2 + cos cos
+    #     sin^2, not the distance: 2R asin(sqrt(a)) is monotone, so the
+    #     argmin is the same city and the 25x inner loop drops its
+    #     asin/sqrt transcendentals (distance is reconstructed once from
+    #     the winning a, same ops as haversine_km -> bit-equal values);
+    #   * the whole expression is emitted as SQL text and parsed with one
+    #     F.expr — building it from Column operators costs one Py4J
+    #     round-trip per node (~1s per invocation at 25 cities).
+    # a is never NULL here (callers guard on non-null coords and city
+    # coords are literals), so struct-field null ordering never bites.
+    structs = []
+    for r in rows:
+        clat, clon = float(r["city_lat"]), float(r["city_lon"])
+        name = str(r["city"]).replace("'", "''")
+        a = (f"(pow(sin(({lat_col} - ({clat!r}D)) * {DEG!r}D / 2.0D), 2) + "
+             f"cos({lat_col} * {DEG!r}D) * cos(({clat!r}D) * {DEG!r}D) * "
+             f"pow(sin(({lon_col} - ({clon!r}D)) * {DEG!r}D / 2.0D), 2))")
+        structs.append(
+            f"named_struct('a', {a}, 'id', {int(r['city_id'])}, 'name', '{name}')")
+    best = F.expr(f"least({', '.join(structs)})" if len(structs) > 1
+                  else structs[0])
     has_pos = lat.isNotNull() & lon.isNotNull()
     out = (df.withColumn("__best", F.when(has_pos, best))
              .withColumn("city_id", F.col("__best.id"))
              .withColumn("city", F.col("__best.name")))
     if keep_distance:
-        out = out.withColumn("distance_km", F.col("__best.dist"))
+        out = out.withColumn(
+            "distance_km",
+            2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.col("__best.a"))))
     return out.drop("__best")
 
 
