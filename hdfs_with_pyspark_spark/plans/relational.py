@@ -603,3 +603,65 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "revenue")
               .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
               .limit(10))
+
+
+# --------------------------------------------------------------------------
+# customer_value_ranks — the ranking-function family the reference never
+# uses (SURVEY.md §2.5 "absent" list): ntile quartiles, percent_rank,
+# cume_dist, and lead, all over one window spec — ONE sort per partition
+# serves all four functions (they share the (mktsegment, acctbal, custkey)
+# ordering, so Catalyst plans a single Window node).
+# --------------------------------------------------------------------------
+@register("customer_value_ranks", oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS BIGINT)        AS balance_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6)        AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)           AS cume,
+       LEAD(c_custkey, 1, -1) OVER w          AS next_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+""")
+def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lead("c_custkey", 1, -1).over(w).alias("next_custkey"))
+
+
+# --------------------------------------------------------------------------
+# part_name_analysis — string/array scalar breadth (SURVEY.md §2.8 notes
+# the reference uses almost no scalar functions): regexp extraction,
+# case/trim/pad, split -> array ops (size, sort, join), conditional
+# string build. Pure map-side — no shuffle at all.
+# --------------------------------------------------------------------------
+@register("part_name_analysis", oracle="""
+SELECT p_partkey,
+       upper(p_name)                                            AS name_upper,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT)           AS n_words,
+       array_to_string(list_sort(string_split(p_name, ' ')), '|') AS words_sorted,
+       regexp_extract(p_name, '([a-z]+)$', 1)                   AS last_word,
+       lpad(p_brand, 12, '.')                                   AS brand_padded,
+       CASE WHEN contains(p_name, 'red') THEN 'warm' ELSE 'other' END AS hue_class,
+       substring(p_type, 1, 3)                                  AS type_prefix
+FROM part
+""")
+def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    part = read_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_join(F.sort_array(words), "|").alias("words_sorted"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.lpad("p_brand", 12, ".").alias("brand_padded"),
+        F.when(F.col("p_name").contains("red"), "warm")
+         .otherwise("other").alias("hue_class"),
+        F.substring("p_type", 1, 3).alias("type_prefix"))
