@@ -109,3 +109,22 @@ def test_orc_round_trip_with_partitioning(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan
     assert pruned.count() == orders.where(F.year("o_orderdate") == 1996).count()
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    # PERMISSIVE mode routes malformed lines into the declared
+    # _corrupt_record column instead of failing the 100 TB job at file
+    # 3 of 800k; FAILFAST is the strict-ingestion-gate variant.
+    from hdfs_with_pyspark_spark.sources.io import read_json
+    p = tmp_path / "rows.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": oops}\n{"a": 3, "b": "y"}\n')
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = read_json(spark, str(p), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert "oops" in bad.first()["_corrupt_record"]

@@ -178,3 +178,33 @@ def test_extract_features_mapinpandas(spark):
 def test_decode_blob_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         mm.decode_blob(b"\x89PNG", "image")
+
+
+def test_corpus_curation_verdicts(spark, monkeypatch):
+    # 0: unique long doc -> keep. 1,2: exact dups (1 survives as min id).
+    # 3: near-dup of 0 (one token changed, Jaccard >= 0.8) -> near_dup.
+    # 4: short -> 'short', even though it also exact-dups doc 5 (reason
+    # precedence: short fires first). 5: short -> short.
+    # ~46 tokens -> 44 shingles; one changed token invalidates 3 of them:
+    # jaccard = 41/47 ~ 0.87 >= 0.8.
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet green field today "
+            "and the old clock above the wooden door keeps ticking slowly "
+            "as evening light fades behind the tall grey hills far away")
+    near = base.replace("rain", "snow")
+    docs = spark.createDataFrame(
+        [(0, base), (1, "some other long document body with many plain words"),
+         (2, "some other long document body with many plain words"),
+         (3, near), (4, "tiny doc"), (5, "tiny doc")],
+        "doc_id long, text string")
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: docs)
+    out = {r["doc_id"]: (r["keep"], r["drop_reason"])
+           for r in dd.corpus_curation(spark, "unused").collect()}
+    assert out[0] == (True, None)
+    assert out[1] == (True, None)
+    assert out[2] == (False, "exact_dup")
+    assert out[3] == (False, "near_dup")
+    assert out[4] == (False, "short")
+    assert out[5] == (False, "short")
+    # invariant: keep <=> no drop reason
+    assert all((reason is None) == keep for keep, reason in out.values())
