@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="friends distance threshold (reference default)")
     ap.add_argument("--marts", default="user,zone,friends",
                     help="comma list: user,zone,friends")
+    ap.add_argument("--parallel", action="store_true",
+                    help="materialize the marts concurrently (they are "
+                         "independent — SURVEY.md §3; the reference's "
+                         "step_1 >> step_2 >> step_3 chain is convention)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -53,19 +57,36 @@ def main(argv: list[str] | None = None) -> None:
     cities = spark.read.schema(schemas.GEO_CITIES).parquet(args.cities)
 
     todo = set(args.marts.split(","))
+    jobs = []
     if "user" in todo:
-        write_parquet(R.user_mart(events, cities),
-                      os.path.join(args.out, "user_mart"))
+        jobs.append(("user_mart", lambda: write_parquet(
+            R.user_mart(events, cities),
+            os.path.join(args.out, "user_mart"))))
     if "zone" in todo:
-        write_parquet(R.zone_mart(events, cities),
-                      os.path.join(args.out, "zone_mart"))
+        jobs.append(("zone_mart", lambda: write_parquet(
+            R.zone_mart(events, cities),
+            os.path.join(args.out, "zone_mart"))))
     if "friends" in todo:
         on_date = read_events_partition(spark, args.events, args.date)
-        write_parquet(
+        jobs.append(("friend_recommendations", lambda: write_parquet(
             R.friend_recommendations(events, on_date, cities, args.max_km)
              .withColumn("processed_dttm", F.date_format("processed_dttm",
                                                          "yyyy-MM-dd HH:mm:ss")),
-            os.path.join(args.out, "friend_recommendations"))
+            os.path.join(args.out, "friend_recommendations"))))
+
+    if args.parallel and len(jobs) > 1:
+        # One session, one thread per materialization: Spark schedules the
+        # three write jobs' stages concurrently across the executor pool —
+        # the DAG-level parallelism the reference's sequential
+        # SparkSubmitOperator chain leaves on the table.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = {pool.submit(fn): name for name, fn in jobs}
+            for fut in futures:
+                fut.result()  # propagate the first failure
+    else:
+        for _, fn in jobs:
+            fn()
     print(f"done: {sorted(todo)} -> {args.out}")
 
 

@@ -156,3 +156,24 @@ def test_run_marts_cli(spark, geo_tables, tmp_path):
     # u2+u3 co-subscribed, never messaged, both at charlie on the 15th
     [rec] = friends.collect()
     assert (rec["user_left"], rec["user_right"]) == (3, 2)
+
+
+def test_run_marts_cli_parallel(spark, geo_tables, tmp_path):
+    # --parallel materializes the three independent marts from one session
+    # concurrently; outputs must be identical to the sequential run.
+    import sys
+    sys.path.insert(0, "scripts")
+    import run_marts
+
+    path, cities = geo_tables
+    cities_path = str(tmp_path / "cities_p")
+    cities.write.mode("overwrite").parquet(cities_path)
+    out = str(tmp_path / "marts_p")
+    run_marts.main(["--events", path, "--cities", cities_path,
+                    "--out", out, "--date", "2024-01-15", "--max-km", "100",
+                    "--parallel"])
+    user = spark.read.parquet(f"{out}/user_mart")
+    friends = spark.read.parquet(f"{out}/friend_recommendations")
+    assert user.count() == 3
+    [rec] = friends.collect()
+    assert (rec["user_left"], rec["user_right"]) == (3, 2)
