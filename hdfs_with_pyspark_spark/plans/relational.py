@@ -665,3 +665,33 @@ def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_name").contains("red"), "warm")
          .otherwise("other").alias("hue_class"),
         F.substring("p_type", 1, 3).alias("type_prefix"))
+
+
+# --------------------------------------------------------------------------
+# event_props_keyspace — MAP-typed column handling (the one container type
+# the reference never touches, SURVEY.md §1.3): parse the JSON props into
+# map<string,string> WITHOUT a declared per-key schema, explode the map to
+# (key, value) rows, aggregate per key. The schema-on-read map parse is
+# the right shape for a props bag whose keyspace drifts over time — new
+# keys appear in the output instead of being silently dropped by a
+# StructType.
+# --------------------------------------------------------------------------
+@register("event_props_keyspace", oracle="""
+SELECT k AS prop_key,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_events,
+       MIN(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_value,
+       MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_value
+FROM (SELECT unnest(json_keys(props)) AS k, props
+      FROM events WHERE props IS NOT NULL)
+GROUP BY k
+""")
+def event_props_keyspace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    kv = (ev.where(F.col("props").isNotNull())
+            .select(F.explode(
+                F.from_json("props", "map<string,string>")).alias("prop_key", "v")))
+    return (kv.groupBy("prop_key")
+              .agg(F.count("*").alias("n_events"),
+                   F.min(F.col("v").cast("long")).alias("min_value"),
+                   F.max(F.col("v").cast("long")).alias("max_value")))
