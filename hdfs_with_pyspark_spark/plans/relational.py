@@ -695,3 +695,29 @@ def event_props_keyspace(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count("*").alias("n_events"),
                    F.min(F.col("v").cast("long")).alias("min_value"),
                    F.max(F.col("v").cast("long")).alias("max_value")))
+
+
+# --------------------------------------------------------------------------
+# pricing_totals_exact — DECIMAL aggregation (the reference sums doubles;
+# SURVEY.md §1.3 lists decimal as unused). Money sums in decimal(12,2)
+# are EXACT and associative, so the result needs no ROUND and cannot
+# depend on partition merge order — the type to use for financial
+# aggregates at any scale. (AVG is deliberately absent: engines disagree
+# on the result scale of decimal division; exact sums + counts are the
+# portable surface.)
+# --------------------------------------------------------------------------
+@register("pricing_totals_exact", oracle="""
+SELECT l_returnflag,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+       SUM(CAST(l_quantity AS DECIMAL(12,2)))      AS sum_qty,
+       CAST(COUNT(*) AS BIGINT)                    AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def pricing_totals_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
+                   F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+                   F.count("*").alias("n_items")))
