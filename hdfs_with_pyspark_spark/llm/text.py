@@ -341,3 +341,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "term", "tf",
                       F.round(score, 6).alias("tfidf"),
                       F.col("rank").cast("long").alias("rank")))
+
+
+# --------------------------------------------------------------------------
+# corpus_sample_stratified — reproducible sampling, the curation primitive
+# df.sample cannot provide: Spark's sample() draws per-partition, so the
+# selected set changes with partitioning/parallelism. Hashing the KEY
+# instead (md5 -> bucket in [0,100)) makes the sample a pure function of
+# the data — stable across cluster sizes, re-runs, and engines — and
+# stratification is just a per-group rate map. Oracle replicates the
+# identical hash arithmetic, so the sampled sets match row for row.
+# --------------------------------------------------------------------------
+SAMPLE_RATES = {"en": 20, "de": 50, "fr": 50}   # percent, by lang
+SAMPLE_DEFAULT_RATE = 10
+
+_SQL_RATE = ("CASE lang " +
+             " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()) +
+             f" ELSE {SAMPLE_DEFAULT_RATE} END")
+
+
+@register("corpus_sample_stratified", oracle=f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+               AS bucket
+      FROM documents)
+WHERE bucket < {_SQL_RATE}
+""")
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+         .cast("long"), F.lit(100))
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, pct in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (docs.withColumn("__bucket", bucket)
+                .where(F.col("__bucket") < rate)
+                .select("doc_id", "lang"))
