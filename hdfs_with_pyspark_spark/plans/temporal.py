@@ -322,3 +322,30 @@ def user_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (events.groupBy("user_id")
             .cogroup(orders.groupBy("user_id"))
             .applyInPandas(merge, out_schema))
+
+
+# --------------------------------------------------------------------------
+# revenue_cube — CUBE completes the grouping-sets family (rollup above):
+# all four (status, priority) marginal combinations in ONE hash aggregate
+# with grouping-set expansion — map-side partial, single shuffle, vs four
+# separate groupBys + union each rescanning the fact.
+# --------------------------------------------------------------------------
+@register("revenue_cube", oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT)         AS n_orders,
+       ROUND(SUM(o_totalprice), 2)      AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "gid", "n_orders", "revenue"))
