@@ -380,3 +380,32 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.withColumn("__bucket", bucket)
                 .where(F.col("__bucket") < rate)
                 .select("doc_id", "lang"))
+
+
+# --------------------------------------------------------------------------
+# corpus_source_stats — per-(source, lang) corpus health: volume, exact-dup
+# rate, and metadata-consistency audit (stored n_chars vs actual text
+# length — the standard "trust but verify" check on crawler-provided
+# metadata). One hash aggregate; count distinct of the text hash is the
+# only extra exchange.
+# --------------------------------------------------------------------------
+@register("corpus_source_stats", oracle="""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chars_mismatches,
+       ROUND(AVG(length(text)), 2) AS avg_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+FROM documents
+GROUP BY source, lang
+""")
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source", "lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum((F.col("n_chars") != F.length("text")).cast("long"))
+                      .alias("n_chars_mismatches"),
+                     F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+                     (F.count("*") - F.count_distinct(F.md5("text")))
+                      .alias("n_exact_dups")))
