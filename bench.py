@@ -33,6 +33,8 @@ HEADLINE = [
     "friend_recommendations",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "corpus_curation",
+    "corpus_sample_stratified",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "doc_fingerprint",
