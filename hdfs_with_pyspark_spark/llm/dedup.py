@@ -534,3 +534,47 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdict.select("doc_id",
                           F.col("drop_reason").isNull().alias("keep"),
                           "drop_reason")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup — the ingestion-time shape: an arriving batch is
+# checked against the EXISTING corpus via its persisted MinHash band
+# store, so per-batch cost is O(|batch| + matched candidates) and the
+# corpus is never recomputed. At 100 TB the band store is the only state
+# (~32 longs per doc), bucket-partitioned on (band, bkey) so the probe
+# is a co-located join.
+# --------------------------------------------------------------------------
+def minhash_band_store(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) band store for a corpus — the persisted state
+    an incremental pipeline maintains (append new batches' bands after
+    each ingest)."""
+    shh = _shingle_hashes(docs)
+    sig = shh.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
+          for j, (a, b) in enumerate(MINHASH_PARAMS)])
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh{i * MINHASH_ROWS + r}").cast("string")
+                               for r in range(MINHASH_ROWS)]).alias("bkey"))
+        for i in range(MINHASH_BANDS)]
+    return (sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+               .select("doc_id", "b.band", "b.bkey"))
+
+
+def dedup_incremental(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """New-batch docs that LSH-collide with the existing corpus.
+
+    Returns (new_doc_id, corpus_doc_id) candidate pairs — the batch's
+    bands equi-join the band store; verification (exact Jaccard against
+    the matched corpus docs' shingles) proceeds exactly as in
+    dedup_minhash_lsh and touches only the matched docs.
+    """
+    new_bands = minhash_band_store(new_docs)
+    return (new_bands.alias("n")
+            .join(corpus_bands.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.bkey") == F.col("c.bkey")))
+            .select(F.col("n.doc_id").alias("new_doc_id"),
+                    F.col("c.doc_id").alias("corpus_doc_id"))
+            .distinct())

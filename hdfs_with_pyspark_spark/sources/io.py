@@ -140,3 +140,38 @@ def write_orc(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_parquet(spark: SparkSession, path: str, out: str,
+                    target_file_mb: int = 128) -> int:
+    """Rewrite a parquet directory into ~target_file_mb files.
+
+    The small-files problem is the classic operational failure of
+    incremental pipelines (every micro-batch appends a sliver; a year
+    later the table has 10^6 files and planning time dwarfs I/O).
+    Compaction = read -> repartition to ceil(bytes/target) -> rewrite.
+    Sizes come from the source file listing (no data pass). Returns the
+    number of output partitions chosen.
+
+    At real scale run this per Hive partition (compact the cold ones,
+    leave the hot one growing) — composable with write_parquet's
+    partition_by.
+    """
+    import math
+    import os as _os
+
+    df = spark.read.parquet(path)
+    files = [f[len("file:"):] if f.startswith("file:") else f
+             for f in df.inputFiles()]
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f)
+        except OSError:  # non-local FS: fall back to Spark's own estimate
+            total = 0
+            break
+    if total <= 0:
+        total = int(spark.conf.get("spark.sql.files.maxPartitionBytes")) * len(files)
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df.repartition(n).write.mode("overwrite").parquet(out)
+    return n

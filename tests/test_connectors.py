@@ -128,3 +128,17 @@ def test_json_corrupt_record_capture(spark, tmp_path):
     bad = df.where(F.col("_corrupt_record").isNotNull())
     assert good.count() == 2 and bad.count() == 1
     assert "oops" in bad.first()["_corrupt_record"]
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    import glob
+    from hdfs_with_pyspark_spark.sources.io import compact_parquet
+    # Simulate micro-batch sliver accumulation: 40 tiny files.
+    src = str(tmp_path / "slivers")
+    read_table(spark, sf_dir, "orders").repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 40
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_mb=128)
+    assert n == 1  # a few MB of data -> one file at a 128 MB target
+    assert len(glob.glob(f"{out}/part-*")) == 1
+    assert rows(spark.read.parquet(out)) == rows(spark.read.parquet(src))

@@ -208,3 +208,34 @@ def test_corpus_curation_verdicts(spark, monkeypatch):
     assert out[5] == (False, "short")
     # invariant: keep <=> no drop reason
     assert all((reason is None) == keep for keep, reason in out.values())
+
+
+def test_incremental_dedup_matches_batch_recompute(spark):
+    # Incremental probe (new batch vs corpus band store) must find exactly
+    # the cross-set candidates that a full-corpus recompute finds.
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet green field today")
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "an unrelated corpus document with other words")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, base), (101, "novel content sharing nothing at all")],
+        "doc_id long, text string")
+    store = dd.minhash_band_store(corpus)
+    got = {(r["new_doc_id"], r["corpus_doc_id"])
+           for r in dd.dedup_incremental(new, store).collect()}
+    # full recompute over corpus+new, keeping only cross-set pairs
+    both = corpus.unionByName(new)
+    full_bands = dd.minhash_band_store(both)
+    full = (full_bands.alias("a")
+            .join(full_bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bkey") == F.col("b.bkey"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+            .distinct().collect())
+    cross = {(max(r["x"], r["y"]), min(r["x"], r["y"]))
+             for r in full if (r["x"] >= 100) != (r["y"] >= 100)}
+    assert got == cross
+    assert (100, 0) in got          # identical text collides in every band
+    assert all(c != 101 for c, _ in got)  # novel doc matches nothing
