@@ -177,3 +177,26 @@ def test_run_marts_cli_parallel(spark, geo_tables, tmp_path):
     assert user.count() == 3
     [rec] = friends.collect()
     assert (rec["user_left"], rec["user_right"]) == (3, 2)
+
+
+def test_marts_on_empty_events(spark, geo_tables):
+    # Operators must degrade to empty results — not crash — on an empty
+    # (but schema-complete) event table: the day-one / empty-partition
+    # case every incremental pipeline hits.
+    _, cities = geo_tables
+    empty = spark.createDataFrame([], schemas.GEO_EVENTS)
+    assert R.user_mart(empty, cities).count() == 0
+    assert R.zone_mart(empty, cities).count() == 0
+    assert R.friend_recommendations(empty, empty, cities, 100.0).count() == 0
+
+
+def test_nearest_city_null_coords_keep_rows(spark, geo_tables):
+    # NULL coordinates must pass through with NULL city, not be dropped:
+    # the zone mart depends on that contract for its geo backfill.
+    from hdfs_with_pyspark_spark.operators.spatial import nearest_city
+    _, cities = geo_tables
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, None)],
+        "id long, lat double, lon double")
+    out = {r["id"]: r["city"] for r in nearest_city(df, cities).collect()}
+    assert out[1] is not None and out[2] is None
