@@ -142,3 +142,19 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     assert n == 1  # a few MB of data -> one file at a 128 MB target
     assert len(glob.glob(f"{out}/part-*")) == 1
     assert rows(spark.read.parquet(out)) == rows(spark.read.parquet(src))
+
+
+def test_observe_quality_metrics_in_one_pass(spark, sf_dir, tmp_path):
+    # Quality counters ride the job's own pass (df.observe): after the
+    # write action the Observation holds row/null/domain counts — no
+    # second scan. The standard ingestion-gate instrumentation at scale.
+    from hdfs_with_pyspark_spark.functions.quality import observe_quality
+    from hdfs_with_pyspark_spark.functions.geo import with_synth_event_coords
+    ev = with_synth_event_coords(read_table(spark, sf_dir, "events"))
+    inst, obs = observe_quality(ev, null_cols=["lat"],
+                                domain={"value": (0.0, 1e9)})
+    inst.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    stats = obs.get
+    assert stats["n_rows"] == ev.count()
+    assert stats["n_null_lat"] == ev.where(F.col("lat").isNull()).count()
+    assert stats["n_out_of_range_value"] >= 0
