@@ -84,6 +84,30 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving sibling partitions untouched.
+
+    The incremental-mart write primitive: a daily job recomputes one
+    ``date=`` partition and overwrites it in place; static overwrite mode
+    (the default) would instead truncate the WHOLE table — the classic
+    production data-loss foot-gun this wrapper exists to prevent. The
+    conf is set per-write and restored, so batch jobs sharing the session
+    keep static semantics.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "DYNAMIC")
+    try:
+        (df.write.mode("overwrite")
+           .partitionBy(*partition_by)
+           .parquet(path))
+    finally:
+        spark.conf.set(key, prev)
+
+
 # --------------------------------------------------------------------------
 # CSV / JSON(L) connectors — beyond the reference (it is parquet-only,
 # SURVEY.md §2.1 "no other formats/connectors exist"). Both readers demand

@@ -158,3 +158,28 @@ def test_observe_quality_metrics_in_one_pass(spark, sf_dir, tmp_path):
     assert stats["n_rows"] == ev.count()
     assert stats["n_null_lat"] == ev.where(F.col("lat").isNull()).count()
     assert stats["n_out_of_range_value"] >= 0
+
+
+def test_overwrite_partitions_leaves_siblings_intact(spark, sf_dir, tmp_path):
+    # Dynamic partition overwrite replaces only the partitions present in
+    # the incoming frame; static overwrite (the default) would truncate
+    # the whole table — the incremental-mart data-loss foot-gun.
+    from hdfs_with_pyspark_spark.sources.io import overwrite_partitions, write_parquet
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate"))
+    out = str(tmp_path / "marts_dyn")
+    write_parquet(orders, out, partition_by=["o_year"])
+    before = spark.read.parquet(out)
+    n_1996 = before.where(F.col("o_year") == 1996).count()
+    n_other = before.where(F.col("o_year") != 1996).count()
+    # "recompute" 1996 with a marker change and overwrite just that slice
+    patch = (orders.where(F.col("o_year") == 1996)
+                   .withColumn("o_orderpriority", F.lit("RECOMPUTED")))
+    overwrite_partitions(patch, out, ["o_year"])
+    after = spark.read.parquet(out)
+    assert after.where(F.col("o_year") != 1996).count() == n_other
+    got_1996 = after.where(F.col("o_year") == 1996)
+    assert got_1996.count() == n_1996
+    assert got_1996.select("o_orderpriority").distinct().collect()[0][0] == "RECOMPUTED"
+    # session conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
