@@ -212,3 +212,49 @@ def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count("*").alias("n_blobs"),
                       F.sum("meta.n_bytes").alias("total_bytes"),
                       F.max("meta.n_bytes").alias("max_bytes")))
+
+
+# --------------------------------------------------------------------------
+# multimodal_byte_entropy — the mapInArrow surface: batches arrive as
+# pyarrow RecordBatches and stay columnar end to end (no pandas
+# conversion, no per-row Python), the lowest-overhead Python boundary
+# Spark offers. Per blob: byte count and a deterministic "spread" proxy
+# (distinct byte values used) — the cheap pre-decode screen a media
+# pipeline runs to drop degenerate payloads before invoking real codecs.
+# --------------------------------------------------------------------------
+def _byte_stats_batches(batches):
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column("doc_id")
+        blobs = batch.column("blob").to_pylist()
+        n_bytes = [len(b) for b in blobs]
+        n_distinct = [len(set(b)) for b in blobs]
+        yield pa.RecordBatch.from_arrays(
+            [ids,
+             pa.array(n_bytes, type=pa.int64()),
+             pa.array(n_distinct, type=pa.int64())],
+            names=["doc_id", "n_bytes", "n_distinct_bytes"])
+
+
+# Oracle note: the SQL twin counts distinct CHARACTERS; the testdata
+# corpus is pure ASCII so characters == bytes. Non-ASCII corpora would
+# need a bytes-level oracle (DuckDB lacks blob unnest).
+@register("multimodal_byte_entropy", oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(len(list_distinct(unnest_agg.lst)) AS BIGINT) AS n_distinct_bytes
+FROM (SELECT doc_id, text,
+             string_split(text, '') AS lst
+      FROM documents) AS unnest_agg
+""")
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import pyspark.sql.types as T2
+    out_schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("n_bytes", T2.LongType()),
+        T2.StructField("n_distinct_bytes", T2.LongType()),
+    ])
+    blobs = as_blobs(read_table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    return blobs.mapInArrow(_byte_stats_batches, out_schema)
