@@ -239,3 +239,24 @@ def test_incremental_dedup_matches_batch_recompute(spark):
     assert got == cross
     assert (100, 0) in got          # identical text collides in every band
     assert all(c != 101 for c, _ in got)  # novel doc matches nothing
+
+
+def test_stratified_sample_invariant_under_partitioning(spark, monkeypatch):
+    # The whole point of hash-bucket sampling: the selected set is a pure
+    # function of the data, identical under any partitioning — which
+    # df.sample cannot guarantee.
+    from hdfs_with_pyspark_spark.llm import text as tx
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", ["en", "de", "fr", "ja"][i % 4]) for i in range(400)],
+        "doc_id long, text string, lang string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs.repartition(3))
+    a = {r["doc_id"] for r in tx.corpus_sample_stratified(spark, "x").collect()}
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs.repartition(17))
+    b = {r["doc_id"] for r in tx.corpus_sample_stratified(spark, "x").collect()}
+    assert a == b and len(a) > 0
+    # stratification: de-rate (50%) should select more than the ja
+    # default rate (10%) on equal-sized strata
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    n_de = sum(1 for d in a if langs[d] == "de")
+    n_ja = sum(1 for d in a if langs[d] == "ja")
+    assert n_de > n_ja
