@@ -157,3 +157,17 @@ def test_having_aggregates_before_join_back(spark, sf_dir):
                    plan.index("BroadcastHashJoin") if "BroadcastHashJoin" in plan else 1 << 30)
     assert join_pos < agg_pos
     assert "partial_sum" in plan
+
+
+def test_gridded_spatial_join_is_equi_join(spark, sf_dir):
+    # The grid variant's whole point: the O(N x C) cross product becomes
+    # a hash/sort-merge EQUI-join on the packed cell id. No nested-loop
+    # join may appear on the matched path (the broadcast fallback for
+    # boundary rows is a BroadcastNestedLoopJoin by design, so assert the
+    # cell join specifically).
+    plan = explain(spark, "geo_city_event_counts_gridded", sf_dir)
+    # formatted explain prints join keys on their own detail line
+    assert re.search(r"Left keys \[1\]: \[__cell", plan)
+    assert n_nodes(plan, "BroadcastHashJoin") + n_nodes(plan, "SortMergeJoin") \
+           + n_nodes(plan, "ShuffledHashJoin") >= 1
+    assert "CartesianProduct" not in plan
