@@ -721,3 +721,32 @@ def pricing_totals_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
                    F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
                    F.count("*").alias("n_items")))
+
+
+# --------------------------------------------------------------------------
+# segment_balance_span — first_value / last_value over an explicit
+# whole-partition frame (the last §2.5-absent window functions): each
+# customer row carries its segment's poorest and richest customer. The
+# default frame (unbounded preceding -> current row) would make
+# last_value degenerate; the explicit full frame is the classic gotcha
+# this query pins.
+# --------------------------------------------------------------------------
+@register("segment_balance_span", oracle="""
+SELECT c_custkey, c_mktsegment,
+       FIRST_VALUE(c_custkey) OVER w AS poorest_custkey,
+       LAST_VALUE(c_custkey)  OVER w AS richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def segment_balance_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+        F.last("c_custkey").over(w).alias("richest_custkey"))
