@@ -750,3 +750,54 @@ def segment_balance_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment",
         F.first("c_custkey").over(w).alias("poorest_custkey"),
         F.last("c_custkey").over(w).alias("richest_custkey"))
+
+
+# --------------------------------------------------------------------------
+# local_supplier_revenue — full TPC-H Q5 shape: a SIX-table star join
+# (region -> nation -> customer -> orders -> lineitem -> supplier) with
+# the correlated "local supplier" predicate (supplier in the customer's
+# nation). The join-order story: every dimension chain
+# (region/nation/customer, supplier) broadcasts; only the orders-lineitem
+# fact-fact join shuffles, and the region filter prunes the broadcast
+# chain before it touches either fact.
+# --------------------------------------------------------------------------
+@register("local_supplier_revenue", oracle="""
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""")
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (read_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    dims = (nation.join(F.broadcast(region),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+                  .select("n_nationkey", "n_name"))
+    cust = customer.join(F.broadcast(dims),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(supplier),
+                    (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("s_nationkey") == F.col("c_nationkey")))
+              .groupBy(F.col("n_name").alias("nation"))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
