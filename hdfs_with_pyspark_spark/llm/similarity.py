@@ -377,3 +377,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.expr(_sql_dot_cols("va", "vb"))
                              / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
              .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
+# embedding_quantize — per-vector int8 scalar quantization, the storage
+# path for 100 TB embedding stores (4x smaller than float32; recall loss
+# bounded by per-vector range). q[i] = round((v[i] - min) / (max - min)
+# * 254) - 127, with (min, max, scale) kept for dequantization. Emitted
+# long-form (vec_id, dim, q) so the oracle compares elementwise; the
+# row-wise min/max/round arithmetic is integer-exact across engines.
+# --------------------------------------------------------------------------
+@register("embedding_quantize", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v),
+e AS (SELECT vec_id, lo, hi, unnest(v) AS x,
+             generate_subscripts(v, 1) - 1 AS dim
+      FROM b)
+SELECT vec_id,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(CASE WHEN hi = lo THEN 0
+                 ELSE ROUND((x - lo) / (hi - lo) * 254) - 127
+            END AS BIGINT) AS q
+FROM e
+""")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    b = v.select("vec_id", "v",
+                 F.array_min("v").alias("lo"), F.array_max("v").alias("hi"))
+    kv = b.select("vec_id", "lo", "hi",
+                  F.posexplode("v").alias("dim", "x"))
+    q = (F.when(F.col("hi") == F.col("lo"), F.lit(0))
+          .otherwise(F.round((F.col("x") - F.col("lo"))
+                             / (F.col("hi") - F.col("lo")) * 254) - 127))
+    return kv.select("vec_id", F.col("dim").cast("long").alias("dim"),
+                     q.cast("long").alias("q"))
