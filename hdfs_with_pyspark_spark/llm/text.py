@@ -409,3 +409,23 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
                      (F.count("*") - F.count_distinct(F.md5("text")))
                       .alias("n_exact_dups")))
+
+
+# --------------------------------------------------------------------------
+# text_normalize — the standard pre-tokenization cleanup stage: lowercase,
+# strip non-alphanumerics, collapse runs of whitespace, trim. Pure
+# map-side regex work; at 100 TB this fuses into the same scan stage as
+# whatever consumes it (zero extra passes).
+# --------------------------------------------------------------------------
+@register("text_normalize", oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS text_clean
+FROM documents
+""")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
+    return docs.select("doc_id", clean.alias("text_clean"))
