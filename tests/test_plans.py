@@ -171,3 +171,15 @@ def test_gridded_spatial_join_is_equi_join(spark, sf_dir):
     assert n_nodes(plan, "BroadcastHashJoin") + n_nodes(plan, "SortMergeJoin") \
            + n_nodes(plan, "ShuffledHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_zone_mart_assigns_zones_per_group_not_per_row(spark, sf_dir):
+    # Reference O4 (pre-aggregate before the expensive nearest-city
+    # assignment — Catalyst will not invent agg-through-join pushdown):
+    # the argmin expression must be evaluated in the AGGREGATE's result
+    # projection, i.e. once per (week, month, type, coords) group, never
+    # per event row. The fused plan shows least(named_struct...) on the
+    # same node line as the aggregate's count(1) result.
+    plan = explain(spark, "zone_mart", sf_dir)
+    assert any("least(named_struct" in ln and "count(1)" in ln
+               for ln in plan.splitlines())
