@@ -177,8 +177,11 @@ def zone_mart(events: DataFrame, cities: DataFrame) -> DataFrame:
                     F.month("ts").alias("month"),
                     "event_type", "lat", "lon")
            .agg(F.count("*").alias("n")))
+    # Persist: three consumers (weekly pivot, monthly pivot, spine) would
+    # otherwise recompute scan -> backfill join -> pre-agg -> argmin —
+    # the reference's C1 cache on the same frame (project_step_2.py:55).
     zoned = nearest_city(pre, _cities(cities)).select(
-        "week", "month", "event_type", "city_id", "n")
+        "week", "month", "event_type", "city_id", "n").persist()
 
     weekly = (zoned.groupBy("month", "week", "city_id")
                    .pivot("event_type", EVENT_TYPES).agg(F.sum("n")))
