@@ -50,18 +50,20 @@ def gen_data(spark, out_events: str, out_cities: str, n_events: int) -> None:
            .cast("timestamp") + F.expr("INTERVAL 12 HOURS"))
     lat = -44.0 + ((F.col("u") * 37 + F.col("mid") * 13) % 3400) / 100.0
     lon = 112.0 + ((F.col("u") * 59 + F.col("mid") * 17) % 4200) / 100.0
+    is_sub = (F.col("mid") % 10) == 0   # every 10th event is a subscription
     events = base.select(
         F.struct(
-            F.col("u").alias("message_from"),
-            ((F.col("u") + 1) % users).alias("message_to"),
-            F.col("mid").alias("message_id"),
-            ts.alias("message_ts"),
+            F.when(~is_sub, F.col("u")).alias("message_from"),
+            F.when(~is_sub, (F.col("u") + 1 + F.col("mid") % 7) % users)
+             .alias("message_to"),
+            F.when(~is_sub, F.col("mid")).alias("message_id"),
+            F.when(~is_sub, ts).alias("message_ts"),
             ts.alias("datetime"),
             F.lit(None).cast("long").alias("reaction_from"),
-            F.lit(None).cast("long").alias("user"),
-            F.lit(None).cast("long").alias("subscription_channel"),
+            F.when(is_sub, F.col("u")).alias("user"),
+            F.when(is_sub, F.col("u") % 100).alias("subscription_channel"),
         ).alias("event"),
-        F.lit("message").alias("event_type"),
+        F.when(is_sub, "subscription").otherwise("message").alias("event_type"),
         lat.alias("lat"),
         lon.alias("lon"),
         F.date_format(ts, "yyyy-MM-dd").alias("date"))
@@ -142,6 +144,36 @@ def main() -> None:
             os.path.join(args.workdir, "my_zone"))
         spark.catalog.clearCache()
 
+    import project_step_3 as ref3            # noqa: E402
+    the_date = "2022-04-15"
+    max_km = 300.0
+
+    # NOTE on step 3: timings are comparable, results are not identical —
+    # this engine fixes the reference's user_right self-pairing bug
+    # (project_step_3.py:134, SURVEY.md §2.12) and uses deterministic
+    # tie-breaks, so the pair sets differ slightly by design.
+    def ref_friends():
+        ev = ref3.read_events_geo(ev_path, spark)
+        subs = ref3.subscribers(ev)
+        comm = ref3.communicating_subscribers(ev, subs)
+        on_date = ref3.read_events_geo_date(ev_path, the_date, spark)
+        cand = ref3.possible_subscribers_to_communicate(
+            subs, comm, on_date, the_date, max_km)
+        cities = ref3.read_city_geo(city_path, spark)
+        out = ref3.define_possible_subscribers_to_communicate_with_zone(cities, cand)
+        out.write.mode("overwrite").parquet(os.path.join(args.workdir, "ref_friends"))
+        spark.catalog.clearCache()
+
+    def my_friends():
+        from hdfs_with_pyspark_spark.sources.io import (
+            read_events_partition, read_geo_events)
+        ev = read_geo_events(spark, ev_path)
+        on_date = read_events_partition(spark, ev_path, the_date)
+        cities = spark.read.parquet(city_path)
+        mine.friend_recommendations(ev, on_date, cities, max_km) \
+            .write.mode("overwrite").parquet(os.path.join(args.workdir, "my_friends"))
+        spark.catalog.clearCache()
+
     result = {
         "n_events": args.events,
         "runs_per_side": args.runs,
@@ -149,8 +181,11 @@ def main() -> None:
                       "engine_sec": timed(my_user_mart, args.runs)},
         "zone_mart": {"reference_sec": timed(ref_zone_mart, args.runs),
                       "engine_sec": timed(my_zone_mart, args.runs)},
+        "friend_recommendations": {
+            "reference_sec": timed(ref_friends, args.runs),
+            "engine_sec": timed(my_friends, args.runs)},
     }
-    for k in ("user_mart", "zone_mart"):
+    for k in ("user_mart", "zone_mart", "friend_recommendations"):
         r, m = result[k]["reference_sec"], result[k]["engine_sec"]
         result[k]["speedup"] = round(r / m, 2) if m else None
     print(json.dumps(result))
