@@ -16,10 +16,12 @@ operators:
     (brute-force half-matrix here; at scale the same verify runs behind
     the LSH bucket join).
 
-All vector math is Column expressions over array<double> (floats upcast
-first so both engines do identical IEEE-double arithmetic):
-``zip_with`` for the elementwise product, ``aggregate`` for the fold.
-Ranking/thresholding always uses ROUND(cos, 6) so last-ulp summation
+All vector math is pure SQL expressions over array<double> (floats
+upcast first so both engines do identical IEEE-double arithmetic): dots
+are unrolled element_at sums emitted as SQL text — one JVM-side parse,
+whole-stage codegen, and the exact left-associative summation order of a
+sequential fold — with each vector's norm computed once and carried as a
+column. Ranking/thresholding always uses ROUND(cos, 6) so last-ulp
 differences between engines cannot flip an order or a threshold.
 
 At 100 TB: the brute-force path is O(|Q| x |corpus|) with the query side
