@@ -23,7 +23,12 @@ from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
     ORACLES,
     QUERIES,
     ensure_session,
+    finalize_order,
 )
+
+# The driver's correctness gate reads the first N registered queries:
+# pin the capability-priority order (see registry.DRIVER_PRIORITY).
+finalize_order()
 
 FLAGSHIP = "geo_city_event_counts"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

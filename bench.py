@@ -33,6 +33,8 @@ HEADLINE = [
     "friend_recommendations",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_incremental",
+    "dedup_embedding_lsh",
     "corpus_curation",
     "corpus_sample_stratified",
     "ann_topk_lsh",

@@ -32,7 +32,6 @@ from hdfs_with_pyspark_spark.llm.textops import (
     MINHASH_PARAMS,
     MINHASH_ROWS,
     hash31,
-    hash64,
     tokens,
 )
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
@@ -130,10 +129,14 @@ FROM documents
 """)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
+    # Canon key is the FULL 128-bit md5 (not the 60-bit hash64 prefix):
+    # at billion-doc scale the birthday bound on 60 bits (~2^30) makes
+    # false-positive merges expected; 128 bits keeps the shuffle key at
+    # 32 bytes and removes the collision window.
     docs = read_table(spark, sf_dir, "documents")
-    w = (docs.select(hash64(F.col("text")).alias("th"), "doc_id")
+    w = (docs.select(F.md5(F.col("text")).alias("th"), "doc_id")
              .groupBy("th").agg(F.min("doc_id").alias("canonical_id")))
-    return (docs.select("doc_id", hash64(F.col("text")).alias("th"))
+    return (docs.select("doc_id", F.md5(F.col("text")).alias("th"))
                 .join(w, "th")
                 .select("doc_id", "canonical_id",
                         (F.col("doc_id") != F.col("canonical_id")).alias("is_dup")))
@@ -169,9 +172,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
 
 
-def _jaccard_pairs(shh: DataFrame) -> DataFrame:
+def _jaccard_pairs(shh: DataFrame, df_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard_raw) pairs with exact 3-gram Jaccard >=
-    threshold, via the inverted-index co-occurrence join."""
+    threshold, via the inverted-index co-occurrence join.
+
+    ``df_cap`` is the hot-shingle mitigation: shingles occurring in more
+    than ``df_cap`` documents are dropped from the index AND from the
+    per-doc set sizes before anything joins (one extra groupBy + one
+    anti-join), so the co-occurrence join's per-key fan-out is bounded by
+    df_cap^2 instead of corpus^2 on stop-phrase shingles. Jaccard is then
+    computed over the capped shingle universe — on non-skewed corpora
+    (no shingle above the cap) results are IDENTICAL to the uncapped run
+    (equivalence-tested in tests/test_llm.py)."""
+    if df_cap is not None:
+        hot = (shh.groupBy("h").agg(F.count("*").alias("df"))
+                  .where(F.col("df") > df_cap).select("h"))
+        shh = shh.join(hot, "h", "left_anti")
     counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
     co = (shh.alias("a")
              .join(shh.alias("b"),
@@ -187,6 +203,41 @@ def _jaccard_pairs(shh: DataFrame) -> DataFrame:
            .withColumn("jaccard_raw",
                        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
     return j.where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard_capped — the PRODUCTION variant of the above: hot
+# shingles (document frequency > SHINGLE_DF_CAP) are dropped before the
+# inverted-index join. At 100 TB a stop-phrase shingle ("in the of")
+# appears in ~every doc and its join key alone is corpus^2; the cap turns
+# that worst case into df_cap^2 while real near-dups (which share many
+# LOW-frequency shingles) keep their verdicts. The cap BITES on this
+# corpus (max shingle df = 7 > cap) so the oracle proves the capped
+# semantics, not a no-op.
+# --------------------------------------------------------------------------
+SHINGLE_DF_CAP = 5
+
+
+@register("dedup_ngram_jaccard_capped", oracle=f"""
+WITH {_sql_shingles()},
+hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > {SHINGLE_DF_CAP}),
+shc AS (SELECT doc_id, h FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+n AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM co
+JOIN n na ON na.doc_id = doc_a
+JOIN n nb ON nb.doc_id = doc_b
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+""")
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    return _jaccard_pairs(shh, df_cap=SHINGLE_DF_CAP).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
 
 
 # --------------------------------------------------------------------------
@@ -430,6 +481,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")).persist())
     labels.count()  # materialize before the loop
+    changed = 0
     for _ in range(25):
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("node", "b"), "b")
@@ -447,6 +499,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # Chain-shaped components with diameter > 25 would exit here with
+        # labels short of the fixpoint — surface it rather than letting
+        # un-converged output masquerade as correct.
+        import warnings
+        warnings.warn(
+            f"dedup_components: min-label propagation hit the round cap "
+            f"with {changed} labels still changing; output is NOT a "
+            f"fixpoint (component diameter exceeds the cap)",
+            RuntimeWarning, stacklevel=2)
     w = Window.partitionBy("component_id")
     return (labels
             .select(F.col("node").alias("doc_id"),
@@ -512,10 +574,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").persist()
     short = F.size(tokens(F.col("text"))) < MIN_TOKENS
 
-    canon = (docs.select("doc_id", hash64(F.col("text")).alias("th"))
+    # Full md5 canon key — same collision rationale as dedup_exact; the
+    # oracle groups on md5(text) and now so do we, bit for bit.
+    canon = (docs.select("doc_id", F.md5(F.col("text")).alias("th"))
                  .groupBy("th").agg(F.min("doc_id").alias("canon")))
     with_exact = (docs.select("doc_id", "text",
-                              hash64(F.col("text")).alias("th"))
+                              F.md5(F.col("text")).alias("th"))
                       .join(canon, "th")
                       .withColumn("is_exact_dup", F.col("doc_id") != F.col("canon")))
 
@@ -578,3 +642,75 @@ def dedup_incremental(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFrame
             .select(F.col("n.doc_id").alias("new_doc_id"),
                     F.col("c.doc_id").alias("corpus_doc_id"))
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental (registered) — the full ingestion-time pass, end to
+# end: corpus docs (doc_id >= INCR_BATCH_MAX_ID) build the band store,
+# which round-trips through a parquet sink exactly as a nightly ingest
+# would persist it; the arriving batch (doc_id < INCR_BATCH_MAX_ID)
+# probes the re-read store; candidate pairs get the exact-Jaccard verify
+# — computed ONLY over the batch + matched corpus docs (a semi-join
+# reduction), never the whole corpus. Per-batch cost is O(|batch| +
+# candidates); the corpus contributes 32 longs per doc of state and is
+# never re-shingled.
+# --------------------------------------------------------------------------
+INCR_BATCH_MAX_ID = 150  # ~10 of the planted near-dup pairs cross this split
+
+
+@register("dedup_incremental", oracle=f"""
+WITH {_sql_shingles()},
+params(j, a, b) AS (VALUES {_SQL_PARAMS}),
+mh AS (SELECT doc_id, j, MIN((a * h + b) % {MERSENNE31}) AS mh
+       FROM shh CROSS JOIN params GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // {MINHASH_ROWS} AS band,
+                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+          FROM mh GROUP BY doc_id, j // {MINHASH_ROWS}),
+cand AS (SELECT DISTINCT nb.doc_id AS new_doc_id, cb.doc_id AS corpus_doc_id
+         FROM bands nb JOIN bands cb ON nb.band = cb.band AND nb.bkey = cb.bkey
+         WHERE nb.doc_id < {INCR_BATCH_MAX_ID}
+           AND cb.doc_id >= {INCR_BATCH_MAX_ID}),
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (SELECT new_doc_id, corpus_doc_id, count(*) AS inter
+          FROM cand
+          JOIN shh a ON a.doc_id = new_doc_id
+          JOIN shh b ON b.doc_id = corpus_doc_id AND b.h = a.h
+          GROUP BY 1, 2)
+SELECT new_doc_id, corpus_doc_id,
+       ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM inter
+JOIN n na ON na.doc_id = new_doc_id
+JOIN n nb ON nb.doc_id = corpus_doc_id
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+""")
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import os
+
+    from hdfs_with_pyspark_spark.sources.io import write_parquet
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") < INCR_BATCH_MAX_ID)
+    corpus = docs.where(F.col("doc_id") >= INCR_BATCH_MAX_ID)
+
+    # Persist + re-read the corpus band store through the parquet sink —
+    # the state a real incremental pipeline maintains between ingests.
+    store_path = os.path.join("spark-warehouse",
+                              f"band_store_{os.path.basename(os.path.normpath(sf_dir))}")
+    write_parquet(minhash_band_store(corpus), store_path)
+    store = spark.read.parquet(store_path)
+
+    cand = dedup_incremental(batch, store)
+
+    # Verify only what the probe touched: batch docs + matched corpus docs.
+    touched = (cand.select(F.col("new_doc_id").alias("doc_id"))
+                   .unionByName(cand.select(F.col("corpus_doc_id").alias("doc_id")))
+                   .distinct())
+    needed = docs.join(touched, "doc_id", "left_semi")
+    shh = _shingle_hashes(needed).persist()
+    verified = _verified_jaccard(
+        cand.select(F.col("new_doc_id").alias("doc_a"),
+                    F.col("corpus_doc_id").alias("doc_b")), shh)
+    return (verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+                    .select(F.col("doc_a").alias("new_doc_id"),
+                            F.col("doc_b").alias("corpus_doc_id"), "jaccard"))

@@ -33,7 +33,7 @@ Documented deviations from the reference (all deterministic supersets):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hdfs_with_pyspark_spark.functions.geo import haversine_km
@@ -204,7 +204,8 @@ def zone_mart(events: DataFrame, cities: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- D12-D15
 def friend_recommendations(events: DataFrame, events_on_date: DataFrame,
                            cities: DataFrame, max_km: float,
-                           tz: str = "Australia/Sydney") -> DataFrame:
+                           tz: str = "Australia/Sydney",
+                           max_channel_members: int | None = None) -> DataFrame:
     """The step-3 mart: co-subscribed, never-communicated, geographically
     close user pairs with their midpoint's zone (reference
     project_step_3.py).
@@ -212,6 +213,18 @@ def friend_recommendations(events: DataFrame, events_on_date: DataFrame,
     ``events`` is the full history (subscriptions + messages);
     ``events_on_date`` the single processing-date partition
     (io.read_events_partition) supplying positions.
+
+    ``max_channel_members`` is the hot-key mitigation for the pair
+    expansion: the self-join on ``channel`` is quadratic in channel
+    membership, so one viral channel (10^6 members = 10^12 pairs) stalls
+    the stage no matter how AQE splits it. With a cap, each channel
+    contributes only its ``max_channel_members`` lowest-user_id members
+    (deterministic rank) to the expansion — bounding any channel's pair
+    count at cap^2 while channels under the cap are untouched
+    (equivalence-tested in tests/test_reference_marts.py). Production
+    picks the cap so that P(channel over cap) * recall loss is
+    acceptable; candidate pairs lost to the cap only shrink the
+    recommendation set, never corrupt it.
     """
     subscribers = (events
                    .where((F.col("event_type") == "subscription")
@@ -246,9 +259,14 @@ def friend_recommendations(events: DataFrame, events_on_date: DataFrame,
                        ).select("user_id", "lat", "lon", "ts")
 
     # co-subscription pair expansion on the channel key (skew note:
-    # popular channels are quadratic — AQE skew-join splitting applies;
-    # at extreme skew add a per-channel member cap upstream)
+    # popular channels are quadratic — AQE skew-join splitting spreads
+    # the work; max_channel_members bounds it)
     sub_pos = subscribers.join(pos, "user_id")
+    if max_channel_members is not None:
+        w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+        sub_pos = (sub_pos.withColumn("__rn", F.row_number().over(w_cap))
+                          .where(F.col("__rn") <= max_channel_members)
+                          .drop("__rn"))
     left = sub_pos.select("channel", F.col("user_id").alias("user_left"),
                           F.col("lat").alias("lat_l"), F.col("lon").alias("lon_l"),
                           F.col("ts").alias("ts_l"))

@@ -60,4 +60,66 @@ def _load_all() -> None:
     )
 
 
+# The driver's correctness gate checks the FIRST 50 registered queries,
+# in iteration order. This list pins that window to one query per
+# distinct capability — all domain marts, every dedup/similarity/text/
+# multimodal/streaming family, and the relational/temporal shapes no
+# mart exercises (set ops, map extraction, as-of join, range-frame
+# rolling window, cogroup, grouping sets, exact-decimal aggregation).
+# Oracle-identical twins and overlapping relational breadth follow
+# after, still registered and still checked by
+# scripts/check_oracle_parity.py's full run.
+DRIVER_PRIORITY = [
+    # domain marts (reference parity surface)
+    "geo_city_event_counts", "user_act_city", "user_home_city",
+    "user_travel", "user_mart", "zone_mart", "friend_recommendations",
+    "channel_subscribers",
+    # dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh", "text_simhash", "dedup_simhash",
+    "dedup_components", "corpus_curation", "dedup_incremental",
+    # similarity / embeddings family
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "ivf_kmeans_centroids", "embedding_label_centroids",
+    "dedup_embedding_lsh", "dedup_embedding_cosine", "embedding_quantize",
+    # text analysis family
+    "text_token_stats", "text_quality_score", "text_lang_id_ngram",
+    "doc_fingerprint", "term_doc_frequencies", "tfidf_top_terms",
+    "corpus_sample_stratified",
+    # multimodal family
+    "multimodal_features", "multimodal_frame_sample", "multimodal_summary",
+    "multimodal_byte_entropy",
+    # streaming family
+    "stream_windowed_counts", "stream_sliding_counts",
+    "stream_session_stats", "stream_user_state", "stream_dedup",
+    "stream_click_after_signup",
+    # relational / temporal shapes not covered by the marts above
+    "pricing_summary", "pricing_totals_exact", "user_type_setops",
+    "event_props_typed", "asof_last_order_before_event",
+    "rolling_daily_revenue", "user_activity_cogroup", "revenue_cube",
+]
+
+
+def finalize_order(strict: bool = True) -> None:
+    """Reorder QUERIES/ORACLES so DRIVER_PRIORITY comes first.
+
+    Idempotent. ``strict=False`` tolerates missing names — needed at
+    import time: when a query module is imported directly (tests,
+    scripts), its import of this registry triggers _load_all while that
+    module is still mid-import, so its own registrations land only after
+    this module finishes. __spark_entry__ re-finalizes strictly.
+    """
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    if strict:
+        assert not missing, f"DRIVER_PRIORITY names unknown queries: {missing}"
+    prioritized = set(DRIVER_PRIORITY)
+    order = ([n for n in DRIVER_PRIORITY if n in QUERIES]
+             + [n for n in QUERIES if n not in prioritized])
+    for d in (QUERIES, ORACLES):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
 _load_all()
+finalize_order(strict=False)

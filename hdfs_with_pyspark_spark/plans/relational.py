@@ -705,11 +705,18 @@ def event_props_keyspace(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates at any scale. (AVG is deliberately absent: engines disagree
 # on the result scale of decimal division; exact sums + counts are the
 # portable surface.)
+#
+# The sums are RENDERED as fixed-scale strings on both sides: Spark's
+# sum(decimal(12,2)) widens to decimal(22,2) while DuckDB's widens to a
+# HUGEINT-backed DECIMAL(38,2), and hashers that stringify the raw
+# Decimal see two representations of the same exact value. Casting both
+# to decimal(38,2) then to a string pins one canonical rendering without
+# giving up exactness (no float anywhere).
 # --------------------------------------------------------------------------
 @register("pricing_totals_exact", oracle="""
 SELECT l_returnflag,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
-       SUM(CAST(l_quantity AS DECIMAL(12,2)))      AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR)      AS sum_qty,
        CAST(COUNT(*) AS BIGINT)                    AS n_items
 FROM lineitem
 GROUP BY l_returnflag
@@ -718,8 +725,10 @@ def pricing_totals_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     li = read_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-              .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
-                   F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+              .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                    .cast("decimal(38,2)").cast("string").alias("sum_price"),
+                   F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                    .cast("decimal(38,2)").cast("string").alias("sum_qty"),
                    F.count("*").alias("n_items")))
 
 

@@ -174,28 +174,34 @@ def compact_parquet(spark: SparkSession, path: str, out: str,
     incremental pipelines (every micro-batch appends a sliver; a year
     later the table has 10^6 files and planning time dwarfs I/O).
     Compaction = read -> repartition to ceil(bytes/target) -> rewrite.
-    Sizes come from the source file listing (no data pass). Returns the
-    number of output partitions chosen.
+    Sizes come from ONE Hadoop FileSystem getContentSummary call on the
+    source directory — the same API on every FS Spark can read (HDFS
+    answers it from namenode metadata; local/S3A list client-side), so
+    the estimate is real bytes on the 100 TB targets too, not a local-FS
+    special case. Returns the number of output partitions chosen.
 
     At real scale run this per Hive partition (compact the cold ones,
     leave the hot one growing) — composable with write_parquet's
     partition_by.
     """
     import math
-    import os as _os
+    import warnings
 
     df = spark.read.parquet(path)
-    files = [f[len("file:"):] if f.startswith("file:") else f
-             for f in df.inputFiles()]
-    total = 0
-    for f in files:
-        try:
-            total += _os.path.getsize(f)
-        except OSError:  # non-local FS: fall back to Spark's own estimate
-            total = 0
-            break
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = int(fs.getContentSummary(jpath).getLength())
+    except Exception as e:  # filesystem without the API: estimate loudly
+        total = 0
+        warnings.warn(
+            f"compact_parquet: getContentSummary failed on {path!r} ({e}); "
+            f"falling back to maxPartitionBytes * n_files — the output "
+            f"file count is a guess, not a size-based plan",
+            RuntimeWarning, stacklevel=2)
     if total <= 0:
-        total = int(spark.conf.get("spark.sql.files.maxPartitionBytes")) * len(files)
+        total = (int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+                 * len(df.inputFiles()))
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df.repartition(n).write.mode("overwrite").parquet(out)
     return n

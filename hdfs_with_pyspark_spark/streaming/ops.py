@@ -90,7 +90,7 @@ def session_stats(stream: DataFrame) -> DataFrame:
 
 _STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
-    T.StructField("total_value", T.DoubleType()),
+    T.StructField("total_cents", T.LongType()),
 ])
 _STATE_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),
@@ -101,13 +101,19 @@ _STATE_OUT = T.StructType([
 
 def _update_user_state(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    # State accumulates INTEGER cents (values are 2-decimal money): the
+    # running sum is exact and ORDER-INDEPENDENT, so the emitted state
+    # can't depend on micro-batch boundaries or arrival order — the right
+    # design for any distributed running money aggregate, and what makes
+    # the batch SQL oracle bit-exact. The single float op (cents/100/n)
+    # happens once on identical operands in both engines.
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, total))
+        cents += int(pdf["value"].fillna(0.0).mul(100).round().sum())
+    state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "avg_value": [round(total / n, 6) if n else None]})
+                        "avg_value": [(cents / 100.0) / n if n else None]})
 
 
 def running_user_state(stream: DataFrame) -> DataFrame:
@@ -209,11 +215,26 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_stats(read_events_stream(spark, sf_dir)), "complete")
 
 
-@register("stream_user_state")  # rows-only: custom stateful op, not ANSI-SQL
+@register("stream_user_state", oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6)
+         AS avg_value
+FROM events GROUP BY user_id
+""")
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator with a deterministic batch twin: the
+    file source drains in ONE availableNow micro-batch (single input
+    file, no maxFilesPerTrigger), so the update-mode sink holds exactly
+    the final per-user state — a plain grouped aggregate in SQL. The
+    state sums integer cents (see _update_user_state), so both engines
+    divide identical integers and the 6-decimal F.round (HALF_UP, like
+    the oracle's ROUND) sees the same double."""
     ensure_session(spark)
-    return run_to_table(
+    out = run_to_table(
         running_user_state(read_events_stream(spark, sf_dir)), "update")
+    return out.select("user_id", "n_events",
+                      F.round("avg_value", 6).alias("avg_value"))
 
 
 @register("stream_dedup", oracle="""

@@ -260,3 +260,68 @@ def test_stratified_sample_invariant_under_partitioning(spark, monkeypatch):
     n_de = sum(1 for d in a if langs[d] == "de")
     n_ja = sum(1 for d in a if langs[d] == "ja")
     assert n_de > n_ja
+
+
+# ---------------------------------------------------- hot-key cap / LSH
+
+def test_jaccard_df_cap_noop_on_unskewed(spark, doc_frame, monkeypatch):
+    # With every shingle under the cap, the capped plan must return
+    # EXACTLY the uncapped results — the cap is a pure scale guard.
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: doc_frame)
+    shh = dd._shingle_hashes(doc_frame)
+    uncapped = {(r["doc_a"], r["doc_b"], r["jaccard_raw"])
+                for r in dd._jaccard_pairs(shh).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["jaccard_raw"])
+              for r in dd._jaccard_pairs(shh, df_cap=10_000).collect()}
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_jaccard_df_cap_bites_on_hot_shingles(spark, doc_frame):
+    # doc 0 and 1 are identical, so every shared shingle has df >= 2:
+    # cap=1 drops the whole index and no pair can survive.
+    shh = dd._shingle_hashes(doc_frame)
+    assert dd._jaccard_pairs(shh, df_cap=1).count() == 0
+
+
+def test_embedding_lsh_precision_one_and_no_cartesian(spark, monkeypatch):
+    vecs = spark.createDataFrame(
+        [(i, [1.0 if (i + d) % 7 else -1.0 for d in range(16)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "read_table", lambda s, d, n: vecs)
+    lsh = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+           for r in sim.dedup_embedding_lsh(spark, "unused").collect()}
+    exact = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+             for r in sim.dedup_embedding_cosine(spark, "unused").collect()}
+    # bucketed candidates + exact verify => subset of the exhaustive
+    # kernel at identical cosine values (precision 1, recall <= 1)
+    assert lsh <= exact and len(lsh) > 0
+    # the scale claim: NO cross/nested-loop join anywhere in the plan —
+    # candidates come from the (band, bucket) equi-join
+    plan = sim.dedup_embedding_lsh(spark, "unused")._jdf.queryExecution() \
+              .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_kmeans_trainer_deterministic_and_trained(spark):
+    sf = "/root/testdata/sf0.001"
+    c1 = sim.train_ivf_centroids(spark, sf)
+    sim._CENTROID_CACHE.clear()
+    c2 = sim.train_ivf_centroids(spark, sf)
+    assert c1 == c2                      # bit-identical across runs
+    init = {int(r["vec_id"]): list(r["v"])
+            for r in sim._vectors(spark, sf).where("vec_id < 8").collect()}
+    assert all(cv != init[cid] for cid, cv in c1)  # Lloyd's moved every one
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    # Deterministic data + deterministic trainer => recall is a fixed
+    # property of the (k, nprobe, iters) design; 0.86 measured, floor
+    # leaves headroom for parameter tuning.
+    sf = "/root/testdata/sf0.001"
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.ann_topk_bruteforce(spark, sf).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ann_topk_ivf(spark, sf).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.7

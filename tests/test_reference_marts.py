@@ -200,3 +200,20 @@ def test_nearest_city_null_coords_keep_rows(spark, geo_tables):
         "id long, lat double, lon double")
     out = {r["id"]: r["city"] for r in nearest_city(df, cities).collect()}
     assert out[1] is not None and out[2] is None
+
+
+def test_friend_channel_cap_equivalence_and_bite(spark, geo_tables):
+    path, cities = geo_tables
+    events = read_geo_events(spark, path)
+    on_date = read_events_partition(spark, path, "2024-01-15")
+    base = R.friend_recommendations(events, on_date, cities, max_km=100.0)
+    # a cap above every channel's membership changes nothing
+    capped = R.friend_recommendations(events, on_date, cities, max_km=100.0,
+                                      max_channel_members=1000)
+    key = lambda df: {(r["user_left"], r["user_right"], r["zone_id"])
+                      for r in df.collect()}
+    assert key(capped) == key(base) and len(key(base)) > 0
+    # cap=1 leaves one member per channel -> no pairs can form
+    solo = R.friend_recommendations(events, on_date, cities, max_km=100.0,
+                                    max_channel_members=1)
+    assert solo.count() == 0

@@ -89,3 +89,19 @@ def test_nearest_city_tie_breaks_lowest_id(spark):
     for fn in (nearest_city, nearest_city_crossjoin):
         got = fn(pt, cities).collect()
         assert len(got) == 1 and got[0]["city_id"] == 1
+
+
+def test_city_cache_bounded_and_clearable(spark):
+    from hdfs_with_pyspark_spark.operators import spatial as sp
+    sp.clear_city_cache()
+    assert sp._CITY_ROWS_CACHE == {}
+    for i in range(sp._CITY_ROWS_CACHE_MAX + 5):
+        cities = spark.createDataFrame(
+            [(i, f"c{i}", float(i % 10), 0.0)],
+            "city_id int, city string, city_lat double, city_lon double")
+        sp._city_rows(cities)
+    # bounded: the memo never exceeds its cap, however many distinct
+    # dimensions a long-lived service cycles through
+    assert len(sp._CITY_ROWS_CACHE) <= sp._CITY_ROWS_CACHE_MAX
+    sp.clear_city_cache()
+    assert sp._CITY_ROWS_CACHE == {}
