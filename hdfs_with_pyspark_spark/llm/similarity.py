@@ -513,13 +513,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed axis-sign hyperplanes keep it deterministic, so the oracle
 # replicates the exact candidate set and recall cancels out of the
 # comparison. Recall at this corpus' near-orthogonal ~0.45-cosine pairs
-# is ~50% (measured 7/14 vs the exhaustive kernel) — the synthetic
-# vectors are noise-like; at real dedup thresholds (>= 0.9 cosine, small
-# angles) per-bit collision probability rises to ~0.9 and the same
-# band/bit shape recalls >95%. Band count / bits are the tunables.
+# is ~50% (measured 8/14 at sf0.01, 73/144 at sf0.1, vs the exhaustive
+# kernel) — the synthetic vectors are noise-like; at real dedup
+# thresholds (>= 0.9 cosine, small angles) per-bit collision probability
+# rises to ~0.9 and the same band/bit shape recalls >95%.
+#
+# Geometry is the scale knob: a random pair collides per band with
+# p ~= 2^-bits, so bits sets the quadratic coefficient of the candidate
+# count (N^2 * bands * 2^-bits) and bands buys recall back. 8x6 was
+# chosen by sweeping (4x4, 8x6, 8x8, 4x16) on this corpus: same recall
+# as 4x4 at half the candidates. A billion-doc corpus at a 0.9
+# threshold wants 16+ bits from random (not axis) hyperplanes — wire
+# different constants through these two names; everything below adapts.
 # --------------------------------------------------------------------------
-EMB_LSH_BANDS = 4
-EMB_LSH_BAND_BITS = 4
+EMB_LSH_BANDS = 8
+EMB_LSH_BAND_BITS = 6
 
 
 def _sql_sign_bucket(band: int) -> str:
@@ -550,10 +558,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _with_norm(_vectors(spark, sf_dir), "v", "nv").persist()
 
     def bucket_col(band: int):
+        # try_element_at, not element_at: past-the-end dims are NULL (a
+        # 0 bit), matching DuckDB's out-of-bounds list semantics, so a
+        # corpus shorter than the band geometry degrades instead of
+        # throwing under ANSI mode.
         b = F.lit(0).cast("long")
         for i in range(EMB_LSH_BAND_BITS):
             dim = band * EMB_LSH_BAND_BITS + i + 1
-            b = b + F.when(F.element_at(F.col("v"), dim) >= 0,
+            b = b + F.when(F.try_element_at(F.col("v"), F.lit(dim)) >= 0,
                            F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         return b
 
@@ -568,7 +580,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("x.vec_id") < F.col("y.vec_id")))
                  .select(F.col("x.vec_id").alias("vec_a"),
                          F.col("y.vec_id").alias("vec_b"))
-                 .distinct())
+                 .distinct()
+                 # The band table is tiny relative to the pair set it
+                 # emits, so AQE sizes (and locally coalesces to 1) the
+                 # post-distinct partitions from the MAP side and the
+                 # whole verify lands on one core. Spread the narrow
+                 # (vec_a, vec_b) pairs across the cluster before the
+                 # vectors re-attach — the verify's cost is per-pair,
+                 # not per-byte-shuffled.
+                 .repartition(spark.sparkContext.defaultParallelism))
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nv").alias("na"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
