@@ -5,11 +5,16 @@ The analog of the reference's three spark-submit jobs + Airflow DAG
 (src/dags/project_dag.py), collapsed into one typed CLI. The reference
 chains step_1 >> step_2 >> step_3 as an orchestration convention only —
 no step reads another's output (SURVEY.md §3) — so here the three marts
-are built from one shared session and can be materialized independently.
+are built from one shared session as an in-process DAG
+(hdfs_with_pyspark_spark.pipeline): independent marts run concurrently,
+each with a transient-failure retry budget, and one mart failing still
+materializes the others (parquet sinks overwrite, so retries are
+idempotent). ``--serial`` degrades to the reference's sequential shape.
 
 Usage:
   python scripts/run_marts.py --events PATH --cities PATH --out DIR \\
-      --date 2022-06-15 --max-km 100 [--marts user,zone,friends]
+      --date 2022-06-15 --max-km 100 [--marts user,zone,friends] \\
+      [--retries 2] [--serial]
 
 Input layout = the reference's: a Hive date-partitioned events table with
 the nested ``event`` struct (schemas.GEO_EVENTS) and a cities table
@@ -35,16 +40,19 @@ def main(argv: list[str] | None = None) -> None:
                     help="friends distance threshold (reference default)")
     ap.add_argument("--marts", default="user,zone,friends",
                     help="comma list: user,zone,friends")
-    ap.add_argument("--parallel", action="store_true",
-                    help="materialize the marts concurrently (they are "
-                         "independent — SURVEY.md §3; the reference's "
-                         "step_1 >> step_2 >> step_3 chain is convention)")
+    ap.add_argument("--serial", action="store_true",
+                    help="one mart at a time (the reference's sequential "
+                         "chain); default runs the independent marts "
+                         "concurrently in the shared session")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="per-mart retry budget for transient failures")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
     from hdfs_with_pyspark_spark import schemas
     from hdfs_with_pyspark_spark.marts import reference as R
+    from hdfs_with_pyspark_spark.pipeline import DAG, Task
     from hdfs_with_pyspark_spark.session import get_spark
     from hdfs_with_pyspark_spark.sources.io import (
         read_events_partition,
@@ -57,36 +65,37 @@ def main(argv: list[str] | None = None) -> None:
     cities = spark.read.schema(schemas.GEO_CITIES).parquet(args.cities)
 
     todo = set(args.marts.split(","))
-    jobs = []
+    dag = DAG("marts", max_workers=1 if args.serial else None)
     if "user" in todo:
-        jobs.append(("user_mart", lambda: write_parquet(
+        dag.add(Task("user_mart", lambda: write_parquet(
             R.user_mart(events, cities),
-            os.path.join(args.out, "user_mart"))))
+            os.path.join(args.out, "user_mart")), retries=args.retries))
     if "zone" in todo:
-        jobs.append(("zone_mart", lambda: write_parquet(
+        dag.add(Task("zone_mart", lambda: write_parquet(
             R.zone_mart(events, cities),
-            os.path.join(args.out, "zone_mart"))))
+            os.path.join(args.out, "zone_mart")), retries=args.retries))
     if "friends" in todo:
         on_date = read_events_partition(spark, args.events, args.date)
-        jobs.append(("friend_recommendations", lambda: write_parquet(
+        dag.add(Task("friend_recommendations", lambda: write_parquet(
             R.friend_recommendations(events, on_date, cities, args.max_km)
              .withColumn("processed_dttm", F.date_format("processed_dttm",
                                                          "yyyy-MM-dd HH:mm:ss")),
-            os.path.join(args.out, "friend_recommendations"))))
+            os.path.join(args.out, "friend_recommendations")),
+            retries=args.retries))
 
-    if args.parallel and len(jobs) > 1:
-        # One session, one thread per materialization: Spark schedules the
-        # three write jobs' stages concurrently across the executor pool —
-        # the DAG-level parallelism the reference's sequential
-        # SparkSubmitOperator chain leaves on the table.
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            futures = {pool.submit(fn): name for name, fn in jobs}
-            for fut in futures:
-                fut.result()  # propagate the first failure
-    else:
-        for _, fn in jobs:
-            fn()
+    # One session, one DAG thread per ready mart: Spark schedules the
+    # write jobs' stages concurrently across the executor pool — the
+    # DAG-level parallelism the reference's sequential
+    # SparkSubmitOperator chain leaves on the table. Failures retry with
+    # backoff (sinks overwrite => idempotent), and a mart that exhausts
+    # its budget doesn't stop the others.
+    reports = dag.run(raise_on_failure=False)
+    for name, rep in reports.items():
+        print(f"{name}: {rep.state.value} "
+              f"({rep.attempts} attempt(s), {rep.seconds:.1f}s)"
+              + (f" — {rep.error}" if rep.error else ""))
+    if any(r.state.value != "success" for r in reports.values()):
+        sys.exit(1)
     print(f"done: {sorted(todo)} -> {args.out}")
 
 

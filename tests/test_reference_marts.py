@@ -158,9 +158,10 @@ def test_run_marts_cli(spark, geo_tables, tmp_path):
     assert (rec["user_left"], rec["user_right"]) == (3, 2)
 
 
-def test_run_marts_cli_parallel(spark, geo_tables, tmp_path):
-    # --parallel materializes the three independent marts from one session
-    # concurrently; outputs must be identical to the sequential run.
+def test_run_marts_cli_serial(spark, geo_tables, tmp_path):
+    # The default run materializes the three independent marts as a
+    # concurrent in-session DAG; --serial degrades to the reference's
+    # one-at-a-time chain and must produce identical outputs.
     import sys
     sys.path.insert(0, "scripts")
     import run_marts
@@ -171,7 +172,7 @@ def test_run_marts_cli_parallel(spark, geo_tables, tmp_path):
     out = str(tmp_path / "marts_p")
     run_marts.main(["--events", path, "--cities", cities_path,
                     "--out", out, "--date", "2024-01-15", "--max-km", "100",
-                    "--parallel"])
+                    "--serial"])
     user = spark.read.parquet(f"{out}/user_mart")
     friends = spark.read.parquet(f"{out}/friend_recommendations")
     assert user.count() == 3
