@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_topk_lsh_multiprobe",
     "ann_topk_ivf",
     "doc_fingerprint",
+    "doc_chunks",
     "asof_last_order_before_event",
     "user_sessions",
     "rolling_daily_revenue",

@@ -429,3 +429,97 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
     return docs.select("doc_id", clean.alias("text_clean"))
+
+
+# --------------------------------------------------------------------------
+# doc_chunks — context-window chunking, the step that turns a raw corpus
+# into training sequences: each document becomes overlapping windows of
+# CHUNK_SIZE whitespace tokens, stepping CHUNK_STRIDE tokens (so
+# consecutive chunks share CHUNK_SIZE - CHUNK_STRIDE tokens of context).
+# The 1->N fan-out is explode(sequence(...)) + slice + array_join — all
+# codegen'd built-ins, zero Python, no shuffle: at 100 TB this is one
+# map-side pass that fuses into the scan, and the output is already
+# the right grain for a downstream tokenizer/packer. Empty documents
+# produce no chunks (start < n_tokens filters them).
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48   # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+@register("doc_chunks", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(generate_series(
+            0, GREATEST(len(toks) - 1, 0), {CHUNK_STRIDE})) AS start
+      FROM t)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {CHUNK_SIZE})) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM s WHERE start < len(toks)
+""")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)),
+                        F.lit(CHUNK_STRIDE))
+    s = (t.select("doc_id", "toks", F.explode(starts).alias("start"))
+          .where(F.col("start") < F.size("toks")))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE)
+    return s.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+# --------------------------------------------------------------------------
+# corpus_token_bins — sequence packing: assign documents to fixed
+# token-budget bins for batch assembly. True first-fit packing is
+# inherently sequential, so the DISTRIBUTED shape shards the corpus by
+# hash first (PACK_SHARDS independent streams) and packs contiguously
+# within each shard by running token count: a doc's bin is how many full
+# budgets precede its start offset. Each shard's cumulative-sum window
+# is independent — the plan is PACK_SHARDS-way parallel and never sees
+# a global sort, which is what makes this survive 100 TB (one
+# unpartitioned orderBy window would serialize the corpus through one
+# task). Bin boundaries may split a straddling doc's budget across two
+# bins — the downstream chunker (doc_chunks) already handles intra-doc
+# splitting, so packing only needs offsets, not exact fits.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 256   # tokens per bin
+PACK_SHARDS = 8
+
+
+@register("corpus_token_bins", oracle=f"""
+WITH t AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                  len({_sql_tokens()}) AS n_tokens
+           FROM documents),
+c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS start_offset
+FROM c
+""")
+def corpus_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    c = t.withColumn("cum_before",
+                     F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"),
+        F.floor(F.col("cum_before") / PACK_BUDGET).alias("bin_id"),
+        "n_tokens",
+        F.col("cum_before").alias("start_offset"))

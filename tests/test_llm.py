@@ -347,3 +347,48 @@ def test_ivf_recall_vs_bruteforce(spark):
     ivf = {(r["query_id"], r["neighbor_id"])
            for r in sim.ann_topk_ivf(spark, sf).collect()}
     assert len(bf & ivf) / len(bf) >= 0.7
+
+
+# ------------------------------------------------- chunking / packing
+
+def test_doc_chunks_reconstruct_and_overlap(spark, monkeypatch):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    toks = [f"w{i}" for i in range(150)]   # 150 tokens -> starts 0,48,96,144
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "only three tokens"), (2, "")],
+        "doc_id long, text string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    rows = sorted(tx.doc_chunks(spark, "unused").collect(),
+                  key=lambda r: (r["doc_id"], r["chunk_id"]))
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc                       # empty doc -> no chunks
+    assert [r["n_tokens"] for r in by_doc[1]] == [3]
+    chunks = [r["chunk_text"].split(" ") for r in by_doc[0]]
+    assert len(chunks) == 4
+    assert all(len(c) <= tx.CHUNK_SIZE for c in chunks)
+    # consecutive chunks share CHUNK_SIZE - CHUNK_STRIDE tokens of context
+    for a, b in zip(chunks, chunks[1:]):
+        if len(a) == tx.CHUNK_SIZE:
+            assert a[tx.CHUNK_STRIDE:] == b[:tx.CHUNK_SIZE - tx.CHUNK_STRIDE]
+    # taking each chunk's first CHUNK_STRIDE tokens (all of the last's)
+    # reconstructs the document exactly — nothing lost, nothing invented
+    rebuilt = sum((c[:tx.CHUNK_STRIDE] for c in chunks[:-1]), []) + chunks[-1]
+    assert rebuilt == toks
+
+
+def test_corpus_token_bins_matches_sequential_packing(spark):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    sf = "/root/testdata/sf0.001"
+    rows = tx.corpus_token_bins(spark, sf).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % tx.PACK_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in sorted(shard_rows, key=lambda r: r["doc_id"]):
+            assert r["start_offset"] == cum           # contiguous packing
+            assert r["bin_id"] == cum // tx.PACK_BUDGET
+            cum += r["n_tokens"]
