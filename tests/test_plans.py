@@ -183,3 +183,29 @@ def test_zone_mart_assigns_zones_per_group_not_per_row(spark, sf_dir):
     plan = explain(spark, "zone_mart", sf_dir)
     assert any("least(named_struct" in ln and "count(1)" in ln
                for ln in plan.splitlines())
+
+
+def test_doc_chunks_is_map_only(spark, sf_dir):
+    # Chunking must fuse into the scan: 1->N token-window fan-out with no
+    # exchange anywhere — the property that makes it a single pass at 100 TB.
+    plan = explain(spark, "doc_chunks", sf_dir)
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan and "chunk" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_corpus_token_bins_single_shard_exchange(spark, sf_dir):
+    # Packing shuffles ONCE on the shard key for the per-shard cumsum
+    # window; no global sort may appear (that would serialize the corpus
+    # through one task at scale).
+    plan = explain(spark, "corpus_token_bins", sf_dir)
+    assert n_nodes(plan, "Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_multiprobe_broadcasts_query_side_only(spark, sf_dir):
+    # The 9-probe query fan-out broadcasts; the corpus side must be a
+    # plain scan feeding the bucket hash-join — never re-shuffled, never
+    # nested-loop-joined.
+    plan = explain(spark, "ann_topk_lsh_multiprobe", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
