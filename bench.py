@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_embedding_lsh",
     "corpus_curation",
+    "corpus_decontaminate",
     "corpus_sample_stratified",
     "ann_topk_lsh",
     "ann_topk_lsh_multiprobe",

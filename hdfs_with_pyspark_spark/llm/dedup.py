@@ -714,3 +714,53 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
                     .select(F.col("doc_a").alias("new_doc_id"),
                             F.col("doc_b").alias("corpus_doc_id"), "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# corpus_decontaminate — benchmark decontamination: flag training docs
+# that share any shingle with a held-out eval set (the step that keeps
+# test questions out of a training corpus). The eval split here is the
+# deterministic doc_id % DECONTAM_FOLD == DECONTAM_EVAL stand-in; in
+# production it's the benchmark suite itself — a FEW MB against a 100 TB
+# corpus, which fixes the plan shape: the eval n-gram set BROADCASTS and
+# the corpus-side probe is a map-side hash join. The corpus is never
+# shuffled on content — only matched (doc_id, h) rows (a tiny fraction)
+# reach the per-doc overlap count, and the final left join attaches
+# zero-counts. 3-gram shingles reuse the dedup spine; real
+# decontamination uses 8-13 grams — SHINGLE_N is the knob, the shape is
+# identical.
+# --------------------------------------------------------------------------
+DECONTAM_FOLD = 25
+DECONTAM_EVAL = 7   # doc_id % FOLD == EVAL is the "benchmark" split
+
+
+@register("corpus_decontaminate", oracle=f"""
+WITH {_sql_shingles()},
+ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % {DECONTAM_FOLD} = {DECONTAM_EVAL}),
+tr AS (SELECT doc_id FROM documents WHERE doc_id % {DECONTAM_FOLD} <> {DECONTAM_EVAL}),
+ov AS (SELECT s.doc_id, count(*) AS n
+       FROM shh s JOIN ev USING (h)
+       WHERE s.doc_id % {DECONTAM_FOLD} <> {DECONTAM_EVAL}
+       GROUP BY s.doc_id)
+SELECT tr.doc_id,
+       CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_shared_shingles,
+       COALESCE(ov.n, 0) >= 1 AS is_contaminated
+FROM tr LEFT JOIN ov USING (doc_id)
+""")
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % DECONTAM_FOLD) == DECONTAM_EVAL
+    shh = _shingle_hashes(docs)
+    eval_h = shh.where(is_eval).select("h").distinct()
+    overlap = (shh.where(~is_eval)
+                  .join(F.broadcast(eval_h), "h")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").alias("n_shared_shingles")))
+    return (docs.where(~is_eval).select("doc_id")
+                .join(overlap, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("n_shared_shingles", F.lit(0))
+                         .cast("long").alias("n_shared_shingles"),
+                        (F.coalesce("n_shared_shingles", F.lit(0)) >= 1)
+                         .alias("is_contaminated")))

@@ -392,3 +392,18 @@ def test_corpus_token_bins_matches_sequential_packing(spark):
             assert r["start_offset"] == cum           # contiguous packing
             assert r["bin_id"] == cum // tx.PACK_BUDGET
             cum += r["n_tokens"]
+
+
+def test_decontaminate_flags_eval_overlap(spark, monkeypatch):
+    # doc 7 (7 % 25 == 7) is the eval split; doc 8 copies its text, doc 9
+    # shares nothing. Eval docs never appear in the output.
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon"),
+         (8, "alpha beta gamma delta zeta"),      # shares 2 shingles with 7
+         (9, "one two three four five")],
+        "doc_id long, text string")
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: docs)
+    out = {r["doc_id"]: r for r in dd.corpus_decontaminate(spark, "x").collect()}
+    assert set(out) == {8, 9}
+    assert out[8]["is_contaminated"] and out[8]["n_shared_shingles"] == 2
+    assert not out[9]["is_contaminated"] and out[9]["n_shared_shingles"] == 0

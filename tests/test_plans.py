@@ -209,3 +209,12 @@ def test_multiprobe_broadcasts_query_side_only(spark, sf_dir):
     plan = explain(spark, "ann_topk_lsh_multiprobe", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark, sf_dir):
+    # The eval n-gram set (tiny at any scale) must broadcast; the corpus
+    # probe is then a map-side hash join — the corpus never shuffles on
+    # content for the contamination check.
+    plan = explain(spark, "corpus_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
