@@ -106,3 +106,62 @@ def test_validation_rejects_bad_graphs():
 def test_results_captured():
     dag = DAG("t").add("x", lambda: 42)
     assert dag.run()["x"].result == 42
+
+
+# ------------------------------------------------------- property-based
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def random_dag(draw):
+        """Random DAG: each task may depend only on lower-numbered tasks
+        (guarantees acyclicity); a random subset of tasks fail."""
+        n = draw(st.integers(min_value=1, max_value=8))
+        deps = {i: (sorted(draw(st.sets(st.integers(0, i - 1), max_size=3)))
+                    if i else [])
+                for i in range(n)}
+        failing = draw(st.sets(st.integers(0, n - 1), max_size=3))
+        return n, deps, failing
+
+    @given(random_dag())
+    @settings(max_examples=60, deadline=None)
+    def test_random_dags_respect_deps_and_skip_cones(case):
+        n, deps, failing = case
+        started: list[int] = []
+        lock = threading.Lock()
+
+        def mk(i):
+            def fn():
+                with lock:
+                    started.append(i)
+                if i in failing:
+                    raise ValueError(f"boom {i}")
+            return fn
+
+        dag = DAG("prop")
+        for i in range(n):
+            dag.add(str(i), mk(i), deps=[str(d) for d in deps[i]])
+        reports = dag.run(raise_on_failure=False)
+
+        # transitive downstream cone of the failures
+        doomed: set[int] = set()
+        for i in range(n):
+            if any(d in failing or d in doomed for d in deps[i]):
+                doomed.add(i)
+        for i in range(n):
+            st_ = reports[str(i)].state
+            if i in doomed:
+                assert st_ is TaskState.SKIPPED and i not in started
+            elif i in failing:
+                assert st_ is TaskState.FAILED
+            else:
+                assert st_ is TaskState.SUCCESS
+        # no task ever started before all its deps completed successfully
+        pos = {i: p for p, i in enumerate(started)}
+        for i in started:
+            for d in deps[i]:
+                assert pos[d] < pos[i]
+except ImportError:  # hypothesis absent: property test is optional
+    pass
