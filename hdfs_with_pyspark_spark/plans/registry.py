@@ -74,18 +74,22 @@ DRIVER_PRIORITY = [
     "geo_city_event_counts", "user_act_city", "user_home_city",
     "user_travel", "user_mart", "zone_mart", "friend_recommendations",
     "channel_subscribers",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh", "text_simhash", "dedup_simhash",
-    "dedup_components", "corpus_curation", "dedup_incremental",
-    # similarity / embeddings family
+    # dedup family (capped-jaccard and simhash-signature twins are
+    # demoted below the window: oracle-identical on unskewed sf0.01,
+    # equivalence-tested in tests/test_llm.py)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_components", "corpus_curation",
+    "dedup_incremental", "corpus_decontaminate",
+    # similarity / embeddings family (all-pairs dedup_embedding_cosine is
+    # demoted: dedup_embedding_lsh is the registered scale path and the
+    # two agree by construction on the verify kernel)
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
     "ivf_kmeans_centroids", "embedding_label_centroids",
-    "dedup_embedding_lsh", "dedup_embedding_cosine", "embedding_quantize",
-    # text analysis family
+    "dedup_embedding_lsh", "embedding_quantize",
+    # text analysis / training-prep family
     "text_token_stats", "text_quality_score", "text_lang_id_ngram",
     "doc_fingerprint", "term_doc_frequencies", "tfidf_top_terms",
-    "corpus_sample_stratified",
+    "corpus_sample_stratified", "doc_chunks", "corpus_token_bins",
     # multimodal family
     "multimodal_features", "multimodal_frame_sample", "multimodal_summary",
     "multimodal_byte_entropy",

@@ -86,9 +86,11 @@ EVENTS = T.StructType([
     T.StructField("props", T.StringType(), True),  # JSON, e.g. {"k": 87}
 ])
 
-# Physical read schema for events: ts is parquet TIMESTAMP(NANOS), which
+# Physical read schema for events when ts is parquet TIMESTAMP(NANOS), which
 # Spark only reads as epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong).
-# sources.io.read_table converts it to the logical EVENTS schema above.
+# sources.io.read_table sniffs the footer (events_ts_is_nanos) and applies
+# this schema + long->timestamp conversion only when the file needs it;
+# TIMESTAMP(MICROS) files read directly with the logical EVENTS schema.
 EVENTS_PHYSICAL = T.StructType([
     T.StructField("event_id", T.LongType(), False),
     T.StructField("ts", T.LongType(), False),

@@ -35,6 +35,27 @@ def nanos_ts_to_micros(columns: list[str], ts_col: str = "ts") -> list:
             for c in columns]
 
 
+# path -> whether the stored ts column is TIMESTAMP(NANOS). One footer
+# sniff per path per process; testdata files are immutable within a run.
+_TS_IS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """Detect the physical type of the events ``ts`` column.
+
+    The testdata generator has emitted both parquet TIMESTAMP(NANOS)
+    (which Spark only reads as epoch-nanos long, via
+    spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS).
+    With nanosAsLong set, an inferred-schema read surfaces NANOS as
+    LongType and MICROS as TimestampType — that one footer pass tells us
+    which conversion (if any) the scan needs.
+    """
+    if path not in _TS_IS_NANOS_CACHE:
+        dt = spark.read.parquet(path).schema["ts"].dataType
+        _TS_IS_NANOS_CACHE[path] = isinstance(dt, T.LongType)
+    return _TS_IS_NANOS_CACHE[path]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Schema-enforced parquet scan of one driver testdata table (S1).
 
@@ -43,10 +64,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long, convert
-        # to TimestampType. Lossless — the generator emits whole micros.
-        df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
-        return df.select(*nanos_ts_to_micros(df.columns))
+        if events_ts_is_nanos(spark, path):
+            # ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long,
+            # convert to TimestampType. Lossless — whole-micro values.
+            df = spark.read.schema(schemas.EVENTS_PHYSICAL).parquet(path)
+            return df.select(*nanos_ts_to_micros(df.columns))
+        return spark.read.schema(schemas.EVENTS).parquet(path)
     schema = schemas.TESTDATA_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:

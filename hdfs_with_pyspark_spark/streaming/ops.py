@@ -52,17 +52,22 @@ _SINK_SEQ = [0]
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema-enforced).
 
-    Same physical-to-logical ts conversion as sources.io.read_table: the
-    parquet column is TIMESTAMP(NANOS), read as long then converted.
+    Same physical-to-logical ts handling as sources.io.read_table: a
+    TIMESTAMP(NANOS) column is read as long then converted; a plain
+    TIMESTAMP(MICROS) column streams through unchanged. The sniff uses a
+    static footer read (readStream itself requires the schema upfront).
     """
+    import os
+    from hdfs_with_pyspark_spark.sources.io import events_ts_is_nanos
+    nanos = events_ts_is_nanos(spark, os.path.join(sf_dir, "events.parquet"))
     # The file stream source wants a directory; select the single events
     # file out of sf_dir with a glob (a real deployment points this at a
     # growing directory of event files).
     df = (spark.readStream
-               .schema(schemas.EVENTS_PHYSICAL)
+               .schema(schemas.EVENTS_PHYSICAL if nanos else schemas.EVENTS)
                .option("pathGlobFilter", "events.parquet")
                .parquet(sf_dir))
-    return df.select(*nanos_ts_to_micros(df.columns))
+    return df.select(*nanos_ts_to_micros(df.columns)) if nanos else df
 
 
 def windowed_event_counts(stream: DataFrame) -> DataFrame:
