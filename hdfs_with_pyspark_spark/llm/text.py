@@ -23,6 +23,8 @@ from hdfs_with_pyspark_spark.llm.textops import (
     bpe_token_count,
     fold_hash,
     hash31,
+    hash64,
+    shingles,
     tokens,
 )
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
@@ -523,3 +525,301 @@ def corpus_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / PACK_BUDGET).alias("bin_id"),
         "n_tokens",
         F.col("cum_before").alias("start_offset"))
+
+
+# --------------------------------------------------------------------------
+# text_repetition_signals — Gopher-style repetition quality signals
+# (Rae et al. 2021, "Scaling Language Models", Table A1): fraction of
+# tokens in repeated unigrams, most-frequent-token share, duplicate
+# bigram fraction. Heavily repetitive documents are the classic
+# low-quality pretraining pattern these signals exist to filter.
+#
+# Pure Column expressions: per-doc token counts come from a
+# transform-over-distinct HOF (O(n * distinct) per row, JVM-side) rather
+# than an explode + groupBy — the per-row arrays are bounded (documents
+# measured in KB), so keeping the whole signal map-side avoids any
+# shuffle: the plan is scan -> project, fusing into whole-stage codegen,
+# and survives 100 TB as an embarrassingly parallel pass.
+# --------------------------------------------------------------------------
+@register("text_repetition_signals", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             list_transform(list_distinct(toks),
+                            t -> len(list_filter(toks, x -> x = t))) AS cnts,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS trigrams,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      FROM t)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(list_max(cnts), 0) * 1.0
+             / GREATEST(len(toks), 1), 4)                    AS top_token_frac,
+       ROUND(COALESCE(list_sum(list_filter(cnts, c -> c > 1)), 0) * 1.0
+             / GREATEST(len(toks), 1), 4)                    AS dup_token_frac,
+       ROUND((len(bigrams) - len(list_distinct(bigrams))) * 1.0
+             / GREATEST(len(bigrams), 1), 4)                 AS dup_bigram_frac,
+       ROUND((len(trigrams) - len(list_distinct(trigrams))) * 1.0
+             / GREATEST(len(trigrams), 1), 4)                AS dup_trigram_frac
+FROM c
+""")
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    cnts = F.transform(
+        F.array_distinct(F.col("toks")),
+        lambda tk: F.size(F.filter(F.col("toks"), lambda x: x == tk)))
+    big, tri = shingles(F.col("toks"), 2), shingles(F.col("toks"), 3)
+    n = F.greatest(F.size("toks"), F.lit(1))
+
+    def dup_frac(arr):
+        return F.round((F.size(arr) - F.size(F.array_distinct(arr)))
+                       / F.greatest(F.size(arr), F.lit(1)), 4)
+
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(F.coalesce(F.array_max(cnts), F.lit(0)) / n, 4)
+         .alias("top_token_frac"),
+        F.round(F.coalesce(
+            F.aggregate(F.filter(cnts, lambda c: c > 1),
+                        F.lit(0), lambda acc, x: acc + x), F.lit(0)) / n, 4)
+         .alias("dup_token_frac"),
+        dup_frac(big).alias("dup_bigram_frac"),
+        dup_frac(tri).alias("dup_trigram_frac"))
+
+
+# --------------------------------------------------------------------------
+# corpus_unigram_logprob — perplexity-proxy scoring: train a unigram LM
+# on the corpus itself (one agg over exploded tokens), then score every
+# document by its mean per-token log10-probability. The CCNet/Wikipedia-LM
+# filtering shape with the LM reduced to unigrams so the oracle stays
+# exact.
+#
+# Determinism across engines: per-token logprobs are snapped to integer
+# MICRO-log units (round(log10(p) * 1e6) as BIGINT) before summing —
+# integer sums are associative, so Spark's partial-agg order vs DuckDB's
+# serial order can't flip a bit. The final mean divides two exact
+# integers.
+#
+# Scale: vocab after the first agg is tiny (distinct tokens), so the
+# probability table broadcast-joins onto the exploded token stream —
+# corpus-side data never shuffles; the only exchange is the per-doc
+# re-aggregation, partial-combined map-side.
+# --------------------------------------------------------------------------
+@register("corpus_unigram_logprob", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS token FROM documents),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+probs AS (
+  SELECT token,
+         CAST(ROUND(log10(cnt * 1.0 / SUM(cnt) OVER ()) * 1000000) AS BIGINT)
+           AS logp_u
+  FROM vocab)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(p.logp_u) * 1.0 / (COUNT(*) * 1000000), 4) AS avg_logprob
+FROM tok t JOIN probs p USING (token)
+GROUP BY t.doc_id
+""")
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # Window over the (tiny, post-agg) vocab for the corpus total — single
+    # partition is fine at any corpus size because |vocab| << |corpus|.
+    total = F.sum("cnt").over(Window.partitionBy())
+    probs = vocab.select(
+        "token",
+        F.round(F.log10(F.col("cnt") / total) * 1e6).cast("long")
+         .alias("logp_u"))
+    return (tok.join(F.broadcast(probs), "token")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_tokens"),
+                    F.round(F.sum("logp_u") / (F.count("*") * F.lit(1e6)), 4)
+                     .alias("avg_logprob")))
+
+
+# --------------------------------------------------------------------------
+# corpus_boilerplate_ngrams — cross-document boilerplate detection
+# (RefinedWeb/C4-style line dedup, re-grained to word trigrams because
+# the synthetic corpus has no newlines): a trigram appearing in
+# >= BOILER_MIN_DOCS distinct documents is "boilerplate"; every document
+# reports what fraction of its distinct trigrams are boilerplate.
+#
+# Scale shape: distinct (doc, trigram) pairs -> one groupBy for document
+# frequency -> the boilerplate set (df >= K) is a small fraction of the
+# n-gram space (~1% here), so it broadcast-joins back onto the per-doc
+# stream; the big side shuffles once (the df agg) and never again.
+# --------------------------------------------------------------------------
+BOILER_MIN_DOCS = 5
+
+
+@register("corpus_boilerplate_ngrams", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        AS sh FROM t),
+d AS (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh),
+b AS (SELECT sh FROM d WHERE df >= {BOILER_MIN_DOCS})
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(b.sh) AS BIGINT) AS n_boiler,
+       ROUND(COUNT(b.sh) * 1.0 / COUNT(*), 4) AS boiler_frac
+FROM s LEFT JOIN b USING (sh)
+GROUP BY s.doc_id
+""")
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    s = (docs.select("doc_id",
+                     F.explode(F.array_distinct(
+                         shingles(tokens(F.col("text")), 3))).alias("sh")))
+    dfreq = s.groupBy("sh").agg(F.count("*").alias("df"))
+    boiler = dfreq.where(F.col("df") >= BOILER_MIN_DOCS).select(
+        "sh", F.lit(1).alias("is_boiler"))
+    return (s.join(F.broadcast(boiler), "sh", "left")
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("n_ngrams"),
+                  F.count("is_boiler").cast("long").alias("n_boiler"),
+                  F.round(F.count("is_boiler") / F.count("*"), 4)
+                   .alias("boiler_frac")))
+
+
+# --------------------------------------------------------------------------
+# corpus_mixture_weights — domain-mixing weights: per-source document/
+# char counts plus the per-document sampling weight that would rebalance
+# the corpus to a uniform source mixture (weight = target_frac /
+# actual_frac). The planning step before weighted sampling in a
+# multi-source pretraining mix. One agg + two scalar windows over the
+# (tiny, one-row-per-source) aggregate — ratios computed from exact
+# integer counts so both engines round identically.
+# --------------------------------------------------------------------------
+@register("corpus_mixture_weights", oracle="""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM documents GROUP BY source)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS actual_frac,
+       ROUND(SUM(n_docs) OVER () * 1.0
+             / (COUNT(*) OVER () * n_docs), 6)      AS uniform_weight
+FROM s
+""")
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"))
+    w = Window.partitionBy()   # post-agg frame: one row per source
+    return agg.select(
+        "source", "n_docs", "n_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+         .alias("actual_frac"),
+        F.round(F.sum("n_docs").over(w)
+                / (F.count("*").over(w) * F.col("n_docs")), 6)
+         .alias("uniform_weight"))
+
+
+# --------------------------------------------------------------------------
+# text_pii_scrub — PII detection + redaction: emails, IPv4 addresses,
+# and long digit runs found by RE2-and-Java-compatible regexes (no
+# lookaround, no backreferences), counted and replaced with typed
+# placeholder tags. The synthetic corpus contains no PII, so the driver
+# row proves schema/determinism; tests/test_llm.py exercises the
+# regexes on fixture text with real-shaped PII.
+#
+# Scale: pure per-row regex projection — map-only, codegen'd, fuses
+# into the scan; the scrubbed text is returned as an md5 so wide text
+# never re-shuffles for the comparator.
+# --------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_LONGNUM = r"\b[0-9]{9,}\b"
+
+
+def scrub_pii(col) -> "F.Column":
+    """Redact emails, IPv4s, then long digit runs with typed tags."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_LONGNUM, "<NUM>")
+
+
+@register("text_pii_scrub", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)  AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS BIGINT)
+         AS n_longnum,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_LONGNUM}', '<NUM>', 'g'))                        AS scrub_md5
+FROM documents
+""")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
+         .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0))
+         .cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_LONGNUM), 0))
+         .cast("long").alias("n_longnum"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrub_md5"))
+
+
+# --------------------------------------------------------------------------
+# corpus_shard_plan — deterministic global shuffle + shard assignment
+# for training-data export: every document lands in
+# hash64(doc_id) % N_SHARDS, a content-independent, seed-free
+# permutation (md5-based, so Spark and any other engine agree bit for
+# bit — Spark's murmur3 hash() has no DuckDB twin). The query reports
+# per-shard balance; sources.io.export_shards materializes the same
+# assignment as a partitioned parquet write.
+#
+# Scale: the shard expression is map-side; the balance agg is one
+# exchange over N_SHARDS groups. The export writes with
+# repartition(shard) so each output file is one shard — the layout a
+# training loader wants.
+# --------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+def shard_of(doc_id) -> "F.Column":
+    """Deterministic shard id: md5-based 60-bit hash of the key, mod
+    N_SHARDS. hash64 output is nonnegative, so % == pmod."""
+    return (hash64(F.col(doc_id).cast("string")) % N_SHARDS).alias("shard")
+
+
+@register("corpus_shard_plan", oracle=f"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {N_SHARDS} AS shard,
+         n_chars, source
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM s GROUP BY shard
+""")
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs.select(shard_of("doc_id"), "n_chars", "source")
+                .groupBy("shard")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars"),
+                     F.countDistinct("source").cast("long")
+                      .alias("n_sources")))

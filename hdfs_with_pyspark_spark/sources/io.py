@@ -107,6 +107,31 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def export_shards(df: DataFrame, path: str, key: str,
+                  n_shards: int = 16, mode: str = "overwrite") -> None:
+    """Deterministic sharded export for training-data loaders.
+
+    Every row lands in shard ``hash64(key) % n_shards`` — md5-based, so
+    the assignment is content-stable across engines, runs, and cluster
+    sizes (Spark's builtin hash() is murmur3 with no cross-engine twin).
+    ``repartition(n_shards, shard)`` co-locates each shard into one task
+    before a Hive-partitioned write, so the layout on disk is one
+    directory per shard with one file inside — the contract a sharded
+    training loader expects. The shard column round-trips (partition
+    columns re-materialize on read), so loaders can predicate-prune to a
+    shard subset.
+
+    Scale: one exchange (the repartition), map-side shard expression,
+    no driver collection; at 100 TB pick n_shards so a shard fits a
+    task's output budget (shards ≫ executors parallelizes the write).
+    """
+    from hdfs_with_pyspark_spark.llm.textops import hash64
+    sharded = df.withColumn(
+        "shard", (hash64(F.col(key).cast("string")) % n_shards))
+    (sharded.repartition(n_shards, F.col("shard"))
+            .write.mode(mode).partitionBy("shard").parquet(path))
+
+
 def overwrite_partitions(df: DataFrame, path: str,
                          partition_by: list[str]) -> None:
     """Dynamic partition overwrite: replace ONLY the partitions present in

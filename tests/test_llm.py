@@ -407,3 +407,90 @@ def test_decontaminate_flags_eval_overlap(spark, monkeypatch):
     assert set(out) == {8, 9}
     assert out[8]["is_contaminated"] and out[8]["n_shared_shingles"] == 2
     assert not out[9]["is_contaminated"] and out[9]["n_shared_shingles"] == 0
+
+
+# ------------------------------------------------- round-2 quality ops
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from hdfs_with_pyspark_spark.llm.text import scrub_pii, PII_EMAIL
+    df = spark.createDataFrame(
+        [("mail me at jo.doe+x@ex-ample.org or 10.0.255.7 card 4111111111111111",),
+         ("no pii here, just words and 1234 short digits",)],
+        "text string")
+    rows = (df.select(
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n"))
+        .collect())
+    assert rows[0]["scrubbed"] == "mail me at <EMAIL> or <IP> card <NUM>"
+    assert rows[0]["n"] == 1
+    assert rows[1]["scrubbed"] == "no pii here, just words and 1234 short digits"
+
+
+def test_repetition_signals_hand_values(spark, monkeypatch, tmp_path):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    # "a a a b": top token a=3/4, dup tokens 3/4; bigrams [a a, a a, a b]
+    # -> 1 dup of 3; trigrams [a a a, a a b] -> 0 dups of 2.
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(
+        tx, "read_table", lambda s, d, n: docs)
+    r = tx.text_repetition_signals(spark, "ignored").first()
+    assert r["n_tokens"] == 4
+    assert r["top_token_frac"] == pytest.approx(0.75)
+    assert r["dup_token_frac"] == pytest.approx(0.75)
+    assert r["dup_bigram_frac"] == pytest.approx(round(1 / 3, 4))
+    assert r["dup_trigram_frac"] == pytest.approx(0.0)
+
+
+def test_unigram_logprob_uniform_corpus(spark, monkeypatch):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    # Two docs, vocabulary {x, y} with equal counts: every token has
+    # p = 0.5, so every doc's mean log10 prob is log10(0.5).
+    docs = spark.createDataFrame(
+        [(1, "x y", "en", "s", 3), (2, "y x", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    rows = tx.corpus_unigram_logprob(spark, "ignored").collect()
+    for r in rows:
+        assert r["avg_logprob"] == pytest.approx(round(math.log10(0.5), 4),
+                                                 abs=1e-4)
+
+
+def test_boilerplate_ngrams_threshold(spark, monkeypatch):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    # Trigram "a b c" appears in 5 docs (>= BOILER_MIN_DOCS), "z z z"
+    # in one. Doc 1 holds both -> boiler_frac 0.5.
+    rows = [(i, "a b c", "en", "s", 5) for i in range(2, 6)]
+    rows += [(1, "a b c z z z z", "en", "s", 13)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    out = {r["doc_id"]: r for r in tx.corpus_boilerplate_ngrams(spark, "x").collect()}
+    # doc 1 distinct trigrams: {a b c, b c z, c z z, z z z} — the
+    # repeated "z z z" collapses, n_ngrams is the distinct count.
+    assert out[1]["n_boiler"] == 1
+    assert out[1]["n_ngrams"] == 4
+    assert out[2]["boiler_frac"] == pytest.approx(1.0)
+
+
+def test_export_shards_roundtrip_and_determinism(spark, tmp_path):
+    from hdfs_with_pyspark_spark.sources.io import export_shards
+    from hdfs_with_pyspark_spark.llm.text import N_SHARDS
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3 % 17).alias("payload"))
+    path = str(tmp_path / "shards")
+    export_shards(df, path, key="doc_id", n_shards=N_SHARDS)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # Shard assignment is the md5 formula, bit for bit.
+    expected = {r["doc_id"]: int(hashlib.md5(str(r["doc_id"]).encode())
+                                 .hexdigest()[:15], 16) % N_SHARDS
+                for r in df.select("doc_id").collect()}
+    for r in back.select("doc_id", "shard").collect():
+        assert int(r["shard"]) == expected[r["doc_id"]]
+    # One directory per non-empty shard, loader-style layout.
+    import os
+    parts = [d for d in os.listdir(path) if d.startswith("shard=")]
+    assert 1 <= len(parts) <= N_SHARDS

@@ -218,3 +218,42 @@ def test_decontaminate_broadcasts_eval_ngrams(spark, sf_dir):
     plan = explain(spark, "corpus_decontaminate", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_map_only(spark, sf_dir):
+    # All repetition signals are per-row HOF expressions: the plan must
+    # be scan -> project with NO exchange — the shape that fuses into
+    # whole-stage codegen and scales embarrassingly.
+    plan = explain(spark, "text_repetition_signals", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    # The unigram probability table (post-agg vocab, tiny) broadcasts
+    # onto the exploded token stream; the corpus side must not shuffle
+    # for the join.
+    plan = explain(spark, "corpus_unigram_logprob", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_broadcasts_hot_ngrams(spark, sf_dir):
+    # The boilerplate set (df >= K, ~1% of n-grams) broadcasts back onto
+    # the per-doc shingle stream — one shuffle total (the df agg).
+    plan = explain(spark, "corpus_boilerplate_ngrams", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_map_only(spark, sf_dir):
+    plan = explain(spark, "text_pii_scrub", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_shard_plan_bounded_exchanges(spark, sf_dir):
+    # Shard balance agg: COUNT(DISTINCT source) expands to the standard
+    # two-level aggregate — (shard, source) partials then shard — so two
+    # exchanges, the second over already-aggregated (tiny) data. The
+    # shard expression itself must stay map-side against the scan.
+    plan = explain(spark, "corpus_shard_plan", sf_dir)
+    assert n_nodes(plan, "Exchange") == 2
+    assert "CartesianProduct" not in plan
