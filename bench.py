@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "corpus_curation",
     "corpus_decontaminate",
+    "channel_pagerank",
+    "events_time_proximity",
     "corpus_sample_stratified",
     "ann_topk_lsh",
     "ann_topk_lsh_multiprobe",

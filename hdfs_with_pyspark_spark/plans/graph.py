@@ -1,0 +1,118 @@
+"""Iterative graph analytics over the channel co-membership graph.
+
+The reference's social surface stops at one-hop recommendation pairs
+(reference: src/scripts/project_step_3.py — channel co-membership +
+distance filter). A complete engine also needs the multi-hop/iterative
+family; PageRank is its canonical member, implemented Pregel-on-DataFrame
+style: a statically unrolled chain of join->aggregate rounds (like the
+k-means trainer in llm/similarity.py — iteration count is a compile-time
+constant, so the oracle unrolls to the same CTE stages).
+
+Determinism across engines: ranks live in integer MICRO-units and every
+division is integer division (``div``), so partial-agg summation order
+can't flip a bit — the same snap-to-int trick the unigram-LM scorer uses.
+
+Scale shape: edges + degrees are computed once and persisted (every
+round re-reads them); each round is ONE shuffled aggregation keyed on
+the destination node (contributions) plus a join back to the node list.
+Rounds are sequential by nature (round k+1 consumes round k), but each
+round is fully data-parallel — the classic bulk-synchronous-parallel
+schedule. The channel fan-out accepts the same per-channel member cap
+as friend_recommendations (``max_channel_members``) to bound a viral
+channel's quadratic pair blowup; the registered query runs uncapped
+because the synthetic channels are small and the oracle must see every
+edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100      # damping 0.85 as an exact ratio
+PR_UNIT = 1_000_000                     # rank micro-units
+PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*unit
+
+
+def _sql_pagerank_ctes() -> str:
+    """Unrolled PR_ITERS rounds as DuckDB CTE stages."""
+    ctes = [f"""subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM subs a JOIN subs b USING (channel)
+  WHERE a.user_id <> b.user_id),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT user_id AS u FROM subs),
+r0 AS (SELECT u, CAST({PR_UNIT} AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(PR_ITERS):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT n.u,
+         CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(SUM(r{i}.rank // d.deg), 0))
+              // {PR_DAMP_DEN} AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.v = n.u
+  LEFT JOIN r{i} ON r{i}.u = e.u
+  LEFT JOIN deg d ON d.u = e.u
+  GROUP BY n.u)""")
+    return ",\n".join(ctes)
+
+
+@register("channel_pagerank", oracle=f"""
+WITH {_sql_pagerank_ctes()}
+SELECT u AS user_id, rank AS rank_micro
+FROM r{PR_ITERS}
+""")
+def channel_pagerank(spark: SparkSession, sf_dir: str,
+                     max_channel_members: int | None = None) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    # The cap bounds the EDGE fan-out only; every subscriber stays a node
+    # (a capped-out member becomes isolated, receiving just the base
+    # rank) so the result cardinality is cap-invariant.
+    edge_subs = subs
+    if max_channel_members is not None:
+        w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+        edge_subs = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                         .where(F.col("__rn") <= max_channel_members)
+                         .drop("__rn"))
+    edges = (edge_subs.alias("a")
+             .join(edge_subs.alias("b"), "channel")
+             .where(F.col("a.user_id") != F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct()
+             .persist())   # every round re-reads the edge list
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
+    nodes = subs.select(F.col("user_id").alias("u")).distinct().persist()
+
+    ranks = nodes.select("u", F.lit(PR_UNIT).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (edges
+                   .join(ranks, "u")
+                   .join(deg, "u")
+                   .select(F.col("v"),
+                           F.expr("rank div deg").alias("c")))
+        recv = contrib.groupBy("v").agg(F.sum("c").alias("recv"))
+        ranks = (nodes
+                 .join(recv, nodes["u"] == recv["v"], "left")
+                 .select(
+                     "u",
+                     (F.lit(PR_BASE)
+                      + F.expr(f"({PR_DAMP_NUM} * coalesce(recv, 0L)) "
+                               f"div {PR_DAMP_DEN}"))
+                     .cast("long").alias("rank")))
+    return ranks.select(F.col("u").alias("user_id"),
+                        F.col("rank").alias("rank_micro"))

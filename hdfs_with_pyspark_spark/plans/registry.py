@@ -51,6 +51,7 @@ def _load_all() -> None:
         relational,
         geo_marts,
         temporal,
+        graph,
     )
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,

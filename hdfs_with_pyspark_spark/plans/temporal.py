@@ -349,3 +349,57 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
                     "gid", "n_orders", "revenue"))
+
+
+# --------------------------------------------------------------------------
+# events_time_proximity — banded range join: for every error event,
+# count click events within +/- PROX_WINDOW seconds. A naive inequality
+# join is Spark's worst case (BroadcastNestedLoopJoin, O(n*m) row
+# comparisons); the scale shape BANDS time into PROX_WINDOW-second
+# cells, fans the smaller side out to its cell and both neighbors
+# (3x replication), equi-joins on the cell id, and post-filters the
+# exact |dt| <= window predicate. Every candidate pair is then found in
+# exactly the hash-join bucket its cell maps to — a shuffled equi-join
+# whose cost is O(pairs-in-band), not O(n*m). This is the standard
+# time-series/interval-join rewrite engines hide behind RANGE JOIN
+# hints.
+#
+# Epoch seconds are integer-truncated on BOTH engines (Spark
+# unix_timestamp floors; the oracle floors explicitly) so the band and
+# the predicate agree bit for bit.
+# --------------------------------------------------------------------------
+PROX_WINDOW = 1800   # seconds
+
+
+@register("events_time_proximity", oracle=f"""
+WITH e AS (SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+           FROM events WHERE event_type = 'error'),
+c AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'click')
+SELECT e.event_id,
+       CAST(COUNT(c.s) AS BIGINT) AS n_nearby_clicks
+FROM e LEFT JOIN c ON ABS(e.s - c.s) <= {PROX_WINDOW}
+GROUP BY e.event_id
+""")
+def events_time_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    errors = (ev.where(F.col("event_type") == "error")
+                .select("event_id", secs.alias("s"),
+                        (secs - secs % PROX_WINDOW).alias("cell")))
+    ccell = (F.col("cs") - F.col("cs") % PROX_WINDOW)
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select(secs.alias("cs"))
+                .withColumn("cell", F.explode(F.array(
+                    ccell - PROX_WINDOW, ccell, ccell + PROX_WINDOW))))
+    hits = (errors.join(clicks, "cell")
+                  .where(F.abs(F.col("s") - F.col("cs")) <= PROX_WINDOW)
+                  .groupBy("event_id")
+                  .agg(F.count("*").alias("n")))
+    # Left join back so zero-neighbor errors keep a row (count 0).
+    return (errors.select("event_id")
+                  .join(hits, "event_id", "left")
+                  .select("event_id",
+                          F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                           .alias("n_nearby_clicks")))

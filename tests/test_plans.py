@@ -257,3 +257,48 @@ def test_shard_plan_bounded_exchanges(spark, sf_dir):
     plan = explain(spark, "corpus_shard_plan", sf_dir)
     assert n_nodes(plan, "Exchange") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_hand_graph(spark, monkeypatch):
+    # Channel 1 = {10, 20}: a 2-cycle. Channel 2 = {30}: isolated.
+    # deg(10)=deg(20)=1; every round each cycle node receives the
+    # other's full rank: r1 = 150000 + 85*1000000//100 = 1000000 —
+    # the cycle is a fixpoint at the unit rank. Isolated 30 receives
+    # nothing: 150000 from round 1 onward.
+    from hdfs_with_pyspark_spark.plans import graph as g
+    from pyspark.sql import functions as F
+    rows = [(1, "signup", 10, '{"k": 1}'), (2, "signup", 20, '{"k": 1}'),
+            (3, "signup", 30, '{"k": 2}')]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = {r["user_id"]: r["rank_micro"]
+           for r in g.channel_pagerank(spark, "x").collect()}
+    assert out[10] == 1_000_000 and out[20] == 1_000_000
+    assert out[30] == 150_000
+
+
+def test_pagerank_cap_noop_on_small_channels(spark, monkeypatch):
+    # With every channel under the cap, capped == uncapped.
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = [(i, "signup", i % 7, '{"k": %d}' % (i % 3)) for i in range(40)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    a = sorted(g.channel_pagerank(spark, "x").collect())
+    b = sorted(g.channel_pagerank(spark, "x", max_channel_members=100).collect())
+    assert a == b
+
+
+def test_pagerank_cap_bounds_edges(spark, monkeypatch):
+    # Cap of 2 keeps only the 2 lowest user_ids per channel: the edge
+    # set shrinks, and dropped members become isolated (base rank).
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = [(i, "signup", i, '{"k": 1}') for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = {r["user_id"]: r["rank_micro"]
+           for r in g.channel_pagerank(spark, "x", max_channel_members=2).collect()}
+    assert out[0] == 1_000_000 and out[1] == 1_000_000
+    assert all(out[u] == 150_000 for u in (2, 3, 4))

@@ -74,3 +74,39 @@ def test_rolling_frame_matches_bruteforce(spark, sf_dir):
         present = [v for v in win if v is not None]
         assert abs(sum(present) - r["revenue_7d"]) < 1e-6
         assert len(present) == r["n_days_7d"]
+
+
+def test_time_proximity_band_edges(spark, monkeypatch):
+    # Error at t=100000; clicks at +/-1800 (inclusive), +/-1801 (out),
+    # and one unrelated type. Banding must find the inclusive edges even
+    # when they land in neighboring cells.
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+    import datetime as dt
+    base = dt.datetime(2024, 1, 10, 0, 0, 0)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [(1, at(0), 7, "error", 0.0, None),
+            (2, at(-1800), 7, "click", 0.0, None),
+            (3, at(1800), 7, "click", 0.0, None),
+            (4, at(-1801), 7, "click", 0.0, None),
+            (5, at(1801), 7, "click", 0.0, None),
+            (6, at(10), 7, "view", 0.0, None)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(tp, "read_table", lambda s, d, n: ev)
+    out = tp.events_time_proximity(spark, "x").collect()
+    assert len(out) == 1 and out[0]["n_nearby_clicks"] == 2
+
+
+def test_time_proximity_no_nested_loop(spark, sf_dir):
+    # The whole point of the banding rewrite: the physical plan must be
+    # an equi-join on the cell id, never a nested-loop over the
+    # inequality predicate.
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+    plan = (tp.events_time_proximity(spark, sf_dir)
+              ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
