@@ -52,6 +52,7 @@ def _load_all() -> None:
         geo_marts,
         temporal,
         graph,
+        maintenance,
     )
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,

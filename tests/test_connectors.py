@@ -183,3 +183,41 @@ def test_overwrite_partitions_leaves_siblings_intact(spark, sf_dir, tmp_path):
     assert got_1996.select("o_orderpriority").distinct().collect()[0][0] == "RECOMPUTED"
     # session conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+
+def test_events_ts_physical_type_autodetect(spark, tmp_path):
+    """read_table must handle BOTH events.ts physical encodings the
+    testdata generator has produced across rounds: TIMESTAMP(NANOS)
+    (read as long + converted) and TIMESTAMP(MICROS) (read directly).
+    Same logical rows either way."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ts = [dt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+          dt.datetime(2024, 2, 2, 3, 4, 5, 654321)]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["click", "error"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k": 1}', None]),
+    }
+    for unit, sub in (("ns", "nanos"), ("us", "micros")):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table({"event_id": cols["event_id"],
+                        "ts": pa.array(ts, pa.timestamp(unit)),
+                        "user_id": cols["user_id"],
+                        "event_type": cols["event_type"],
+                        "value": cols["value"],
+                        "props": cols["props"]})
+        pq.write_table(tbl, d / "events.parquet")
+        got = (read_table(spark, str(d), "events")
+               .select("event_id", "ts").collect())
+        by_id = {r["event_id"]: r["ts"] for r in got}
+        assert by_id[1] == ts[0], f"{sub}: {by_id[1]!r}"
+        assert by_id[2] == ts[1], f"{sub}: {by_id[2]!r}"

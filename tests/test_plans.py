@@ -302,3 +302,47 @@ def test_pagerank_cap_bounds_edges(spark, monkeypatch):
            for r in g.channel_pagerank(spark, "x", max_channel_members=2).collect()}
     assert out[0] == 1_000_000 and out[1] == 1_000_000
     assert all(out[u] == 150_000 for u in (2, 3, 4))
+
+
+def test_merge_upsert_row_presence_beats_null(spark):
+    # A source row with a legitimate NULL must WIN over the target value
+    # (row presence decides, not per-column coalesce).
+    from hdfs_with_pyspark_spark.operators.merge import merge_upsert
+    t = spark.createDataFrame([(1, "old", 5.0), (2, "keep", 6.0)],
+                              "k long, name string, bal double")
+    s = spark.createDataFrame([(1, None, 9.0), (3, "new", 7.0)],
+                              "k long, name string, bal double")
+    out = {r["k"]: r for r in merge_upsert(t, s, "k").collect()}
+    assert out[1]["name"] is None and out[1]["bal"] == 9.0 and out[1]["updated"]
+    assert out[2]["name"] == "keep" and not out[2]["updated"]
+    assert out[3]["name"] == "new" and out[3]["updated"]
+
+
+def test_merge_upsert_roundtrip_write(spark, tmp_path):
+    from hdfs_with_pyspark_spark.operators.merge import merge_upsert
+    from hdfs_with_pyspark_spark.sources.io import write_parquet
+    t = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                              "k long, v double")
+    s = spark.createDataFrame([(i, -1.0) for i in range(0, 100, 10)],
+                              "k long, v double")
+    merged = merge_upsert(t, s, "k").drop("updated")
+    path = str(tmp_path / "dim")
+    write_parquet(merged, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.where("v = -1.0").count() == 10
+
+
+def test_scd2_reapply_increments_version(spark):
+    # Applying a second batch to an already-updated key yields version 3
+    # with exactly one current row per key.
+    from hdfs_with_pyspark_spark.operators.merge import scd2_apply
+    from pyspark.sql import functions as F
+    dim = spark.createDataFrame([(1, "a", 1, True)],
+                                "k long, attr string, version long, is_current boolean")
+    once = scd2_apply(dim, spark.createDataFrame([(1, "b")], "k long, attr string"), "k")
+    twice = scd2_apply(once, spark.createDataFrame([(1, "c")], "k long, attr string"), "k")
+    rows = sorted(twice.collect(), key=lambda r: r["version"])
+    assert [r["attr"] for r in rows] == ["a", "b", "c"]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+    assert twice.where(F.col("is_current")).count() == 1
