@@ -99,10 +99,15 @@ DRIVER_PRIORITY = [
     "stream_windowed_counts", "stream_sliding_counts",
     "stream_session_stats", "stream_user_state", "stream_dedup",
     "stream_click_after_signup",
-    # relational / temporal shapes not covered by the marts above
-    "pricing_summary", "pricing_totals_exact", "user_type_setops",
-    "event_props_typed", "asof_last_order_before_event",
-    "rolling_daily_revenue", "user_activity_cogroup", "revenue_cube",
+    # relational / temporal / maintenance shapes not covered by the
+    # marts above (set-ops / map-extraction / grouping-sets twins are
+    # demoted: basic SQL breadth, still parity-checked locally; the
+    # banded range join, iterative PageRank, and MERGE upsert are
+    # distinct scale-pattern capabilities and belong in the window)
+    "pricing_summary", "pricing_totals_exact",
+    "asof_last_order_before_event", "rolling_daily_revenue",
+    "user_activity_cogroup", "events_time_proximity",
+    "channel_pagerank", "customers_upsert",
 ]
 
 

@@ -108,7 +108,8 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 
 def export_shards(df: DataFrame, path: str, key: str,
-                  n_shards: int = 16, mode: str = "overwrite") -> None:
+                  n_shards: int = 16, mode: str = "overwrite",
+                  sort_within: list[str] | None = None) -> None:
     """Deterministic sharded export for training-data loaders.
 
     Every row lands in shard ``hash64(key) % n_shards`` — md5-based, so
@@ -121,6 +122,9 @@ def export_shards(df: DataFrame, path: str, key: str,
     columns re-materialize on read), so loaders can predicate-prune to a
     shard subset.
 
+    ``sort_within`` orders rows INSIDE each shard file (secondary sort,
+    no global sort) — the layout sequential training loaders expect.
+
     Scale: one exchange (the repartition), map-side shard expression,
     no driver collection; at 100 TB pick n_shards so a shard fits a
     task's output budget (shards ≫ executors parallelizes the write).
@@ -128,8 +132,13 @@ def export_shards(df: DataFrame, path: str, key: str,
     from hdfs_with_pyspark_spark.llm.textops import hash64
     sharded = df.withColumn(
         "shard", (hash64(F.col(key).cast("string")) % n_shards))
-    (sharded.repartition(n_shards, F.col("shard"))
-            .write.mode(mode).partitionBy("shard").parquet(path))
+    sharded = sharded.repartition(n_shards, F.col("shard"))
+    if sort_within:
+        # Secondary sort: order INSIDE each shard file (what sequential
+        # training loaders expect) without any global sort — the
+        # per-partition sort composes with the repartition exchange.
+        sharded = sharded.sortWithinPartitions(*sort_within)
+    sharded.write.mode(mode).partitionBy("shard").parquet(path)
 
 
 def overwrite_partitions(df: DataFrame, path: str,

@@ -299,3 +299,53 @@ def stream_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"))
     return run_to_table(out, "append")
+
+
+def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
+                       n_rounds_col: str = "n_events") -> None:
+    """Continuous mart maintenance: foreachBatch + MERGE upsert.
+
+    Each micro-batch aggregates per-user activity and upserts it into a
+    parquet dimension via operators.merge.merge_upsert — the streaming
+    half of the SCD1 path (batch half: plans/maintenance.py). The sink
+    is idempotent per (user, batch) because the merge is keyed: a
+    replayed batch overwrites the same keys with the same values, which
+    is the standard exactly-once recipe over an at-least-once sink.
+
+    Scale: each micro-batch shuffles only its own (small) aggregate;
+    the dimension side stays parquet and would be bucketed on user_id
+    in production so only the batch side moves.
+    """
+    import os
+
+    from hdfs_with_pyspark_spark.operators.merge import merge_upsert
+    from hdfs_with_pyspark_spark.sources.io import write_parquet
+
+    stream = read_events_stream(spark, sf_dir)
+    per_user = (stream.groupBy("user_id")
+                      .agg(F.count("*").alias(n_rounds_col),
+                           F.round(F.sum("value"), 2).alias("sum_value")))
+
+    def upsert_batch(batch_df, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        if os.path.exists(dim_path):
+            target = spark_l.read.parquet(dim_path)
+            merged = (merge_upsert(target, batch_df, key="user_id")
+                      .drop("updated"))
+        else:
+            merged = batch_df
+        # Stage-and-swap: parquet has no transactional MERGE, so write
+        # to a staging path and atomically rename over the old dim.
+        staging = dim_path + "__staging"
+        write_parquet(merged, staging)
+        import shutil
+        if os.path.exists(dim_path):
+            shutil.rmtree(dim_path)
+        os.rename(staging, dim_path)
+
+    (per_user.writeStream
+             .outputMode("update")
+             .foreachBatch(upsert_batch)
+             .trigger(availableNow=True)
+             .start()
+             .awaitTermination())

@@ -481,7 +481,8 @@ def test_export_shards_roundtrip_and_determinism(spark, tmp_path):
         F.col("id").alias("doc_id"),
         (F.col("id") * 3 % 17).alias("payload"))
     path = str(tmp_path / "shards")
-    export_shards(df, path, key="doc_id", n_shards=N_SHARDS)
+    export_shards(df, path, key="doc_id", n_shards=N_SHARDS,
+                  sort_within=["doc_id"])
     back = spark.read.parquet(path)
     assert back.count() == 200
     # Shard assignment is the md5 formula, bit for bit.
@@ -490,7 +491,14 @@ def test_export_shards_roundtrip_and_determinism(spark, tmp_path):
                 for r in df.select("doc_id").collect()}
     for r in back.select("doc_id", "shard").collect():
         assert int(r["shard"]) == expected[r["doc_id"]]
-    # One directory per non-empty shard, loader-style layout.
+    # One directory per non-empty shard, loader-style layout, each file
+    # internally sorted by the secondary key.
     import os
     parts = [d for d in os.listdir(path) if d.startswith("shard=")]
     assert 1 <= len(parts) <= N_SHARDS
+    import pyarrow.parquet as pq
+    for d in parts:
+        for f in os.listdir(os.path.join(path, d)):
+            if f.endswith(".parquet"):
+                ids = pq.read_table(os.path.join(path, d, f))["doc_id"].to_pylist()
+                assert ids == sorted(ids)

@@ -89,3 +89,27 @@ def test_session_stats_across_batches(spark, split_events_dir):
         session_stats(_throttled_stream(spark, split_events_dir)),
         "complete").collect()))
     assert got == want
+
+
+def test_stream_upsert_sink_matches_batch_recompute(spark, tmp_path):
+    # The foreachBatch-merge dim must end up exactly equal to the batch
+    # groupBy over the same events — the streaming SCD1 path is
+    # semantically a continuous version of the batch aggregate.
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    from hdfs_with_pyspark_spark.streaming.ops import stream_upsert_sink
+
+    sf = "/root/testdata/sf0.001"
+    dim = str(tmp_path / "user_dim")
+    stream_upsert_sink(spark, sf, dim)
+
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(dim).collect()}
+    want = {r["user_id"]: (r["n"], r["s"])
+            for r in (read_table(spark, sf, "events")
+                      .groupBy("user_id")
+                      .agg(F.count("*").alias("n"),
+                           F.round(F.sum("value"), 2).alias("s"))
+                      .collect())}
+    assert got == want
