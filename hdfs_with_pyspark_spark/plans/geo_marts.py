@@ -669,3 +669,51 @@ def channel_subscribers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
               .groupBy(channel.alias("channel"))
               .agg(F.countDistinct("user_id").alias("n_subscribers")))
+
+
+# ---------------------------------------------------------------------------
+# events_zorder_cells — Morton-cell aggregation: quantize every positioned
+# event's (lat, lon) to Z_QUERY_BITS bits per dimension, bit-interleave
+# into a Z-curve cell id, count per cell. The query half of the Z-order
+# story (operators/zorder.py holds the clustered-write half): the same
+# integer interleave that clusters the layout also serves as a spatial
+# bucket key — map-side expression + one agg exchange, no joins.
+# ---------------------------------------------------------------------------
+Z_QUERY_BITS = 6
+LAT_RANGE = (-44.0, -10.0)
+LON_RANGE = (112.0, 154.0)
+
+
+@register("events_zorder_cells", oracle=None)  # oracle attached below
+def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_with_pyspark_spark.operators.zorder import morton_code, quantize
+    ensure_session(spark)
+    ev = _positioned_events(spark, sf_dir)
+    zx = quantize(F.col("lat"), *LAT_RANGE, bits=Z_QUERY_BITS)
+    zy = quantize(F.col("lon"), *LON_RANGE, bits=Z_QUERY_BITS)
+    return (ev.select(morton_code(zx, zy, Z_QUERY_BITS).alias("z_cell"))
+              .groupBy("z_cell")
+              .agg(F.count("*").cast("long").alias("n_events")))
+
+
+def _zorder_oracle() -> str:
+    from hdfs_with_pyspark_spark.operators.zorder import (
+        sql_morton_code,
+        sql_quantize,
+    )
+    qx = sql_quantize("lat", *LAT_RANGE, bits=Z_QUERY_BITS)
+    qy = sql_quantize("lon", *LON_RANGE, bits=Z_QUERY_BITS)
+    return f"""
+WITH ev AS (
+  SELECT {SQL_EVENT_LAT} AS lat, {SQL_EVENT_LON} AS lon FROM events),
+pos AS (SELECT * FROM ev WHERE lat IS NOT NULL),
+q AS (SELECT {qx} AS zx, {qy} AS zy FROM pos)
+SELECT {sql_morton_code('zx', 'zy', Z_QUERY_BITS)} AS z_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM q GROUP BY 1
+"""
+
+
+from hdfs_with_pyspark_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["events_zorder_cells"] = _zorder_oracle()

@@ -403,3 +403,68 @@ def events_time_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("event_id",
                           F.coalesce(F.col("n"), F.lit(0)).cast("long")
                            .alias("n_nearby_clicks")))
+
+
+# --------------------------------------------------------------------------
+# user_funnel — ordered-step funnel analysis (signup -> click ->
+# purchase), the product-analytics staple: each step's timestamp is the
+# FIRST qualifying event at-or-after the previous step. Three
+# conditional-min window passes over ONE user_id partitioning — Spark
+# plans a single Exchange for all three (subset clustering reuse), so
+# the funnel costs the same shuffle as any per-user aggregate at 100 TB.
+# Step deltas are integer epoch-second diffs (floored identically on
+# both engines).
+# --------------------------------------------------------------------------
+@register("user_funnel", oracle="""
+WITH s AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id)
+SELECT s.user_id,
+       (s.t_signup IS NOT NULL)   AS did_signup,
+       (c.t_click IS NOT NULL)    AS did_click,
+       (p.t_purchase IS NOT NULL) AS did_purchase,
+       CAST(FLOOR(epoch(c.t_click)) - FLOOR(epoch(s.t_signup)) AS BIGINT)
+         AS sec_to_click,
+       CAST(FLOOR(epoch(p.t_purchase)) - FLOOR(epoch(c.t_click)) AS BIGINT)
+         AS sec_to_purchase
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+       LEFT JOIN p ON p.user_id = s.user_id
+""")
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_signup = F.min(F.when(F.col("event_type") == "signup",
+                            F.col("ts"))).over(w)
+    staged = ev.withColumn("t_signup", t_signup)
+    t_click = F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") >= F.col("t_signup")),
+                           F.col("ts"))).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(F.when((F.col("event_type") == "purchase")
+                              & (F.col("ts") >= F.col("t_click")),
+                              F.col("ts"))).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    sec = F.unix_timestamp
+    return (staged
+            .select("user_id", "t_signup", "t_click", "t_purchase")
+            .distinct()
+            .select(
+                "user_id",
+                F.col("t_signup").isNotNull().alias("did_signup"),
+                F.col("t_click").isNotNull().alias("did_click"),
+                F.col("t_purchase").isNotNull().alias("did_purchase"),
+                (sec("t_click") - sec("t_signup")).cast("long")
+                 .alias("sec_to_click"),
+                (sec("t_purchase") - sec("t_click")).cast("long")
+                 .alias("sec_to_purchase")))

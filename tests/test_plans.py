@@ -346,3 +346,20 @@ def test_scd2_reapply_increments_version(spark):
     assert [r["attr"] for r in rows] == ["a", "b", "c"]
     assert [r["is_current"] for r in rows] == [False, False, True]
     assert twice.where(F.col("is_current")).count() == 1
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    # Three conditional-min window passes + the distinct must all reuse
+    # ONE hash(user_id) Exchange — the funnel costs the same shuffle as
+    # any per-user aggregate.
+    plan = explain(spark, "user_funnel", sf_dir)
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 3
+
+
+def test_zorder_cells_map_plus_one_agg(spark, sf_dir):
+    # The Morton cell id is a pure bit-arithmetic projection; the only
+    # exchange is the per-cell count.
+    plan = explain(spark, "events_zorder_cells", sf_dir)
+    assert n_nodes(plan, "Exchange") == 1
+    assert "partial_count" in plan

@@ -105,3 +105,64 @@ def test_city_cache_bounded_and_clearable(spark):
     assert len(sp._CITY_ROWS_CACHE) <= sp._CITY_ROWS_CACHE_MAX
     sp.clear_city_cache()
     assert sp._CITY_ROWS_CACHE == {}
+
+
+def test_morton_code_known_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.operators.zorder import morton_code
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    z = df.select(morton_code(F.col("x"), F.col("y"), 2).alias("z")).first()["z"]
+    # x=0b11 -> bits 0,2; y=0b01 -> bit 1: z = 1 + 2 + 4 = 7
+    assert z == 7
+
+
+def test_zorder_write_skips_row_groups(spark, tmp_path):
+    """The point of Z-ordering: a 2-D box predicate must be answerable
+    from strictly fewer row groups than the unclustered layout needs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.functions.geo import with_synth_event_coords
+    from hdfs_with_pyspark_spark.operators.zorder import zorder_write
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ev = (with_synth_event_coords(read_table(spark, "/root/testdata/sf0.01",
+                                             "events"))
+          .where(F.col("lat").isNotNull())
+          .select("event_id", "lat", "lon"))
+
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    ev.repartition(8).write.parquet(plain)
+    zorder_write(ev, zpath, x="lat", y="lon",
+                 x_range=(-44.0, -10.0), y_range=(112.0, 154.0), n_files=8)
+
+    box = (-30.0, -25.0, 120.0, 125.0)   # lat_lo, lat_hi, lon_lo, lon_hi
+
+    def groups_hit(path):
+        total = hit = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.schema.to_arrow_schema().__len__())}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                la = rg.column(idx["lat"]).statistics
+                lo = rg.column(idx["lon"]).statistics
+                total += 1
+                if (la.max >= box[0] and la.min <= box[1]
+                        and lo.max >= box[2] and lo.min <= box[3]):
+                    hit += 1
+        return hit, total
+
+    p_hit, p_total = groups_hit(plain)
+    z_hit, z_total = groups_hit(zpath)
+    # Same data either way; the clustered layout must answer the box
+    # from a strictly smaller fraction of row groups.
+    assert spark.read.parquet(zpath).count() == ev.count()
+    assert z_hit / z_total < p_hit / p_total, (z_hit, z_total, p_hit, p_total)
