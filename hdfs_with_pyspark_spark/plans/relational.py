@@ -810,3 +810,49 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy(F.col("n_name").alias("nation"))
               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                     .alias("revenue")))
+
+
+# --------------------------------------------------------------------------
+# lineitem_footer_stats — parquet aggregate pushdown: COUNT/MIN/MAX with
+# no filter answered from row-group FOOTER STATISTICS alone (v2 scan +
+# spark.sql.parquet.aggregatePushdown), never touching data pages. At
+# 100 TB this is the difference between a metadata pass (one footer per
+# file) and a full-table scan for the most common health-check query.
+# The two confs are scoped to this query (set + restored around an
+# eager materialization) so every other plan keeps the default v1
+# FileScan shape; the one-row result is re-wrapped for the caller.
+# Timestamp columns don't qualify for pushdown, so the stats stick to
+# numeric/integer columns.
+# --------------------------------------------------------------------------
+@register("lineitem_footer_stats", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT)        AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+       MIN(l_quantity)                 AS min_qty,
+       MAX(l_quantity)                 AS max_qty
+FROM lineitem
+""")
+def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import os
+    confs = {"spark.sql.parquet.aggregatePushdown": "true",
+             "spark.sql.sources.useV1SourceList": ""}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        agg = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+               .agg(F.count("*").alias("n_rows"),
+                    F.min("l_orderkey").alias("min_orderkey"),
+                    F.max("l_orderkey").alias("max_orderkey"),
+                    F.min("l_quantity").alias("min_qty"),
+                    F.max("l_quantity").alias("max_qty")))
+        rows = agg.collect()          # materialize under the v2 confs
+        schema = agg.schema
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)

@@ -363,3 +363,37 @@ def test_zorder_cells_map_plus_one_agg(spark, sf_dir):
     plan = explain(spark, "events_zorder_cells", sf_dir)
     assert n_nodes(plan, "Exchange") == 1
     assert "partial_count" in plan
+
+
+def test_footer_stats_pushes_aggregates_to_scan(spark, sf_dir):
+    # Under the v2 scan + aggregatePushdown confs, the whole aggregate
+    # must reach the parquet reader (answered from footer statistics):
+    # the scan's PushedAggregation list carries every agg expression.
+    import os
+    import re as _re
+
+    from pyspark.sql import functions as F
+    confs = {"spark.sql.parquet.aggregatePushdown": "true",
+             "spark.sql.sources.useV1SourceList": ""}
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        agg = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+               .agg(F.count("*").alias("n"),
+                    F.min("l_orderkey").alias("a"),
+                    F.max("l_quantity").alias("b")))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    m = _re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+    assert m and "COUNT(*)" in m.group(1) and "MIN(l_orderkey)" in m.group(1)
+
+
+def test_footer_stats_restores_session_confs(spark, sf_dir):
+    from hdfs_with_pyspark_spark.plans.registry import QUERIES
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    QUERIES["lineitem_footer_stats"](spark, sf_dir).collect()
+    after = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    assert before == after

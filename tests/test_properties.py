@@ -128,3 +128,50 @@ def test_fingerprint_depends_only_on_token_stream(spark, texts):
         for j in fps:
             if norm[i] == norm[j]:
                 assert fps[i] == fps[j]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=st.lists(st.tuples(st.integers(0, 30), st.integers(-5, 5)),
+                       min_size=1, max_size=20, unique_by=lambda t: t[0]),
+       batch=st.lists(st.tuples(st.integers(0, 30), st.integers(-5, 5)),
+                      min_size=1, max_size=20, unique_by=lambda t: t[0]))
+def test_merge_upsert_idempotent_and_complete(spark, target, batch):
+    """Upsert algebra: applying the same batch twice equals once
+    (idempotence), every batch key holds the batch value, every
+    untouched target key survives unchanged."""
+    from hdfs_with_pyspark_spark.operators.merge import merge_upsert
+    t = spark.createDataFrame(target, "k long, v long")
+    s = spark.createDataFrame(batch, "k long, v long")
+    once = merge_upsert(t, s, "k").drop("updated")
+    twice = merge_upsert(once, s, "k").drop("updated")
+    got_once = {r["k"]: r["v"] for r in once.collect()}
+    got_twice = {r["k"]: r["v"] for r in twice.collect()}
+    assert got_once == got_twice
+    want = dict(target)
+    want.update(dict(batch))
+    assert got_once == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=st.lists(st.tuples(st.floats(-44, -10.01, allow_nan=False),
+                              st.floats(112, 153.99, allow_nan=False)),
+                    min_size=1, max_size=30))
+def test_morton_code_bounds_and_locality(spark, pts):
+    """The Morton code of b-bit quantized coords stays inside [0, 4^b),
+    and equal points always map to equal codes (determinism)."""
+    from hdfs_with_pyspark_spark.operators.zorder import morton_code, quantize
+    bits = 6
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    z = df.select(
+        morton_code(quantize(F.col("lat"), -44.0, -10.0, bits),
+                    quantize(F.col("lon"), 112.0, 154.0, bits),
+                    bits).alias("z"),
+        "lat", "lon").collect()
+    for r in z:
+        assert 0 <= r["z"] < 4 ** bits
+    by_pt = {}
+    for r in z:
+        by_pt.setdefault((r["lat"], r["lon"]), set()).add(r["z"])
+    assert all(len(v) == 1 for v in by_pt.values())
