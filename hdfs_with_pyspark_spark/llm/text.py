@@ -823,3 +823,42 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_chars").cast("long").alias("total_chars"),
                      F.countDistinct("source").cast("long")
                       .alias("n_sources")))
+
+
+# --------------------------------------------------------------------------
+# corpus_splits — deterministic train/validation/test assignment: split
+# by md5-hash bucket of doc_id (80/10/10), reported per (split, source).
+# Hash-based splits are the production standard because they are stable
+# under re-runs, re-partitioning, and corpus growth (a doc never
+# migrates between splits when new data arrives — unlike randomSplit,
+# whose assignment depends on partitioning and seed plumbing).
+# Map-side expression + one agg exchange.
+# --------------------------------------------------------------------------
+SPLIT_TRAIN, SPLIT_VAL = 80, 90   # bucket < 80 train, < 90 val, else test
+
+
+@register("corpus_splits", oracle=f"""
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+""")
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string")) % 100
+    split = (F.when(bucket < SPLIT_TRAIN, "train")
+              .when(bucket < SPLIT_VAL, "val")
+              .otherwise("test"))
+    return (docs.select(split.alias("split"), "source", "n_chars")
+                .groupBy("split", "source")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars")))

@@ -468,3 +468,30 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sec_to_click"),
                 (sec("t_purchase") - sec("t_click")).cast("long")
                  .alias("sec_to_purchase")))
+
+
+# --------------------------------------------------------------------------
+# events_weekhour_heatmap — day-of-week x hour-of-day activity matrix,
+# the standard ops-dashboard heatmap: one pass extracting (dow, hour),
+# pivot on the 24 explicit hour values (explicit value list keeps the
+# pivot a single pass — Spark needs no distinct-scan). UTC extraction on
+# both engines; ISO day numbering (1=Monday) via DuckDB isodow.
+# --------------------------------------------------------------------------
+@register("events_weekhour_heatmap", oracle=f"""
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       {", ".join(f"CAST(COUNT(*) FILTER (WHERE hour(ts) = {h}) AS BIGINT) AS h{h:02d}" for h in range(24))}
+FROM events
+GROUP BY 1
+""")
+def events_weekhour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    # dayofweek is 1=Sunday in Spark; map to ISO 1=Monday.
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    pivoted = (ev.select(iso_dow.alias("dow"), F.hour("ts").alias("hour"))
+                 .groupBy("dow")
+                 .pivot("hour", list(range(24)))
+                 .count())
+    return pivoted.select(
+        "dow", *[F.coalesce(F.col(str(h)), F.lit(0)).cast("long")
+                 .alias(f"h{h:02d}") for h in range(24)])
