@@ -631,13 +631,15 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    # Window over the (tiny, post-agg) vocab for the corpus total — single
-    # partition is fine at any corpus size because |vocab| << |corpus|.
-    total = F.sum("cnt").over(Window.partitionBy())
-    probs = vocab.select(
-        "token",
-        F.round(F.log10(F.col("cnt") / total) * 1e6).cast("long")
-         .alias("logp_u"))
+    # Corpus total via a broadcast one-row cross join, NOT a window over
+    # an empty partitioning: the empty-partition window funnels the whole
+    # vocab through one task, which stops scaling once |vocab| is large
+    # (open-vocab corpora); the cross join keeps the vocab distributed.
+    total = vocab.agg(F.sum("cnt").alias("__total"))
+    probs = (vocab.crossJoin(F.broadcast(total))
+             .select("token",
+                     F.round(F.log10(F.col("cnt") / F.col("__total")) * 1e6)
+                      .cast("long").alias("logp_u")))
     return (tok.join(F.broadcast(probs), "token")
                .groupBy("doc_id")
                .agg(F.count("*").cast("long").alias("n_tokens"),

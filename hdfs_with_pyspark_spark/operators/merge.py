@@ -32,6 +32,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     Returns the merged frame with an ``updated`` flag (true where the
     source provided the row). Columns = target's columns; the source
     must provide the same set.
+
+    PRECONDITION (same as ANSI MERGE, which errors on violation): at
+    most one source row per key. A duplicate-key source fans out the
+    full-outer join and yields duplicate merged rows — deduplicate the
+    batch first (e.g. latest-per-key via operators.windows.top1_per_key)
+    rather than letting this operator pick a winner silently.
     """
     assert set(source.columns) == set(target.columns), \
         "source/target column sets must match"
@@ -60,6 +66,11 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
     carries (key, attrs...). One window over the key (per-key max
     version) + one left-semi-style join — two shuffles on the key total,
     both AQE-broadcastable when the batch is small.
+
+    PRECONDITION: at most one updates row per key (as with ANSI MERGE).
+    Duplicate keys would mint multiple rows at the same new version all
+    flagged current, breaking the one-current-row invariant —
+    deduplicate the batch (latest-per-key) before applying.
     """
     attrs = [c for c in updates.columns if c != key]
     upd_keys = updates.select(key).distinct()

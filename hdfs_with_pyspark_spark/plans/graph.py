@@ -93,16 +93,21 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
              .where(F.col("a.user_id") != F.col("b.user_id"))
              .select(F.col("a.user_id").alias("u"),
                      F.col("b.user_id").alias("v"))
-             .distinct()
-             .persist())   # every round re-reads the edge list
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
+             .distinct())
+    # Fold the out-degree onto the edge list ONCE and persist that —
+    # each round then needs a single join (ranks) instead of two. The
+    # count window repartitions on u (the distinct left the edges
+    # hash(u, v)-partitioned), but that exchange happens once at build,
+    # not per round.
+    deg_w = Window.partitionBy("u")
+    edges = (edges.withColumn("deg", F.count("*").over(deg_w))
+                  .persist())   # every round re-reads the edge list
     nodes = subs.select(F.col("user_id").alias("u")).distinct().persist()
 
     ranks = nodes.select("u", F.lit(PR_UNIT).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
         contrib = (edges
                    .join(ranks, "u")
-                   .join(deg, "u")
                    .select(F.col("v"),
                            F.expr("rank div deg").alias("c")))
         recv = contrib.groupBy("v").agg(F.sum("c").alias("recv"))
@@ -114,5 +119,15 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
                       + F.expr(f"({PR_DAMP_NUM} * coalesce(recv, 0L)) "
                                f"div {PR_DAMP_DEN}"))
                      .cast("long").alias("rank")))
-    return ranks.select(F.col("u").alias("user_id"),
-                        F.col("rank").alias("rank_micro"))
+    # Materialize the final ranks (small: one row per node), then
+    # release the persisted edge/node frames so repeated invocations in
+    # a long-lived session don't accumulate storage-pool entries. The
+    # persisted result cuts the lineage, so unpersisting its inputs
+    # can't trigger a recompute for the caller.
+    result = (ranks.select(F.col("u").alias("user_id"),
+                           F.col("rank").alias("rank_micro"))
+                   .persist())
+    result.count()
+    edges.unpersist()
+    nodes.unpersist()
+    return result

@@ -65,10 +65,11 @@ def _load_all() -> None:
 # The driver's correctness gate checks the FIRST 50 registered queries,
 # in iteration order. This list pins that window to one query per
 # distinct capability — all domain marts, every dedup/similarity/text/
-# multimodal/streaming family, and the relational/temporal shapes no
-# mart exercises (set ops, map extraction, as-of join, range-frame
-# rolling window, cogroup, grouping sets, exact-decimal aggregation).
-# Oracle-identical twins and overlapping relational breadth follow
+# multimodal/streaming family, and the relational/temporal/maintenance
+# shapes no mart exercises (as-of join, range-frame rolling window,
+# cogroup, exact-decimal aggregation, banded range join, iterative
+# PageRank, MERGE upsert). Oracle-identical twins and overlapping
+# relational breadth (set ops, map extraction, grouping sets, …) follow
 # after, still registered and still checked by
 # scripts/check_oracle_parity.py's full run.
 DRIVER_PRIORITY = [

@@ -135,9 +135,12 @@ def export_shards(df: DataFrame, path: str, key: str,
     sharded = sharded.repartition(n_shards, F.col("shard"))
     if sort_within:
         # Secondary sort: order INSIDE each shard file (what sequential
-        # training loaders expect) without any global sort — the
-        # per-partition sort composes with the repartition exchange.
-        sharded = sharded.sortWithinPartitions(*sort_within)
+        # training loaders expect) without any global sort. 'shard'
+        # leads the sort keys: partitionBy requires shard-ordered
+        # output, so sorting (shard, *keys) satisfies the writer
+        # directly — one sort, and the within-file order is guaranteed
+        # rather than riding on sort-stability of a second writer sort.
+        sharded = sharded.sortWithinPartitions("shard", *sort_within)
     sharded.write.mode(mode).partitionBy("shard").parquet(path)
 
 

@@ -311,6 +311,10 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
     is idempotent per (user, batch) because the merge is keyed: a
     replayed batch overwrites the same keys with the same values, which
     is the standard exactly-once recipe over an at-least-once sink.
+    The commit is stage-and-swap with a retire-then-swap rename pair —
+    not atomic on a generic filesystem, but every crash window leaves
+    either the live dim or a ``__old`` copy the next batch rolls
+    forward from.
 
     Scale: each micro-batch shuffles only its own (small) aggregate;
     the dimension side stays parquet and would be bucketed on user_id
@@ -328,20 +332,36 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
 
     def upsert_batch(batch_df, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
+        retired = dim_path + "__old"
+        # Recover from a crash between the two renames below: the data
+        # survives under __old; restore it before merging.
+        if not os.path.exists(dim_path) and os.path.exists(retired):
+            os.rename(retired, dim_path)
         if os.path.exists(dim_path):
             target = spark_l.read.parquet(dim_path)
             merged = (merge_upsert(target, batch_df, key="user_id")
                       .drop("updated"))
         else:
             merged = batch_df
-        # Stage-and-swap: parquet has no transactional MERGE, so write
-        # to a staging path and atomically rename over the old dim.
-        staging = dim_path + "__staging"
-        write_parquet(merged, staging)
+        # Stage-and-swap: parquet has no transactional MERGE. Write to a
+        # staging path, retire the old dim by RENAME (not delete), swap
+        # staging in, then drop the retired copy — every crash window
+        # leaves either the old dim or a recoverable __old to roll
+        # forward from (handled above). A table format (Delta/Iceberg)
+        # replaces this dance with an atomic commit; the merge shape is
+        # identical.
         import shutil
+        staging = dim_path + "__staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)    # leftover from a crashed write
+        write_parquet(merged, staging)
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
         if os.path.exists(dim_path):
-            shutil.rmtree(dim_path)
+            os.rename(dim_path, retired)
         os.rename(staging, dim_path)
+        if os.path.exists(retired):
+            shutil.rmtree(retired)
 
     (per_user.writeStream
              .outputMode("update")

@@ -113,3 +113,31 @@ def test_stream_upsert_sink_matches_batch_recompute(spark, tmp_path):
                            F.round(F.sum("value"), 2).alias("s"))
                       .collect())}
     assert got == want
+
+
+def test_stream_upsert_sink_recovers_retired_dim(spark, tmp_path):
+    # Crash window simulation: the dim was retired to __old but the new
+    # copy never swapped in. The next run must roll the __old copy
+    # forward, not start from an empty dimension.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    from hdfs_with_pyspark_spark.streaming.ops import stream_upsert_sink
+
+    sf = "/root/testdata/sf0.001"
+    dim = str(tmp_path / "user_dim")
+    stream_upsert_sink(spark, sf, dim)
+    os.rename(dim, dim + "__old")           # simulate the crash window
+    stream_upsert_sink(spark, sf, dim)
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(dim).collect()}
+    want = {r["user_id"]: (r["n"], r["s"])
+            for r in (read_table(spark, sf, "events")
+                      .groupBy("user_id")
+                      .agg(F.count("*").alias("n"),
+                           F.round(F.sum("value"), 2).alias("s"))
+                      .collect())}
+    assert got == want
+    assert not os.path.exists(dim + "__old")
