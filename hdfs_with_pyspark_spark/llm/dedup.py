@@ -106,15 +106,19 @@ def _verified_jaccard(cand: DataFrame, shh: DataFrame) -> DataFrame:
                  .join(b, ["doc_b", "h"])
                  .groupBy("doc_a", "doc_b")
                  .agg(F.count("*").alias("inter")))
+    # jaccard_raw is the FILTER column (the oracles threshold on the raw
+    # ratio; filtering on the 6-dp rounded value would admit pairs in
+    # [threshold - 5e-7, threshold) that the oracle excludes); the
+    # rounded jaccard is the OUTPUT column both engines render equally.
+    raw = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (inter
             .join(counts.select(F.col("doc_id").alias("doc_a"),
                                 F.col("n").alias("na")), "doc_a")
             .join(counts.select(F.col("doc_id").alias("doc_b"),
                                 F.col("n").alias("nb")), "doc_b")
             .select("doc_a", "doc_b",
-                    F.round(F.col("inter")
-                            / (F.col("na") + F.col("nb") - F.col("inter")), 6)
-                     .alias("jaccard")))
+                    raw.alias("jaccard_raw"),
+                    F.round(raw, 6).alias("jaccard")))
 
 
 # --------------------------------------------------------------------------
@@ -187,7 +191,10 @@ def _jaccard_pairs(shh: DataFrame, df_cap: int | None = None) -> DataFrame:
     if df_cap is not None:
         hot = (shh.groupBy("h").agg(F.count("*").alias("df"))
                   .where(F.col("df") > df_cap).select("h"))
-        shh = shh.join(hot, "h", "left_anti")
+        # Persist the capped shingle table: three consumers below
+        # (counts, both sides of the co-occurrence self-join) would each
+        # re-run the df groupBy + anti-join over the corpus otherwise.
+        shh = shh.join(hot, "h", "left_anti").persist()
     counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
     co = (shh.alias("a")
              .join(shh.alias("b"),
@@ -305,7 +312,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("y.doc_id").alias("doc_b"))
                  .distinct())
     return (_verified_jaccard(cand, shh)
-            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+            .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+            .drop("jaccard_raw"))
 
 
 # --------------------------------------------------------------------------
@@ -695,8 +703,14 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Persist + re-read the corpus band store through the parquet sink —
     # the state a real incremental pipeline maintains between ingests.
-    store_path = os.path.join("spark-warehouse",
-                              f"band_store_{os.path.basename(os.path.normpath(sf_dir))}")
+    # Keyed on a hash of the ABSOLUTE sf_dir (not its basename): two
+    # corpora at .../a/sf0.01 and .../b/sf0.01 must not collide on one
+    # store path. This is a gate-harness location; a production ingest
+    # passes its own durable store path to minhash_band_store directly.
+    import hashlib
+    sf_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    store_path = os.path.join("spark-warehouse", f"band_store_{sf_key}")
     write_parquet(minhash_band_store(corpus), store_path)
     store = spark.read.parquet(store_path)
 
@@ -711,7 +725,7 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = _verified_jaccard(
         cand.select(F.col("new_doc_id").alias("doc_a"),
                     F.col("corpus_doc_id").alias("doc_b")), shh)
-    return (verified.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return (verified.where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
                     .select(F.col("doc_a").alias("new_doc_id"),
                             F.col("doc_b").alias("corpus_doc_id"), "jaccard"))
 

@@ -188,7 +188,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     bucket = F.lit(0).cast("long")
     for i in range(LSH_SIGN_DIMS):
-        bucket = bucket + F.when(F.element_at(F.col("v"), i + 1) >= 0,
+        # try_element_at: a vector shorter than the code width yields NULL
+        # (-> 0 bit) instead of throwing under ANSI mode — matching the
+        # oracle's out-of-bounds-is-NULL indexing.
+        bucket = bucket + F.when(F.try_element_at(F.col("v"), F.lit(i + 1)) >= 0,
                                  F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     v = _with_norm(_vectors(spark, sf_dir).withColumn("bucket", bucket), "v", "nv")
     q = v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
@@ -250,7 +253,10 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     bucket = F.lit(0).cast("long")
     for i in range(LSH_MP_BITS):
-        bucket = bucket + F.when(F.element_at(F.col("v"), i + 1) >= 0,
+        # try_element_at: a vector shorter than the code width yields NULL
+        # (-> 0 bit) instead of throwing under ANSI mode — matching the
+        # oracle's out-of-bounds-is-NULL indexing.
+        bucket = bucket + F.when(F.try_element_at(F.col("v"), F.lit(i + 1)) >= 0,
                                  F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     v = _with_norm(_vectors(spark, sf_dir).withColumn("bucket", bucket), "v", "nv")
     # per-query probe fan-out: own bucket + each one-bit flip
@@ -329,8 +335,11 @@ _SQL_KMEANS_CTES, _SQL_KMEANS_FINAL = _sql_kmeans()
 
 # Trained centroids are memoized per (application, sf_dir, k, iters): the
 # bench's best-of-N and a mart pipeline's repeated probes reuse one
-# training run, exactly like a reused broadcast. k x dim doubles per entry.
+# training run, exactly like a reused broadcast. k x dim doubles per
+# entry, FIFO-bounded like spatial._CITY_ROWS_CACHE so a long-lived
+# service cycling applications/corpora can't accumulate entries forever.
 _CENTROID_CACHE: dict[tuple, list] = {}
+_CENTROID_CACHE_MAX = 32
 
 
 def train_ivf_centroids(spark: SparkSession, sf_dir: str,
@@ -378,6 +387,8 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str,
             m = by_cid.get(cid)
             nxt.append((cid, [m[d] for d in sorted(m)] if m else old))
         cents = nxt
+    if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
     _CENTROID_CACHE[key] = cents
     return cents
 
@@ -575,7 +586,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is (vec_id, band, bucket) — the vectors re-attach by vec_id equi-join
 # AFTER the pair set is distinct, so nothing quadratic ever carries a
 # 64-dim payload and no cross join exists anywhere in the plan
-# (asserted in tests/test_approx.py).
+# (asserted in tests/test_llm.py).
 #
 # Fixed axis-sign hyperplanes keep it deterministic, so the oracle
 # replicates the exact candidate set and recall cancels out of the

@@ -116,17 +116,6 @@ class DAG:
             cyclic = sorted(n for n, d in indeg.items() if d > 0)
             raise ValueError(f"cycle among tasks: {cyclic}")
 
-    def _downstream_cone(self, root: str) -> set[str]:
-        out: set[str] = set()
-        frontier = [root]
-        while frontier:
-            cur = frontier.pop()
-            for t in self._tasks.values():
-                if cur in t.deps and t.name not in out:
-                    out.add(t.name)
-                    frontier.append(t.name)
-        return out
-
     # ---------------------------------------------------------------- run
     def run(self, raise_on_failure: bool = True,
             sleep: Callable[[float], None] = time.sleep) -> dict[str, TaskReport]:

@@ -223,8 +223,8 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_user_state", oracle="""
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 6)
-         AS avg_value
+       ROUND(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+             / 100.0 / COUNT(*), 6) AS avg_value
 FROM events GROUP BY user_id
 """)
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:

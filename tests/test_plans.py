@@ -397,3 +397,19 @@ def test_footer_stats_restores_session_confs(spark, sf_dir):
     QUERIES["lineitem_footer_stats"](spark, sf_dir).collect()
     after = spark.conf.get("spark.sql.sources.useV1SourceList", None)
     assert before == after
+
+
+def test_corpus_splits_single_agg_exchange(spark, sf_dir):
+    plan = explain(spark, "corpus_splits", sf_dir)
+    assert n_nodes(plan, "Exchange") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_heatmap_pivot_two_level_agg(spark, sf_dir):
+    # Explicit pivot values -> NO separate distinct-scan job for the
+    # pivot column; the plan is the standard two-level pivot aggregate:
+    # partial (dow, hour) counts, then the pivot agg on dow — the second
+    # exchange moves only pre-aggregated rows (|dow x hour| = 168).
+    plan = explain(spark, "events_weekhour_heatmap", sf_dir)
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Scan parquet") == 1   # one pass over events
