@@ -711,3 +711,60 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / (F.col("hi") - F.col("lo")) * 254) - 127))
     return kv.select("vec_id", F.col("dim").cast("long").alias("dim"),
                      q.cast("long").alias("q"))
+
+
+# --------------------------------------------------------------------------
+# embedding_outliers — embedding-quality audit: every vector's cosine to
+# its own label centroid; vectors pointing AWAY from their centroid
+# (cos < 0) are flagged as outliers — mislabeled or degenerate rows a
+# curation pipeline routes to review. Centroid dims are rounded to 6dp
+# (like embedding_label_centroids) so both engines fold identical
+# values; the dot is the usual unrolled left-associative sum matching
+# DuckDB's sequential list_dot_product.
+#
+# Scale: centroid agg is one shuffle on (label, dim); the re-assembled
+# centroid table is |labels| rows -> broadcast back onto the corpus,
+# which never shuffles for the scoring pass.
+# --------------------------------------------------------------------------
+OUTLIER_COS = 0.0
+
+
+@register("embedding_outliers", oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+cd AS (SELECT label, dim, ROUND(AVG(x), 6) AS cx FROM e GROUP BY 1, 2),
+c AS (SELECT label, list(cx ORDER BY dim) AS cv FROM cd GROUP BY label),
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT v.vec_id, v.label,
+         ROUND(list_dot_product(v.v, c.cv)
+               / (sqrt(list_dot_product(v.v, v.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_to_centroid
+  FROM v JOIN c USING (label))
+SELECT vec_id, CAST(label AS BIGINT) AS label, cos_to_centroid,
+       (cos_to_centroid < {OUTLIER_COS}) AS is_outlier
+FROM s
+""")
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    emb = (read_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("label").cast("long").alias("label"),
+                   F.col("embedding").cast("array<double>").alias("v")))
+    pos = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = (pos.groupBy("label", "dim")
+               .agg(F.round(F.avg("x"), 6).alias("cx"))
+               .groupBy("label")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                   lambda s: s["cx"]).alias("cv")))
+    scored = (emb.join(F.broadcast(cent), "label")
+              .select("vec_id", "label",
+                      F.round(F.expr(_sql_dot_cols("v", "cv"))
+                              / (F.expr(f"sqrt({_sql_dot_cols('v', 'v')})")
+                                 * F.expr(f"sqrt({_sql_dot_cols('cv', 'cv')})")),
+                              6).alias("cos_to_centroid")))
+    return scored.select(
+        "vec_id", "label", "cos_to_centroid",
+        (F.col("cos_to_centroid") < OUTLIER_COS).alias("is_outlier"))

@@ -864,3 +864,56 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("split", "source")
                 .agg(F.count("*").cast("long").alias("n_docs"),
                      F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+# --------------------------------------------------------------------------
+# corpus_bigram_logprob — conditional-probability scoring against a
+# corpus-trained BIGRAM LM: P(t | prev) = c(prev t) / c(prev ·), mean
+# log10 per document. The step up from corpus_unigram_logprob — word
+# order now matters, so scrambled/templated text scores visibly worse
+# than natural n-gram flow, which is exactly what the perplexity filter
+# is for. Same determinism treatment: per-bigram logprobs snapped to
+# integer micro-log units before the per-doc sum.
+#
+# Scale: two vocab-sized aggregates (bigram counts, context counts),
+# both tiny after aggregation -> broadcast back onto the exploded
+# bigram stream; the corpus shuffles once (per-doc re-agg).
+# --------------------------------------------------------------------------
+@register("corpus_bigram_logprob", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t),
+c2 AS (SELECT bg, COUNT(*) AS n2 FROM big GROUP BY bg),
+c1 AS (SELECT string_split(bg, ' ')[1] AS ctx, COUNT(*) AS n1
+       FROM big GROUP BY 1),
+probs AS (
+  SELECT bg, CAST(ROUND(log10(n2 * 1.0 / n1) * 1000000) AS BIGINT) AS logp_u
+  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.ctx)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(p.logp_u) * 1.0 / (COUNT(*) * 1000000), 4) AS avg_logprob
+FROM big b JOIN probs p USING (bg)
+GROUP BY b.doc_id
+""")
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("n2"))
+    c1 = (big.groupBy(F.split("bg", " ").getItem(0).alias("ctx"))
+             .agg(F.count("*").alias("n1")))
+    probs = (c2.withColumn("ctx", F.split("bg", " ").getItem(0))
+               .join(F.broadcast(c1), "ctx")
+               .select("bg",
+                       F.round(F.log10(F.col("n2") / F.col("n1")) * 1e6)
+                        .cast("long").alias("logp_u")))
+    return (big.join(F.broadcast(probs), "bg")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_bigrams"),
+                    F.round(F.sum("logp_u") / (F.count("*") * F.lit(1e6)), 4)
+                     .alias("avg_logprob")))

@@ -413,3 +413,20 @@ def test_heatmap_pivot_two_level_agg(spark, sf_dir):
     plan = explain(spark, "events_weekhour_heatmap", sf_dir)
     assert n_nodes(plan, "Exchange") == 2
     assert n_nodes(plan, "Scan parquet") == 1   # one pass over events
+
+
+def test_bigram_logprob_broadcasts_model(spark, sf_dir):
+    # Both LM tables (bigram counts, context counts) are vocab-sized:
+    # they broadcast onto the exploded bigram stream — the corpus side
+    # shuffles only for the per-doc re-agg.
+    plan = explain(spark, "corpus_bigram_logprob", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
+    # The |labels|-row centroid table broadcasts; the corpus never
+    # shuffles for the scoring pass.
+    plan = explain(spark, "embedding_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
