@@ -917,3 +917,64 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").cast("long").alias("n_bigrams"),
                     F.round(F.sum("logp_u") / (F.count("*") * F.lit(1e6)), 4)
                      .alias("avg_logprob")))
+
+
+# --------------------------------------------------------------------------
+# corpus_quality_filter — the composed pretraining-corpus filter
+# (C4/Gopher shape): hard length floor, most-frequent-token share cap,
+# duplicate-trigram cap, evaluated in a fixed precedence so every doc
+# gets ONE drop reason (or keep). This is the decision layer the
+# individual signal queries (text_quality_score,
+# text_repetition_signals) feed in a real pipeline — here composed into
+# a single map-side pass: one scan, no joins, no shuffle (the verdict
+# needs only per-row expressions).
+# Thresholds were set from the corpus distribution (p95s) so the filter
+# flags a real minority rather than being vacuously green.
+# --------------------------------------------------------------------------
+QF_MIN_TOKENS = 20
+QF_MAX_TOP_TOKEN_FRAC = 0.15
+QF_MAX_DUP_TRIGRAM_FRAC = 0.02
+
+
+@register("corpus_quality_filter", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n,
+        COALESCE(list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))), 0) * 1.0
+          / GREATEST(len(toks), 1) AS topf,
+        (len(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         - len(list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))))
+          * 1.0 / GREATEST(len(toks) - 2, 1) AS dup3
+      FROM t)
+SELECT doc_id,
+       CASE WHEN n < {QF_MIN_TOKENS} THEN 'too_short'
+            WHEN topf >= {QF_MAX_TOP_TOKEN_FRAC} THEN 'too_repetitive'
+            WHEN dup3 >= {QF_MAX_DUP_TRIGRAM_FRAC} THEN 'dup_ngrams'
+            END AS drop_reason,
+       (CASE WHEN n < {QF_MIN_TOKENS} THEN 'too_short'
+             WHEN topf >= {QF_MAX_TOP_TOKEN_FRAC} THEN 'too_repetitive'
+             WHEN dup3 >= {QF_MAX_DUP_TRIGRAM_FRAC} THEN 'dup_ngrams'
+             END) IS NULL AS keep
+FROM s
+""")
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    cnts = F.transform(
+        F.array_distinct(F.col("toks")),
+        lambda tk: F.size(F.filter(F.col("toks"), lambda x: x == tk)))
+    topf = (F.coalesce(F.array_max(cnts), F.lit(0))
+            / F.greatest(n, F.lit(1)))
+    tri = shingles(F.col("toks"), 3)
+    dup3 = ((F.size(tri) - F.size(F.array_distinct(tri)))
+            / F.greatest(n - 2, F.lit(1)))
+    reason = (F.when(n < QF_MIN_TOKENS, "too_short")
+               .when(topf >= QF_MAX_TOP_TOKEN_FRAC, "too_repetitive")
+               .when(dup3 >= QF_MAX_DUP_TRIGRAM_FRAC, "dup_ngrams"))
+    return t.select("doc_id", reason.alias("drop_reason"),
+                    reason.isNull().alias("keep"))

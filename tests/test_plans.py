@@ -430,3 +430,11 @@ def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
     plan = explain(spark, "embedding_outliers", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_map_only(spark, sf_dir):
+    # The composed verdict is pure per-row expressions: one scan, no
+    # joins, no shuffle.
+    plan = explain(spark, "corpus_quality_filter", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
