@@ -856,3 +856,40 @@ def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# synthetic_source_stats — per-user aggregate read through the CUSTOM
+# PYTHON DATASOURCE (sources/pyds.py, Spark 4 pyspark.sql.datasource):
+# proves the pluggable-format surface end to end inside the correctness
+# gate. The source's rows are pure integer arithmetic on the row id, so
+# the DuckDB oracle regenerates the identical dataset from range() —
+# the custom format itself is oracle-checked, not just exercised.
+# --------------------------------------------------------------------------
+SYNTH_N = 10_000
+
+
+@register("synthetic_source_stats", oracle=f"""
+WITH g AS (
+  SELECT i AS event_id, i % 97 AS user_id,
+         (['view', 'click', 'purchase', 'signup', 'error'])[(i % 5) + 1]
+           AS event_type,
+         ((i * 37) % 1000) / 10.0 AS value
+  FROM range({SYNTH_N}) t(i))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 1) AS total_value,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM g GROUP BY user_id
+""")
+def synthetic_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.sources.pyds import register_synthetic_source
+    register_synthetic_source(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("n", SYNTH_N).option("parts", 16).load())
+    return (df.groupBy("user_id")
+              .agg(F.count("*").cast("long").alias("n_events"),
+                   F.round(F.sum("value"), 1).alias("total_value"),
+                   F.countDistinct("event_type").cast("long")
+                    .alias("n_types")))

@@ -1,0 +1,86 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+The sources surface beyond file formats: a DataSource subclass plugs a
+NEW format into ``spark.read.format(...)`` with its own partition
+planning — the extension point a pipeline uses for internal services,
+synthetic backfills, or bespoke wire formats when no JVM connector
+exists.
+
+This one is a deterministic synthetic event generator
+(``synthetic_events``): every row is pure integer arithmetic on the
+row id, so any engine can reproduce the dataset exactly — which makes
+the source itself ORACLE-CHECKABLE (plans/relational registers a query
+reading through it whose DuckDB twin regenerates the rows from
+``range()``).
+
+Scale shape: ``partitions()`` splits the id space into ``parts`` equal
+ranges; each executor materializes only its range (generator, no
+driver-side list), so the source parallelizes like any file scan.
+Python-process rows are the cost — fine for synthetic/backfill volumes;
+real high-volume feeds belong in a JVM connector or Arrow-batched
+reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+N_USERS = 97
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def synth_row(i: int) -> tuple:
+    """The generator formula — shared by the reader and any oracle.
+
+    Pure integer arithmetic; value has one decimal digit so float
+    rendering is exact in every engine.
+    """
+    return (i, i % N_USERS, EVENT_TYPES[i % len(EVENT_TYPES)],
+            ((i * 37) % 1000) / 10.0)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        per = max(1, self.n // self.parts)
+        out = []
+        start = 0
+        while start < self.n:
+            cnt = min(per, self.n - start)
+            out.append(InputPartition((start, cnt)))
+            start += cnt
+        return out
+
+    def read(self, partition):
+        start, cnt = partition.value
+        for i in range(start, start + cnt):
+            yield synth_row(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("n", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return ("event_id bigint, user_id bigint, "
+                "event_type string, value double")
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the format on a session."""
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(SyntheticEventsDataSource)
+        _REGISTERED.add(app)

@@ -221,3 +221,25 @@ def test_events_ts_physical_type_autodetect(spark, tmp_path):
         by_id = {r["event_id"]: r["ts"] for r in got}
         assert by_id[1] == ts[0], f"{sub}: {by_id[1]!r}"
         assert by_id[2] == ts[1], f"{sub}: {by_id[2]!r}"
+
+
+def test_synthetic_datasource_partitions_and_determinism(spark):
+    """The custom Python DataSource must parallelize via its declared
+    partitions and produce identical rows on every read (pure function
+    of the row id)."""
+    from hdfs_with_pyspark_spark.sources.pyds import (
+        register_synthetic_source,
+        synth_row,
+    )
+    register_synthetic_source(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("n", 500).option("parts", 5).load())
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["event_id"]: (r["event_id"], r["user_id"], r["event_type"],
+                            r["value"]) for r in df.collect()}
+    assert len(rows) == 500
+    for i in (0, 96, 97, 499):
+        assert rows[i] == synth_row(i)
+    again = (spark.read.format("synthetic_events")
+             .option("n", 500).option("parts", 3).load().collect())
+    assert {r["event_id"] for r in again} == set(rows)  # parts-invariant
