@@ -83,23 +83,29 @@ DRIVER_PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_components", "corpus_curation",
     "dedup_incremental", "corpus_decontaminate",
-    # similarity / embeddings family (all-pairs dedup_embedding_cosine is
-    # demoted: dedup_embedding_lsh is the registered scale path and the
-    # two agree by construction on the verify kernel)
+    # similarity / embeddings family (all-pairs dedup_embedding_cosine
+    # and int8 embedding_quantize are demoted: the LSH path and outlier
+    # audit carry more distinct capability per window slot)
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
     "ivf_kmeans_centroids", "embedding_label_centroids",
-    "dedup_embedding_lsh", "embedding_quantize",
-    # text analysis / training-prep family
+    "dedup_embedding_lsh", "embedding_outliers",
+    # text analysis / training-prep family (quality_filter is the
+    # composed C4/Gopher keep-drop verdict over the signal queries)
     "text_token_stats", "text_quality_score", "text_lang_id_ngram",
     "doc_fingerprint", "term_doc_frequencies", "tfidf_top_terms",
     "corpus_sample_stratified", "doc_chunks", "corpus_token_bins",
-    # multimodal family
-    "multimodal_features", "multimodal_frame_sample", "multimodal_summary",
+    "corpus_quality_filter",
+    # multimodal family (multimodal_summary demoted: its blob-pruning
+    # plan shape is test-asserted; features/frame-sample/byte-entropy
+    # cover the three distinct Python-boundary mechanisms)
+    "multimodal_features", "multimodal_frame_sample",
     "multimodal_byte_entropy",
-    # streaming family
-    "stream_windowed_counts", "stream_sliding_counts",
-    "stream_session_stats", "stream_user_state", "stream_dedup",
-    "stream_click_after_signup",
+    # streaming family (sliding is the tumbling twin; demoted)
+    "stream_windowed_counts", "stream_session_stats", "stream_user_state",
+    "stream_dedup", "stream_click_after_signup",
+    # pluggable-format surface: the custom Python DataSource, itself
+    # oracle-checked (rows regenerate from range())
+    "synthetic_source_stats",
     # relational / temporal / maintenance shapes not covered by the
     # marts above (set-ops / map-extraction / grouping-sets twins are
     # demoted: basic SQL breadth, still parity-checked locally; the
