@@ -23,7 +23,12 @@ reader.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 N_USERS = 97
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -84,3 +89,57 @@ def register_synthetic_source(spark) -> None:
     if app not in _REGISTERED:
         spark.dataSource.register(SyntheticEventsDataSource)
         _REGISTERED.add(app)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the synthetic source.
+
+    Offsets are plain row positions ({"pos": k}); each poll returns
+    everything available up to the configured end (``n``), so an
+    availableNow run drains the source in one deterministic batch and a
+    continuous run re-polls as the end grows. readBetweenOffsets makes
+    replay exact — the same positions always regenerate the same rows,
+    which is the whole recovery contract.
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        # List-backed iterators, not generators: the runner's prefetch
+        # cache copy.copy()s the iterator for replay, which a generator
+        # cannot satisfy. SimpleDataSourceStreamReader is a driver-side
+        # prefetch API by contract, so materializing the batch is the
+        # intended cost model (bounded by n / poll cadence).
+        pos = start["pos"]
+        end = max(pos, self.n)
+        return iter([synth_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([synth_row(i)
+                     for i in range(start["pos"], end["pos"])])
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return ("event_id bigint, user_id bigint, "
+                "event_type string, value double")
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    key = spark.sparkContext.applicationId + ":stream"
+    if key not in _REGISTERED:
+        spark.dataSource.register(SyntheticEventsStreamDataSource)
+        _REGISTERED.add(key)

@@ -369,3 +369,33 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
              .trigger(availableNow=True)
              .start()
              .awaitTermination())
+
+
+@register("stream_synthetic_counts", oracle="""
+WITH g AS (
+  SELECT i % 97 AS user_id, ((i * 37) % 1000) / 10.0 AS value
+  FROM range(10000) t(i))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 1) AS total_value
+FROM g GROUP BY user_id
+""")
+def stream_synthetic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the CUSTOM PYTHON DATASOURCE
+    (sources/pyds.py SimpleDataSourceStreamReader): position-based
+    offsets, exact replay via readBetweenOffsets, drained with
+    availableNow into the usual memory-sink gate. The custom streaming
+    format is oracle-checked the same way the batch half is — rows
+    regenerate from range().
+    """
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.sources.pyds import (
+        register_synthetic_stream_source,
+    )
+    register_synthetic_stream_source(spark)
+    stream = (spark.readStream.format("synthetic_events_stream")
+              .option("n", 10_000).load())
+    agg = (stream.groupBy("user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 1).alias("total_value")))
+    return run_to_table(agg, "complete")
