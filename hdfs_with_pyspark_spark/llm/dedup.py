@@ -191,10 +191,20 @@ def _jaccard_pairs(shh: DataFrame, df_cap: int | None = None) -> DataFrame:
     if df_cap is not None:
         hot = (shh.groupBy("h").agg(F.count("*").alias("df"))
                   .where(F.col("df") > df_cap).select("h"))
-        # Persist the capped shingle table: three consumers below
-        # (counts, both sides of the co-occurrence self-join) would each
-        # re-run the df groupBy + anti-join over the corpus otherwise.
-        shh = shh.join(hot, "h", "left_anti").persist()
+        # The hot set is SMALL by construction (stop-phrase shingles
+        # above the cap): collect it once and cap via a map-side NOT-IN
+        # filter, so the three consumers below (counts, both sides of
+        # the co-occurrence self-join) each re-apply a cheap fused
+        # filter instead of re-running the df groupBy + anti-join — and
+        # nothing needs a persist that would leak per invocation. If a
+        # pathological corpus produces a huge hot set, fall back to the
+        # distributed anti-join (recompute over leak).
+        hot_hashes = [r["h"] for r in hot.limit(10_001).collect()]
+        if len(hot_hashes) <= 10_000:
+            if hot_hashes:
+                shh = shh.where(~F.col("h").isin(hot_hashes))
+        else:
+            shh = shh.join(hot, "h", "left_anti")
     counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
     co = (shh.alias("a")
              .join(shh.alias("b"),

@@ -905,10 +905,13 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
     c2 = big.groupBy("bg").agg(F.count("*").alias("n2"))
-    c1 = (big.groupBy(F.split("bg", " ").getItem(0).alias("ctx"))
-             .agg(F.count("*").alias("n1")))
-    probs = (c2.withColumn("ctx", F.split("bg", " ").getItem(0))
-               .join(F.broadcast(c1), "ctx")
+    # Context counts DERIVE from the (vocab-sized) bigram counts —
+    # c(prev ·) = sum of c(prev t) — so the corpus-sized explode runs
+    # for the c2 aggregate and the final scoring join only, never a
+    # third time for c1.
+    c2x = c2.withColumn("ctx", F.split("bg", " ").getItem(0))
+    c1 = c2x.groupBy("ctx").agg(F.sum("n2").alias("n1"))
+    probs = (c2x.join(F.broadcast(c1), "ctx")
                .select("bg",
                        F.round(F.log10(F.col("n2") / F.col("n1")) * 1e6)
                         .cast("long").alias("logp_u")))

@@ -37,6 +37,10 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100      # damping 0.85 as an exact ratio
 PR_UNIT = 1_000_000                     # rank micro-units
 PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*unit
 
+# Most recent persisted result per session (the caller reads it lazily,
+# so it must stay pinned until the next invocation supersedes it).
+_LAST_RESULT: dict[str, DataFrame] = {}
+
 
 def _sql_pagerank_ctes() -> str:
     """Unrolled PR_ITERS rounds as DuckDB CTE stages."""
@@ -121,13 +125,23 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
                      .cast("long").alias("rank")))
     # Materialize the final ranks (small: one row per node), then
     # release the persisted edge/node frames so repeated invocations in
-    # a long-lived session don't accumulate storage-pool entries. The
-    # persisted result cuts the lineage, so unpersisting its inputs
-    # can't trigger a recompute for the caller.
+    # a long-lived session don't accumulate corpus-sized storage
+    # entries. The persisted result cuts the lineage, so unpersisting
+    # its inputs can't trigger a recompute for the caller. The result
+    # itself stays persisted for the caller; _LAST_RESULT bounds that to
+    # ONE pinned (node-sized) frame per session — the next invocation
+    # releases the previous one.
     result = (ranks.select(F.col("u").alias("user_id"),
                            F.col("rank").alias("rank_micro"))
                    .persist())
     result.count()
     edges.unpersist()
     nodes.unpersist()
+    app = spark.sparkContext.applicationId
+    prev = _LAST_RESULT.pop(app, None)
+    if prev is not None:
+        prev.unpersist()
+    if len(_LAST_RESULT) >= 8:      # sessions come and go; stay bounded
+        _LAST_RESULT.pop(next(iter(_LAST_RESULT))).unpersist()
+    _LAST_RESULT[app] = result
     return result

@@ -50,7 +50,10 @@ class SyntheticEventsReader(DataSourceReader):
         self.parts = int(options.get("parts", 8))
 
     def partitions(self):
-        per = max(1, self.n // self.parts)
+        # Ceil division: at most ``parts`` balanced ranges even when n
+        # is not divisible (floor division would mint a parts+1-th
+        # straggler of n % parts rows).
+        per = max(1, -(-self.n // self.parts))
         out = []
         start = 0
         while start < self.n:
@@ -80,15 +83,15 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsReader(self.options)
 
 
-_REGISTERED: set[str] = set()
-
-
 def register_synthetic_source(spark) -> None:
-    """Idempotently register the format on a session."""
-    app = spark.sparkContext.applicationId
-    if app not in _REGISTERED:
-        spark.dataSource.register(SyntheticEventsDataSource)
-        _REGISTERED.add(app)
+    """Register the format on a session.
+
+    Unconditional: ``spark.dataSource.register`` is PER-SESSION state
+    (a second session of the same application needs its own call), and
+    re-registering an existing name is a safe overwrite — so any guard
+    keyed wider than the session would silently skip real sessions.
+    """
+    spark.dataSource.register(SyntheticEventsDataSource)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -139,7 +142,5 @@ class SyntheticEventsStreamDataSource(DataSource):
 
 
 def register_synthetic_stream_source(spark) -> None:
-    key = spark.sparkContext.applicationId + ":stream"
-    if key not in _REGISTERED:
-        spark.dataSource.register(SyntheticEventsStreamDataSource)
-        _REGISTERED.add(key)
+    """Per-session registration (see register_synthetic_source)."""
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
