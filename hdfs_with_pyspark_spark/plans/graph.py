@@ -108,15 +108,21 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
                   .persist())   # every round re-reads the edge list
     nodes = subs.select(F.col("user_id").alias("u")).distinct().persist()
 
+    # The rank/receive tables are |nodes| rows while edges are |E| >>
+    # |V|: BROADCAST the node-sized sides so the persisted edge list is
+    # never re-shuffled — each round costs one partial-agg exchange on
+    # the destination key and nothing else. (At billion-node scale the
+    # rank vector outgrows broadcast; drop the hints and AQE plans the
+    # shuffle join — the round structure is unchanged.)
     ranks = nodes.select("u", F.lit(PR_UNIT).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
         contrib = (edges
-                   .join(ranks, "u")
+                   .join(F.broadcast(ranks), "u")
                    .select(F.col("v"),
                            F.expr("rank div deg").alias("c")))
         recv = contrib.groupBy("v").agg(F.sum("c").alias("recv"))
         ranks = (nodes
-                 .join(recv, nodes["u"] == recv["v"], "left")
+                 .join(F.broadcast(recv), nodes["u"] == recv["v"], "left")
                  .select(
                      "u",
                      (F.lit(PR_BASE)

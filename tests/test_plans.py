@@ -438,3 +438,11 @@ def test_quality_filter_map_only(spark, sf_dir):
     plan = explain(spark, "corpus_quality_filter", sf_dir)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    # Each BSP round must broadcast the node-sized rank/receive tables
+    # so the persisted edge list is never re-shuffled: 3 rounds x 2
+    # joins = at least 6 broadcast joins in the unrolled plan.
+    plan = explain(spark, "channel_pagerank", sf_dir)
+    assert n_nodes(plan, "BroadcastHashJoin") >= 6
