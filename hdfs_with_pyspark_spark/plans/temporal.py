@@ -495,3 +495,93 @@ def events_weekhour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "dow", *[F.coalesce(F.col(str(h)), F.lit(0)).cast("long")
                  .alias(f"h{h:02d}") for h in range(24)])
+
+
+# --------------------------------------------------------------------------
+# events_daily_anomalies — ops-monitoring shape: per (event_type, day)
+# counts, z-scored against that type's own daily mean/std, |z| >= 2
+# flagged. Two-level agg (day counts, then per-type moments via a
+# window over the tiny daily frame); all stats computed from exact
+# integer counts and rounded identically on both engines.
+# --------------------------------------------------------------------------
+@register("events_daily_anomalies", oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT *, AVG(n) OVER (PARTITION BY event_type) AS mu,
+         STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd
+  FROM daily)
+SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND((n - mu) / sd, 4) AS zscore,
+       (ABS((n - mu) / sd) >= 2.0) AS is_anomaly
+FROM stats
+""")
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date(F.date_trunc("day", "ts")).alias("day"))
+               .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return daily.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"))
+
+
+# --------------------------------------------------------------------------
+# join_key_skew_stats — the diagnostic you run BEFORE picking a skew
+# strategy (salt factor, AQE thresholds, broadcast cutoffs): per-key
+# row counts of the lineitem join key, reduced to the moments that
+# drive the decision — max/p99/mean multiplicity and the share of rows
+# under the hottest keys. One agg to per-key counts, then a tiny
+# single-row summary; percentile over the (already aggregated) count
+# distribution.
+# --------------------------------------------------------------------------
+@register("join_key_skew_stats", oracle="""
+WITH per_key AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM per_key),
+topk AS (SELECT SUM(n) AS top100_rows
+         FROM (SELECT n FROM per_key ORDER BY n DESC, l_orderkey LIMIT 100))
+SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.total AS BIGINT) AS n_rows,
+       ROUND(t.total * 1.0 / t.n_keys, 4) AS mean_rows_per_key,
+       CAST((SELECT MAX(n) FROM per_key) AS BIGINT) AS max_rows_per_key,
+       ROUND((SELECT quantile_cont(n, 0.99) FROM per_key), 4)
+         AS p99_rows_per_key,
+       ROUND(k.top100_rows * 1.0 / t.total, 6) AS top100_key_row_share
+FROM tot t, topk k
+""")
+def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    # All follow-up stats run over the per-key counts — |keys| rows,
+    # tiny next to the fact table — so one corpus shuffle total.
+    per_key = per_key.persist()
+    top100 = (per_key.orderBy(F.col("n").desc(), F.col("l_orderkey"))
+                     .limit(100).agg(F.sum("n").alias("top100_rows")))
+    summary = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(F.sum("n") / F.count("*"), 4).alias("mean_rows_per_key"),
+        F.max("n").cast("long").alias("max_rows_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_rows_per_key"))
+    out = summary.crossJoin(top100).select(
+        "n_keys", "n_rows", "mean_rows_per_key", "max_rows_per_key",
+        "p99_rows_per_key",
+        F.round(F.col("top100_rows") / F.col("n_rows"), 6)
+         .alias("top100_key_row_share"))
+    # Eagerly materialize the single summary row (both branches read the
+    # persisted per-key counts exactly once), then release the pin and
+    # hand back a leak-free local frame — same pattern as
+    # lineitem_footer_stats.
+    rows, schema = out.collect(), out.schema
+    per_key.unpersist()
+    return spark.createDataFrame(rows, schema)
