@@ -585,3 +585,57 @@ def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, schema = out.collect(), out.schema
     per_key.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# user_cohort_retention — the classic retention triangle: users grouped
+# by first-seen week (cohort), activity counted per weeks-since-first;
+# each (cohort, offset) cell reports surviving users and their share of
+# the cohort. Two passes over one user-keyed clustering (first-seen via
+# a window min, then the distinct-activity agg) + a join of the
+# |cohorts|-sized sizes back — the whole query is two corpus exchanges.
+# Weeks are epoch-day // 7 (integer, engine-agnostic — no ISO-week
+# boundary semantics to diverge on).
+# --------------------------------------------------------------------------
+@register("user_cohort_retention", oracle="""
+WITH e AS (
+  -- explicit double FLOOR: DuckDB's // is not floor division on
+  -- DOUBLE operands, and CAST(double AS BIGINT) rounds, not truncates
+  SELECT user_id,
+         CAST(FLOOR(FLOOR(epoch(ts) / 86400) / 7) AS BIGINT) AS week
+  FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id),
+act AS (
+  SELECT DISTINCT f.cohort, e.week - f.cohort AS offset_weeks, e.user_id
+  FROM e JOIN f USING (user_id)),
+cs AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY cohort)
+SELECT a.cohort,
+       CAST(a.offset_weeks AS BIGINT) AS offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       ROUND(COUNT(*) * 1.0 / ANY_VALUE(c.cohort_size), 4) AS retention
+FROM act a JOIN cs c USING (cohort)
+GROUP BY a.cohort, a.offset_weeks
+""")
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    week = F.floor(F.floor(F.unix_timestamp("ts") / 86400) / 7).cast("long")
+    e = ev.select("user_id", week.alias("week"))
+    w = Window.partitionBy("user_id")
+    # first-seen via a window over the same user clustering the distinct
+    # below reuses — no separate firsts join against the corpus.
+    act = (e.withColumn("cohort", F.min("week").over(w))
+             .select("cohort", (F.col("week") - F.col("cohort"))
+                     .alias("offset_weeks"), "user_id")
+             .distinct())
+    sizes = (act.where(F.col("offset_weeks") == 0)
+                .groupBy("cohort")
+                .agg(F.count("*").alias("cohort_size")))
+    return (act.groupBy("cohort", "offset_weeks")
+               .agg(F.count("*").alias("n_active"))
+               .join(F.broadcast(sizes), "cohort")
+               .select("cohort",
+                       F.col("offset_weeks").cast("long").alias("offset_weeks"),
+                       F.col("n_active").cast("long").alias("n_active"),
+                       F.round(F.col("n_active") / F.col("cohort_size"), 4)
+                        .alias("retention")))
