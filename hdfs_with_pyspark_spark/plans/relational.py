@@ -893,3 +893,63 @@ def synthetic_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.sum("value"), 1).alias("total_value"),
                    F.countDistinct("event_type").cast("long")
                     .alias("n_types")))
+
+
+# --------------------------------------------------------------------------
+# revenue_pareto_abc — Pareto/ABC analysis: what share of orders carries
+# the top 50% / next 30% / tail of revenue. The naive version globally
+# sorts every order (single-partition window — a 100 TB killer); the
+# scale shape BANDS prices first (fixed-width bins -> one agg), runs the
+# cumulative share over the ~hundreds of bands (tiny frame), classifies
+# bands, and aggregates classes. Band-granular classification is
+# deterministic and oracle-exact; the band width is the precision knob.
+# --------------------------------------------------------------------------
+PARETO_BAND = 1_000.0     # price-band width in currency units
+ABC_A, ABC_B = 0.5, 0.8   # cumulative revenue-share cuts
+
+
+@register("revenue_pareto_abc", oracle=f"""
+WITH bands AS (
+  SELECT CAST(FLOOR(o_totalprice / {PARETO_BAND}) AS BIGINT) AS band,
+         COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1),
+c AS (
+  SELECT *, SUM(rev) OVER (ORDER BY band DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(rev) OVER () AS total_rev
+  FROM bands),
+cls AS (
+  SELECT CASE WHEN cum_rev / total_rev <= {ABC_A} THEN 'A'
+              WHEN cum_rev / total_rev <= {ABC_B} THEN 'B'
+              ELSE 'C' END AS abc_class, n, rev, total_rev
+  FROM c)
+SELECT abc_class,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       ROUND(SUM(rev), 2) AS revenue,
+       ROUND(SUM(rev) / ANY_VALUE(total_rev), 6) AS revenue_share
+FROM cls GROUP BY abc_class
+""")
+def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    bands = (orders.groupBy(
+                F.floor(F.col("o_totalprice") / PARETO_BAND).cast("long")
+                 .alias("band"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("rev")))
+    # Both windows run over the band frame (|bands| ~ hundreds): the
+    # single-partition frames are fine BECAUSE the data is pre-reduced.
+    w_cum = (Window.orderBy(F.col("band").desc())
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    c = (bands.withColumn("cum_rev", F.sum("rev").over(w_cum))
+              .withColumn("total_rev", F.sum("rev").over(w_all)))
+    cls = (F.when(F.col("cum_rev") / F.col("total_rev") <= ABC_A, "A")
+            .when(F.col("cum_rev") / F.col("total_rev") <= ABC_B, "B")
+            .otherwise("C"))
+    return (c.select(cls.alias("abc_class"), "n", "rev", "total_rev")
+             .groupBy("abc_class")
+             .agg(F.sum("n").cast("long").alias("n_orders"),
+                  F.round(F.sum("rev"), 2).alias("revenue"),
+                  F.round(F.sum("rev") / F.first("total_rev"), 6)
+                   .alias("revenue_share")))
