@@ -144,10 +144,19 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
     edges.unpersist()
     nodes.unpersist()
     app = spark.sparkContext.applicationId
+
+    def _drop(df: DataFrame) -> None:
+        # An evicted entry may belong to a stopped SparkContext, where
+        # unpersist raises — the block is already gone, so ignore.
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
     prev = _LAST_RESULT.pop(app, None)
     if prev is not None:
-        prev.unpersist()
+        _drop(prev)
     if len(_LAST_RESULT) >= 8:      # sessions come and go; stay bounded
-        _LAST_RESULT.pop(next(iter(_LAST_RESULT))).unpersist()
+        _drop(_LAST_RESULT.pop(next(iter(_LAST_RESULT))))
     _LAST_RESULT[app] = result
     return result

@@ -512,12 +512,19 @@ WITH daily AS (
 stats AS (
   SELECT *, AVG(n) OVER (PARTITION BY event_type) AS mu,
          STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd
-  FROM daily)
+  FROM daily),
+z AS (
+  -- explicit NULL on zero/NULL stddev (constant daily volume): Spark's
+  -- ANSI mode would otherwise raise DIVIDE_BY_ZERO where DuckDB nulls
+  SELECT event_type, day, n,
+         CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+              ELSE ROUND((n - mu) / sd, 4) END AS zscore
+  FROM stats)
 SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n_events,
-       ROUND((n - mu) / sd, 4) AS zscore,
-       (ABS((n - mu) / sd) >= 2.0) AS is_anomaly
-FROM stats
+       zscore,
+       (ABS(zscore) >= 2.0) AS is_anomaly
+FROM z
 """)
 def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
@@ -526,11 +533,18 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.to_date(F.date_trunc("day", "ts")).alias("day"))
                .agg(F.count("*").alias("n")))
     w = Window.partitionBy("event_type")
-    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    # Guarded + ROUNDED z: a zero/NULL stddev (constant daily volume)
+    # yields NULL instead of an ANSI DIVIDE_BY_ZERO, and the anomaly
+    # flag thresholds the 4-dp-rounded value both engines render
+    # identically (unrounded floats differ in last ulps across
+    # accumulation orders).
+    z = F.when(sd.isNotNull() & (sd != 0),
+               F.round((F.col("n") - F.avg("n").over(w)) / sd, 4))
     return daily.select(
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("n").cast("long").alias("n_events"),
-        F.round(z, 4).alias("zscore"),
+        z.alias("zscore"),
         (F.abs(z) >= 2.0).alias("is_anomaly"))
 
 
