@@ -110,3 +110,28 @@ def test_time_proximity_no_nested_loop(spark, sf_dir):
               ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_daily_anomalies_zero_stddev_yields_null(spark, monkeypatch):
+    # A heartbeat-like event type with constant daily volume has zero
+    # stddev: the z-score must be NULL (matching the oracle), not an
+    # ANSI DIVIDE_BY_ZERO crash.
+    import datetime as dt
+
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = [(i, dt.datetime(2024, 1, 1 + d, 2, 0, 0), 1,
+                 "heartbeat", 1.0, None)
+                for i, d in enumerate([0, 0, 1, 1, 2, 2])]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        monkeypatch.setattr(tp, "read_table", lambda s, d, n: ev)
+        out = tp.events_daily_anomalies(spark, "x").collect()
+        assert len(out) == 3
+        assert all(r["zscore"] is None and r["is_anomaly"] is None
+                   for r in out)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
