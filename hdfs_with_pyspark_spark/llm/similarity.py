@@ -768,3 +768,43 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id", "label", "cos_to_centroid",
         (F.col("cos_to_centroid") < OUTLIER_COS).alias("is_outlier"))
+
+
+# --------------------------------------------------------------------------
+# ann_lsh_recall_eval — evaluation-as-a-query: per-query recall@K of the
+# sign-LSH ANN against the exact brute-force top-K. The metric every ANN
+# deployment tracks, computed by joining the two registered queries'
+# results; the oracle composes their SQL texts as subqueries, so the
+# evaluation itself is oracle-checked. Deterministic because both
+# inputs are (no RNG anywhere in the LSH).
+# --------------------------------------------------------------------------
+def _recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+SELECT bf.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(l.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+FROM ({ORACLES["ann_topk_bruteforce"]}) bf
+LEFT JOIN ({ORACLES["ann_topk_lsh"]}) l
+  ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ann_lsh_recall_eval", oracle=None)  # composed below
+def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (ann_topk_lsh(spark, sf_dir)
+           .select("query_id", "neighbor_id",
+                   F.lit(1).alias("__hit")))
+    return (bf.join(lsh, ["query_id", "neighbor_id"], "left")
+              .groupBy("query_id")
+              .agg(F.count("__hit").cast("long").alias("n_hit"),
+                   F.round(F.count("__hit") / TOP_K, 4)
+                    .alias("recall_at_k")))
+
+
+from hdfs_with_pyspark_spark.plans.registry import ORACLES as _OR  # noqa: E402
+
+_OR["ann_lsh_recall_eval"] = _recall_oracle()

@@ -981,3 +981,49 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(dup3 >= QF_MAX_DUP_TRIGRAM_FRAC, "dup_ngrams"))
     return t.select("doc_id", reason.alias("drop_reason"),
                     reason.isNull().alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# lang_id_confusion — classifier-eval-as-a-query: the confusion matrix
+# of the n-gram language identifier against the labeled lang column,
+# with per-cell share of the true class (row-normalized). The model-eval
+# computation an LLM-data pipeline runs after any heuristic classifier;
+# composes the registered text_lang_id_ngram query so the evaluation
+# itself is oracle-checked.
+# --------------------------------------------------------------------------
+def _confusion_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH pred AS (
+  SELECT p.doc_id, d.lang AS true_lang, p.pred_lang
+  FROM ({ORACLES["text_lang_id_ngram"]}) p
+  JOIN documents d ON d.doc_id = p.doc_id)
+SELECT true_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY true_lang), 4)
+         AS class_share
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register("lang_id_confusion", oracle=None)  # composed below
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.plans.registry import QUERIES
+    pred = (QUERIES["text_lang_id_ngram"](spark, sf_dir)
+            .select("doc_id", "pred_lang"))
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang"))
+    cells = (docs.join(pred, "doc_id")
+                 .groupBy("true_lang", "pred_lang")
+                 .agg(F.count("*").cast("long").alias("n_docs")))
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang", "pred_lang", "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+         .alias("class_share"))
+
+
+from hdfs_with_pyspark_spark.plans.registry import ORACLES as _ORC  # noqa: E402
+
+_ORC["lang_id_confusion"] = _confusion_oracle()
