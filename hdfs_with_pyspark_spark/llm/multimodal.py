@@ -258,3 +258,41 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     blobs = as_blobs(read_table(spark, sf_dir, "documents")).select("doc_id", "blob")
     return blobs.mapInArrow(_byte_stats_batches, out_schema)
+
+
+# --------------------------------------------------------------------------
+# multimodal_dedup_blobs — media-payload exact dedup: canonical-id
+# assignment by md5 over the BINARY blob (not its text rendering), the
+# first dedup pass any multimodal ingest runs — identical media bytes
+# collapse regardless of filename/metadata. Same min-id-per-group shape
+# as dedup_exact, keyed on the digest of the payload; per-modality
+# duplicate counts summarize the pass. One shuffle on the digest.
+# --------------------------------------------------------------------------
+@register("multimodal_dedup_blobs", oracle="""
+WITH b AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS modality,
+         md5(CAST(encode(text) AS VARCHAR)) AS blob_md5
+  FROM documents),
+canon AS (
+  SELECT modality, blob_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n
+  FROM b GROUP BY modality, blob_md5)
+SELECT modality,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_blobs,
+       CAST(SUM(n) AS BIGINT) AS n_blobs,
+       CAST(SUM(n - 1) AS BIGINT) AS n_duplicates
+FROM canon GROUP BY modality
+""")
+def multimodal_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    blobs = as_blobs(read_table(spark, sf_dir, "documents"))
+    canon = (blobs.select("modality", F.md5("blob").alias("blob_md5"),
+                          "doc_id")
+             .groupBy("modality", "blob_md5")
+             .agg(F.min("doc_id").alias("canonical_id"),
+                  F.count("*").alias("n")))
+    return (canon.groupBy("modality")
+                 .agg(F.count("*").cast("long").alias("n_unique_blobs"),
+                      F.sum("n").cast("long").alias("n_blobs"),
+                      F.sum(F.col("n") - 1).cast("long")
+                       .alias("n_duplicates")))
