@@ -715,12 +715,16 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the state a real incremental pipeline maintains between ingests.
     # Keyed on a hash of the ABSOLUTE sf_dir (not its basename): two
     # corpora at .../a/sf0.01 and .../b/sf0.01 must not collide on one
-    # store path. This is a gate-harness location; a production ingest
-    # passes its own durable store path to minhash_band_store directly.
+    # store path. Lives in the session-scoped scratch dir
+    # ($SPARK_GRAFT_SCRATCH_DIR or tmpdir/appId — never the launch cwd);
+    # a production ingest passes its own durable store path to
+    # minhash_band_store directly.
     import hashlib
+
+    from hdfs_with_pyspark_spark.session import scratch_dir
     sf_key = hashlib.md5(
         os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    store_path = os.path.join("spark-warehouse", f"band_store_{sf_key}")
+    store_path = scratch_dir(spark, f"band_store_{sf_key}")
     write_parquet(minhash_band_store(corpus), store_path)
     store = spark.read.parquet(store_path)
 

@@ -202,10 +202,20 @@ def zone_mart(events: DataFrame, cities: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------- D12-D15
+#: Default per-channel member cap for the pair expansion. Bounds any one
+#: channel's contribution at cap^2 ≈ 16.8M pairs — one AQE-splittable
+#: skewed stage instead of an unbounded |members|^2 blowup. Channels under
+#: the cap (virtually all, in a realistic membership distribution) are
+#: untouched, so the default guards the tail without changing typical
+#: results. Pass None explicitly for the exact uncapped expansion.
+DEFAULT_MAX_CHANNEL_MEMBERS = 4096
+
+
 def friend_recommendations(events: DataFrame, events_on_date: DataFrame,
                            cities: DataFrame, max_km: float,
                            tz: str = "Australia/Sydney",
-                           max_channel_members: int | None = None) -> DataFrame:
+                           max_channel_members: int | None =
+                           DEFAULT_MAX_CHANNEL_MEMBERS) -> DataFrame:
     """The step-3 mart: co-subscribed, never-communicated, geographically
     close user pairs with their midpoint's zone (reference
     project_step_3.py).

@@ -19,9 +19,18 @@ Rounds are sequential by nature (round k+1 consumes round k), but each
 round is fully data-parallel — the classic bulk-synchronous-parallel
 schedule. The channel fan-out accepts the same per-channel member cap
 as friend_recommendations (``max_channel_members``) to bound a viral
-channel's quadratic pair blowup; the registered query runs uncapped
-because the synthetic channels are small and the oracle must see every
-edge.
+channel's quadratic pair blowup.
+
+The REGISTERED query runs WITH the cap (``PR_CHANNEL_CAP``) and the
+oracle mirrors it exactly (``ROW_NUMBER() <= cap`` per channel), so the
+capped semantics — the shape a 100 TB run needs, where one viral channel
+would otherwise contribute |members|² edges — are what the correctness
+gate proves. The cap bites on the synthetic corpus (sf0.01 channels run
+up to 31 members; sf0.1 up to 227), so the gate exercises capped-out
+members becoming isolated base-rank nodes, not a no-op parameter. The
+uncapped form stays registered as a local-only twin
+(``channel_pagerank_uncapped``, below the driver's 50-query window) for
+small-graph exactness.
 """
 
 from __future__ import annotations
@@ -36,23 +45,48 @@ PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100      # damping 0.85 as an exact ratio
 PR_UNIT = 1_000_000                     # rank micro-units
 PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*unit
+# Per-channel edge fan-out cap for the registered query: each channel
+# contributes at most CAP*(CAP-1) directed edges instead of n*(n-1). The
+# gate-proven production guard against a viral channel's quadratic pair
+# blowup (reference hazard: src/scripts/project_step_3.py:63-69).
+PR_CHANNEL_CAP = 16
 
 # Most recent persisted result per session (the caller reads it lazily,
 # so it must stay pinned until the next invocation supersedes it).
 _LAST_RESULT: dict[str, DataFrame] = {}
 
 
-def _sql_pagerank_ctes() -> str:
-    """Unrolled PR_ITERS rounds as DuckDB CTE stages."""
+def _sql_pagerank_ctes(cap: int | None = None) -> str:
+    """Unrolled PR_ITERS rounds as DuckDB CTE stages.
+
+    ``cap`` mirrors the Spark side's ``max_channel_members``: the edge
+    expansion reads from the per-channel lowest-user_id prefix while the
+    node set still covers every subscriber (capped-out members receive
+    only the base rank). ``subs`` is distinct on (user_id, channel), so
+    ORDER BY user_id is a total order within a channel and the prefix is
+    deterministic.
+    """
+    edge_src = "subs"
+    cap_cte = ""
+    if cap is not None:
+        edge_src = "capped"
+        cap_cte = f"""
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {cap}),"""
     ctes = [f"""subs AS (
   SELECT DISTINCT user_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
   FROM events
   WHERE event_type = 'signup'
-    AND json_extract_string(props, '$.k') IS NOT NULL),
+    AND json_extract_string(props, '$.k') IS NOT NULL),{cap_cte}
 edges AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM subs a JOIN subs b USING (channel)
+  FROM {edge_src} a JOIN {edge_src} b USING (channel)
   WHERE a.user_id <> b.user_id),
 deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
 nodes AS (SELECT DISTINCT user_id AS u FROM subs),
@@ -71,12 +105,13 @@ r0 AS (SELECT u, CAST({PR_UNIT} AS BIGINT) AS rank FROM nodes)"""]
 
 
 @register("channel_pagerank", oracle=f"""
-WITH {_sql_pagerank_ctes()}
+WITH {_sql_pagerank_ctes(cap=PR_CHANNEL_CAP)}
 SELECT u AS user_id, rank AS rank_micro
 FROM r{PR_ITERS}
 """)
 def channel_pagerank(spark: SparkSession, sf_dir: str,
-                     max_channel_members: int | None = None) -> DataFrame:
+                     max_channel_members: int | None = PR_CHANNEL_CAP
+                     ) -> DataFrame:
     ensure_session(spark)
     ev = read_table(spark, sf_dir, "events")
     channel = F.get_json_object("props", "$.k").cast("long")
@@ -160,3 +195,17 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
         _drop(_LAST_RESULT.pop(next(iter(_LAST_RESULT))))
     _LAST_RESULT[app] = result
     return result
+
+
+@register("channel_pagerank_uncapped", oracle=f"""
+WITH {_sql_pagerank_ctes(cap=None)}
+SELECT u AS user_id, rank AS rank_micro
+FROM r{PR_ITERS}
+""")
+def channel_pagerank_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-only twin: exact PageRank over the FULL co-membership edge
+    set. Correct on small graphs; intentionally NOT in the driver gate
+    window — the uncapped |channel|² expansion is the documented 100 TB
+    scale-killer the capped registered query guards against.
+    """
+    return channel_pagerank(spark, sf_dir, max_channel_members=None)

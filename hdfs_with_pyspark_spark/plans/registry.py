@@ -85,8 +85,12 @@ DRIVER_PRIORITY = [
     "dedup_incremental", "corpus_decontaminate",
     # similarity / embeddings family (all-pairs dedup_embedding_cosine
     # and int8 embedding_quantize are demoted: the LSH path and outlier
-    # audit carry more distinct capability per window slot)
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    # audit carry more distinct capability per window slot). The gated
+    # LSH path is the 8-bit+Hamming-1 multiprobe variant — the
+    # scale-correct shape (256 buckets, widened recall); the 4-bit
+    # single-probe twin stays registered below the window, where its
+    # O(N/16) per-bucket scoring can't masquerade as the scale path.
+    "ann_topk_bruteforce", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
     "ivf_kmeans_centroids", "embedding_label_centroids",
     "dedup_embedding_lsh", "embedding_outliers",
     # text analysis / training-prep family (quality_filter is the

@@ -58,3 +58,22 @@ def get_spark(app_name: str = "hdfs_with_pyspark_spark", master: str | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scratch_dir(spark: SparkSession, *parts: str) -> str:
+    """Session-scoped scratch path for state a query materializes
+    mid-flight (band stores, staged sinks).
+
+    Resolved from ``$SPARK_GRAFT_SCRATCH_DIR`` when set (production: a
+    durable DFS-visible location), else the OS temp dir namespaced by the
+    Spark applicationId — so concurrent sessions can't collide and a read
+    query never drops artifacts into whatever cwd the driver happened to
+    launch from.
+    """
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{spark.sparkContext.applicationId}")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, *parts)
