@@ -12,13 +12,21 @@ materializes the others (parquet sinks overwrite, so retries are
 idempotent). ``--serial`` degrades to the reference's sequential shape.
 
 Usage:
-  python scripts/run_marts.py --events PATH --cities PATH --out DIR \\
+  spark-submit scripts/run_marts.py --events PATH --cities PATH --out DIR \\
       --date 2022-06-15 --max-km 100 [--marts user,zone,friends] \\
       [--retries 2] [--serial]
+  spark-submit scripts/run_marts.py --mart user        # self-contained demo
+
+(``python scripts/run_marts.py`` works identically — the script builds
+its own local session when spark-submit hasn't provided a master.)
 
 Input layout = the reference's: a Hive date-partitioned events table with
 the nested ``event`` struct (schemas.GEO_EVENTS) and a cities table
-(schemas.GEO_CITIES).
+(schemas.GEO_CITIES). When ``--events``/``--cities`` are omitted, a
+deterministic demo fixture in that exact layout is materialized under the
+session scratch dir (sources/demo.py) so the orchestration surface can be
+smoke-run with zero external state; ``--out`` then defaults to the
+scratch dir too, and ``--date`` to the demo's message-dense date.
 """
 
 from __future__ import annotations
@@ -32,13 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--events", required=True, help="events table path")
-    ap.add_argument("--cities", required=True, help="cities table path")
-    ap.add_argument("--out", required=True, help="output directory for marts")
-    ap.add_argument("--date", required=True, help="friends processing date YYYY-MM-DD")
+    ap.add_argument("--events", help="events table path (default: demo fixture)")
+    ap.add_argument("--cities", help="cities table path (default: demo fixture)")
+    ap.add_argument("--out", help="output directory for marts "
+                                  "(default: session scratch dir)")
+    ap.add_argument("--date", help="friends processing date YYYY-MM-DD "
+                                   "(default: the demo fixture's date)")
     ap.add_argument("--max-km", type=float, default=100.0,
                     help="friends distance threshold (reference default)")
-    ap.add_argument("--marts", default="user,zone,friends",
+    ap.add_argument("--marts", "--mart", dest="marts",
+                    default="user,zone,friends",
                     help="comma list: user,zone,friends")
     ap.add_argument("--serial", action="store_true",
                     help="one mart at a time (the reference's sequential "
@@ -61,6 +72,24 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     spark = get_spark("run-marts")
+
+    if not args.events or not args.cities:
+        from hdfs_with_pyspark_spark.sources.demo import (
+            DEMO_DATE,
+            ensure_demo_inputs,
+        )
+        from hdfs_with_pyspark_spark.session import scratch_dir
+        demo_events, demo_cities = ensure_demo_inputs(
+            spark, scratch_dir(spark, "demo_inputs"))
+        args.events = args.events or demo_events
+        args.cities = args.cities or demo_cities
+        args.date = args.date or DEMO_DATE
+    if not args.out:
+        from hdfs_with_pyspark_spark.session import scratch_dir
+        args.out = scratch_dir(spark, "marts_out")
+    if not args.date:
+        ap.error("--date is required when --events is given")
+
     events = read_geo_events(spark, args.events)
     cities = spark.read.schema(schemas.GEO_CITIES).parquet(args.cities)
 
