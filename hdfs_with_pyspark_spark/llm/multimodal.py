@@ -24,7 +24,7 @@ ReadSchema excluding ``blob`` when the source is a real parquet table.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -83,37 +83,72 @@ def as_blobs(docs: DataFrame) -> DataFrame:
 def decode_blob(blob: bytes, modality: str):  # pragma: no cover - stub
     """STUB: real media decode (PIL / ffmpeg / soundfile) is unavailable in
     this environment. The Spark-side plumbing around it is real; swap this
-    body for the actual codec call in production."""
+    body for the actual codec call in production (or, without touching
+    this module, pass any ``BlobDecoder`` to ``extract_features`` — the
+    proven injection seam)."""
     raise NotImplementedError(
         f"media decode for modality={modality!r} requires codec libraries "
         "not present in this container")
 
 
-def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction; deterministic byte-level features."""
-    for pdf in batches:
-        blobs = pdf["blob"]
-        n_bytes = blobs.map(len).astype("int64")
-        n_tokens = blobs.map(lambda b: len([t for t in b.split(b" ") if t]))
-        chash = blobs.map(
-            lambda b: int(hashlib.md5(b).hexdigest()[:15], 16)).astype("int64")
-        frames = pd.Series(
-            [n // 256 + 1 if m == "video" else None
-             for n, m in zip(n_bytes, pdf["modality"])], dtype="object")
-        yield pd.DataFrame({
-            "doc_id": pdf["doc_id"],
-            "modality": pdf["modality"],
-            "n_bytes": n_bytes,
-            "n_tokens": n_tokens.astype("int64"),
-            "content_hash": chash,
-            "frame_count": frames,
-        })
+# The codec seam. A decoder maps one (payload, modality) to the
+# content-derived fields of FEATURE_SCHEMA: {"n_tokens": int,
+# "frame_count": int|None}. Byte-level fields (n_bytes, content_hash)
+# stay decoder-independent — they describe the payload, not its decoded
+# content. The decoder must be picklable (it ships to executors inside
+# the mapInPandas closure) and deterministic if the query is to stay
+# oracle-checkable.
+BlobDecoder = Callable[[bytes, str], dict]
 
 
-def extract_features(blobs: DataFrame) -> DataFrame:
-    """mapInPandas featurizer over the multimodal layout."""
+def byte_decoder(blob: bytes, modality: str) -> dict:
+    """Default decoder: deterministic byte-level stand-in for real codecs
+    (whitespace token count; 256-byte pseudo-frames for video)."""
+    return {
+        "n_tokens": len([t for t in blob.split(b" ") if t]),
+        "frame_count": len(blob) // 256 + 1 if modality == "video" else None,
+    }
+
+
+def codec_decoder(blob: bytes, modality: str) -> dict:  # pragma: no cover
+    """Production decoder: routes through the real-media stub. Selecting
+    it in this container raises NotImplementedError at executor time —
+    loudly, per batch, not silently wrong."""
+    decoded = decode_blob(blob, modality)
+    return {"n_tokens": decoded["n_tokens"],
+            "frame_count": decoded.get("frame_count")}
+
+
+def _featurize_batches(decoder: BlobDecoder):
+    """Arrow-batched feature extraction around an injected decoder."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            n_bytes = blobs.map(len).astype("int64")
+            chash = blobs.map(
+                lambda b: int(hashlib.md5(b).hexdigest()[:15], 16)).astype("int64")
+            decoded = [decoder(b, m) for b, m in zip(blobs, pdf["modality"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": n_bytes,
+                "n_tokens": pd.Series(
+                    [d["n_tokens"] for d in decoded], dtype="int64"),
+                "content_hash": chash,
+                "frame_count": pd.Series(
+                    [d["frame_count"] for d in decoded], dtype="object"),
+            })
+    return run
+
+
+def extract_features(blobs: DataFrame, decoder=byte_decoder) -> DataFrame:
+    """mapInPandas featurizer over the multimodal layout.
+
+    ``decoder`` is the pluggable codec (default: the deterministic
+    byte-featurizer; production: ``codec_decoder`` or any callable with
+    the BlobDecoder contract — swap-in proven in tests/test_llm.py)."""
     return (blobs.select("doc_id", "modality", "blob")
-                 .mapInPandas(_featurize_batches, FEATURE_SCHEMA))
+                 .mapInPandas(_featurize_batches(decoder), FEATURE_SCHEMA))
 
 
 # --------------------------------------------------------------------------

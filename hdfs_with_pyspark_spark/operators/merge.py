@@ -23,7 +23,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+def _check_unique_key(batch: DataFrame, key: str, op: str) -> None:
+    """Enforce the at-most-one-row-per-key MERGE precondition eagerly.
+
+    One groupBy on the (typically tiny) batch — cheap relative to the
+    merge itself. Raises with sample offenders, mirroring ANSI MERGE's
+    error-on-multiple-matches instead of fanning out silently.
+    """
+    dups = (batch.groupBy(key).count()
+                 .where(F.col("count") > 1)
+                 .limit(5).collect())
+    if dups:
+        sample = ", ".join(str(r[key]) for r in dups)
+        raise ValueError(
+            f"{op}: batch has multiple rows per key (e.g. {key} in "
+            f"[{sample}]); deduplicate latest-per-key first "
+            "(operators.windows.top1_per_key)")
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str,
+                 validate: bool = False) -> DataFrame:
     """SCD type 1 merge: source rows replace same-key target rows
     column-for-column (including legitimate NULLs — row presence, not
     per-column COALESCE, decides precedence); unmatched source rows
@@ -38,9 +57,13 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     full-outer join and yields duplicate merged rows — deduplicate the
     batch first (e.g. latest-per-key via operators.windows.top1_per_key)
     rather than letting this operator pick a winner silently.
+    ``validate=True`` enforces it eagerly (one count job on the batch,
+    error with sample keys) — the cheap belt for untrusted batches.
     """
     assert set(source.columns) == set(target.columns), \
         "source/target column sets must match"
+    if validate:
+        _check_unique_key(source, key, "merge_upsert")
     attrs = [c for c in target.columns if c != key]
     t = target.select(F.col(key).alias("__tk"),
                       *[F.col(c).alias(f"__t_{c}") for c in attrs])
@@ -57,7 +80,8 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
 
 def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
                version_col: str = "version",
-               current_col: str = "is_current") -> DataFrame:
+               current_col: str = "is_current",
+               validate: bool = False) -> DataFrame:
     """SCD type 2: updated keys close their current version (flag flips)
     and append a new version = max(version)+1 row; history rows pass
     through untouched; brand-new keys insert at version 1.
@@ -71,7 +95,10 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
     Duplicate keys would mint multiple rows at the same new version all
     flagged current, breaking the one-current-row invariant —
     deduplicate the batch (latest-per-key) before applying.
+    ``validate=True`` enforces it eagerly (one count job on the batch).
     """
+    if validate:
+        _check_unique_key(updates, key, "scd2_apply")
     attrs = [c for c in updates.columns if c != key]
     upd_keys = updates.select(key).distinct()
 

@@ -818,9 +818,11 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spark.sql.parquet.aggregatePushdown), never touching data pages. At
 # 100 TB this is the difference between a metadata pass (one footer per
 # file) and a full-table scan for the most common health-check query.
-# The two confs are scoped to this query (set + restored around an
-# eager materialization) so every other plan keeps the default v1
-# FileScan shape; the one-row result is re-wrapped for the caller.
+# The two confs live on an ISOLATED twin session (spark.newSession():
+# shared SparkContext, private SQLConf) so they can never leak into a
+# query planned concurrently on the caller's session — every other plan
+# keeps the default v1 FileScan shape even mid-flight. The one-row
+# result is re-wrapped onto the caller's session.
 # Timestamp columns don't qualify for pushdown, so the stats stick to
 # numeric/integer columns.
 # --------------------------------------------------------------------------
@@ -835,27 +837,18 @@ FROM lineitem
 def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     import os
-    confs = {"spark.sql.parquet.aggregatePushdown": "true",
-             "spark.sql.sources.useV1SourceList": ""}
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        agg = (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-               .agg(F.count("*").alias("n_rows"),
-                    F.min("l_orderkey").alias("min_orderkey"),
-                    F.max("l_orderkey").alias("max_orderkey"),
-                    F.min("l_quantity").alias("min_qty"),
-                    F.max("l_quantity").alias("max_qty")))
-        rows = agg.collect()          # materialize under the v2 confs
-        schema = agg.schema
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return spark.createDataFrame(rows, schema)
+    iso = spark.newSession()          # private SQLConf, shared context
+    ensure_session(iso)
+    iso.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    iso.conf.set("spark.sql.sources.useV1SourceList", "")
+    agg = (iso.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+           .agg(F.count("*").alias("n_rows"),
+                F.min("l_orderkey").alias("min_orderkey"),
+                F.max("l_orderkey").alias("max_orderkey"),
+                F.min("l_quantity").alias("min_qty"),
+                F.max("l_quantity").alias("max_qty")))
+    rows = agg.collect()              # materialize under the v2 confs
+    return spark.createDataFrame(rows, agg.schema)
 
 
 # --------------------------------------------------------------------------

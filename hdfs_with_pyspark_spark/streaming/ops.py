@@ -314,14 +314,16 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
     The commit is stage-and-swap with a retire-then-swap rename pair —
     not atomic on a generic filesystem, but every crash window leaves
     either the live dim or a ``__old`` copy the next batch rolls
-    forward from.
+    forward from. All exists/rename/delete steps go through the HADOOP
+    FileSystem API resolved from ``dim_path``'s scheme (ADVICE r2), so
+    the swap works wherever Spark can write — HDFS, local file://, or
+    any object store with a Hadoop connector (note object-store renames
+    are copies: prefer a table format there).
 
     Scale: each micro-batch shuffles only its own (small) aggregate;
     the dimension side stays parquet and would be bucketed on user_id
     in production so only the batch side moves.
     """
-    import os
-
     from hdfs_with_pyspark_spark.operators.merge import merge_upsert
     from hdfs_with_pyspark_spark.sources.io import write_parquet
 
@@ -332,12 +334,30 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
 
     def upsert_batch(batch_df, batch_id: int) -> None:
         spark_l = batch_df.sparkSession
+        jvm = spark_l._jvm
+        hconf = spark_l._jsc.hadoopConfiguration()
+
+        def hpath(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        fs = hpath(dim_path).getFileSystem(hconf)
+
+        def exists(p: str) -> bool:
+            return fs.exists(hpath(p))
+
+        def rename(src: str, dst: str) -> None:
+            if not fs.rename(hpath(src), hpath(dst)):
+                raise IOError(f"rename {src!r} -> {dst!r} failed")
+
+        def rmtree(p: str) -> None:
+            fs.delete(hpath(p), True)
+
         retired = dim_path + "__old"
         # Recover from a crash between the two renames below: the data
         # survives under __old; restore it before merging.
-        if not os.path.exists(dim_path) and os.path.exists(retired):
-            os.rename(retired, dim_path)
-        if os.path.exists(dim_path):
+        if not exists(dim_path) and exists(retired):
+            rename(retired, dim_path)
+        if exists(dim_path):
             target = spark_l.read.parquet(dim_path)
             merged = (merge_upsert(target, batch_df, key="user_id")
                       .drop("updated"))
@@ -350,18 +370,17 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
         # forward from (handled above). A table format (Delta/Iceberg)
         # replaces this dance with an atomic commit; the merge shape is
         # identical.
-        import shutil
         staging = dim_path + "__staging"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)    # leftover from a crashed write
+        if exists(staging):
+            rmtree(staging)           # leftover from a crashed write
         write_parquet(merged, staging)
-        if os.path.exists(retired):
-            shutil.rmtree(retired)
-        if os.path.exists(dim_path):
-            os.rename(dim_path, retired)
-        os.rename(staging, dim_path)
-        if os.path.exists(retired):
-            shutil.rmtree(retired)
+        if exists(retired):
+            rmtree(retired)
+        if exists(dim_path):
+            rename(dim_path, retired)
+        rename(staging, dim_path)
+        if exists(retired):
+            rmtree(retired)
 
     (per_user.writeStream
              .outputMode("update")

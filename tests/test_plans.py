@@ -318,6 +318,24 @@ def test_merge_upsert_row_presence_beats_null(spark):
     assert out[3]["name"] == "new" and out[3]["updated"]
 
 
+def test_merge_validate_rejects_duplicate_key_batch(spark):
+    # ANSI MERGE errors on multiple source matches; validate=True is that
+    # belt — loud error naming offender keys instead of a silent fan-out.
+    from hdfs_with_pyspark_spark.operators.merge import merge_upsert, scd2_apply
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")],
+                                "k long, v string")
+    with pytest.raises(ValueError, match="merge_upsert.*multiple rows"):
+        merge_upsert(t, dup, "k", validate=True)
+    dim = spark.createDataFrame([(1, "a", 1, True)],
+                                "k long, v string, version long, is_current boolean")
+    with pytest.raises(ValueError, match="scd2_apply.*multiple rows"):
+        scd2_apply(dim, dup, "k", validate=True)
+    # clean batches pass through the validated path unchanged
+    clean = spark.createDataFrame([(1, "x"), (2, "z")], "k long, v string")
+    assert merge_upsert(t, clean, "k", validate=True).count() == 2
+
+
 def test_merge_upsert_roundtrip_write(spark, tmp_path):
     from hdfs_with_pyspark_spark.operators.merge import merge_upsert
     from hdfs_with_pyspark_spark.sources.io import write_parquet
