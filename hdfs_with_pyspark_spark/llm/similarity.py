@@ -299,36 +299,43 @@ _SQL_COS_BC = ("ROUND(list_dot_product(b.v, c.cv) / "
                "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)")
 
 
-def _sql_kmeans(iters: int = KMEANS_ITERS) -> tuple[str, str]:
+def _sql_kmeans(iters: int = KMEANS_ITERS, vcte: str = "v",
+                prefix: str = "", k: int = N_CENTROIDS) -> tuple[str, str]:
     """CTE chain unrolling ``iters`` Lloyd's rounds; returns (sql, final_cte).
 
     Each round: assign every vector to its ROUND(cos,6)-nearest centroid
     (cid ASC tie-break — the exact ordering the Spark trainer uses), then
     re-center as the per-dimension mean ROUNDed to 6 decimals. Empty
     clusters keep their previous centroid (LEFT JOIN + COALESCE).
+
+    ``vcte`` names the (vec_id, v) input CTE and ``prefix`` namespaces
+    every generated CTE, so several independent trainings (e.g. the two
+    PQ subspaces) can coexist in one WITH chain.
     """
-    parts = [f"c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {N_CENTROIDS})"]
+    parts = [f"{prefix}c0 AS (SELECT vec_id AS cid, v AS cv "
+             f"FROM {vcte} WHERE vec_id < {k})"]
     for t in range(1, iters + 1):
         p = t - 1
         parts.append(f"""
-a{t} AS (
+{prefix}a{t} AS (
   SELECT vec_id, v, cid FROM (
     SELECT b.vec_id, b.v, c.cid,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id
                               ORDER BY {_SQL_COS_BC} DESC, c.cid ASC) AS rn
-    FROM v b CROSS JOIN c{p} c) WHERE rn = 1)""")
+    FROM {vcte} b CROSS JOIN {prefix}c{p} c) WHERE rn = 1)""")
         parts.append(f"""
-m{t} AS (
+{prefix}m{t} AS (
   SELECT cid, list(mx ORDER BY dim) AS cv FROM (
     SELECT a.cid, e.dim, ROUND(AVG(e.x), 6) AS mx
-    FROM a{t} a
-    JOIN (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM v) e
+    FROM {prefix}a{t} a
+    JOIN (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim
+          FROM {vcte}) e
       USING (vec_id)
     GROUP BY a.cid, e.dim) GROUP BY cid)""")
         parts.append(f"""
-c{t} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
-         FROM c{p} p LEFT JOIN m{t} m USING (cid))""")
-    return ",\n".join(parts), f"c{iters}"
+{prefix}c{t} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         FROM {prefix}c{p} p LEFT JOIN {prefix}m{t} m USING (cid))""")
+    return ",\n".join(parts), f"{prefix}c{iters}"
 
 
 _SQL_KMEANS_CTES, _SQL_KMEANS_FINAL = _sql_kmeans()
@@ -358,7 +365,19 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str,
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    v2 = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    cents = _train_kmeans(_vectors(spark, sf_dir), k, iters)
+    if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+    _CENTROID_CACHE[key] = cents
+    return cents
+
+
+def _train_kmeans(vdf: DataFrame, k: int,
+                  iters: int) -> list[tuple[int, list[float]]]:
+    """The Lloyd's core over any (vec_id, v) frame — full vectors for the
+    IVF coarse quantizer, subvector slices for the PQ codebooks."""
+    spark = vdf.sparkSession
+    v2 = _with_norm(vdf, "v", "nv")
     init = (v2.where(F.col("vec_id") < k).select("vec_id", "v")
               .orderBy("vec_id").collect())
     cents: list[tuple[int, list[float]]] = [(int(r["vec_id"]), list(r["v"]))
@@ -387,9 +406,6 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str,
             m = by_cid.get(cid)
             nxt.append((cid, [m[d] for d in sorted(m)] if m else old))
         cents = nxt
-    if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
-        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
-    _CENTROID_CACHE[key] = cents
     return cents
 
 
@@ -507,6 +523,143 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
                   .where(F.col("rank") <= TOP_K)
                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# ann_topk_pq — product quantization (Jégou/Douze/Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+# splits into PQ_SUB subvectors, each quantized by its OWN trained
+# codebook (the same deterministic Lloyd's trainer as IVF, run per
+# subspace), so a 64-dim float vector compresses to PQ_SUB small codes.
+# Queries stay exact: per query, a lookup table of dot(q_sub, centroid)
+# per (subspace, code) is built (PQ_SUB x PQ_K entries), and a corpus
+# vector's approximate inner product is just the SUM OF TABLE LOOKUPS —
+# the asymmetric-distance (ADC) scan.
+#
+# Why this is THE 100 TB vector-store shape: the scored relation is the
+# CODES table (PQ_SUB ints/vector ~ 2 bytes quantized vs 256 bytes of
+# floats — a 100 TB corpus scans ~1 TB), the codebooks + query LUTs are
+# kilobytes broadcast everywhere, and the scan is a map-side join +
+# per-query top-k window — no shuffle of the corpus at query time. In
+# production PQ composes with IVF (probe lists first, ADC-score inside
+# probed lists); here it stands alone so the accuracy/compression
+# trade is measurable in isolation against ann_topk_bruteforce.
+#
+# Determinism: codebooks are the unrolled Lloyd's rounds (oracle CTEs,
+# one chain per subspace), code assignment ranks ROUND(cos,6) with cid
+# ASC tie-break, and the ADC score is one addition of two identically-
+# computed dots ROUNDed to 6 before ranking.
+# --------------------------------------------------------------------------
+PQ_SUB = 2                      # subspaces
+PQ_K = 8                        # codes per subspace codebook
+PQ_SUB_DIM = EMBED_DIM // PQ_SUB
+
+
+def _pq_codebooks(spark: SparkSession,
+                  sf_dir: str) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace trained codebooks, memoized like the IVF centroids."""
+    v = _vectors(spark, sf_dir)
+    books = []
+    for s in range(PQ_SUB):
+        key = (spark.sparkContext.applicationId, sf_dir, "pq", s)
+        if key not in _CENTROID_CACHE:
+            sub = v.select("vec_id",
+                           F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                            .alias("v"))
+            if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+                _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+            _CENTROID_CACHE[key] = _train_kmeans(sub, PQ_K, KMEANS_ITERS)
+        books.append(_CENTROID_CACHE[key])
+    return books
+
+
+def _sql_pq_ctes() -> str:
+    """Subspace slices + per-subspace k-means chains + codes + LUTs."""
+    parts = []
+    for s in range(PQ_SUB):
+        lo, hi = s * PQ_SUB_DIM + 1, (s + 1) * PQ_SUB_DIM
+        parts.append(f"sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM v)")
+        km, final = _sql_kmeans(vcte=f"sv{s}", prefix=f"s{s}", k=PQ_K)
+        parts.append(km)
+        parts.append(f"cb{s} AS (SELECT cid, cv FROM {final})")
+        parts.append(f"""
+code{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_SQL_COS_BC} DESC, c.cid ASC) AS rn
+    FROM sv{s} b CROSS JOIN cb{s} c) WHERE rn = 1)""")
+        parts.append(f"""
+lut{s} AS (
+  SELECT q.vec_id AS query_id, c.cid, list_dot_product(q.v, c.cv) AS p
+  FROM sv{s} q CROSS JOIN cb{s} c WHERE q.vec_id < {N_QUERIES})""")
+    return ",\n".join(parts)
+
+
+@register("ann_topk_pq", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_sql_pq_ctes()},
+scored AS (
+  SELECT l0.query_id, c0.vec_id AS neighbor_id,
+         ROUND(l0.p + l1.p, 6) AS pq_score
+  FROM code0 c0
+  JOIN code1 c1 USING (vec_id)
+  JOIN lut0 l0 ON l0.cid = c0.cid
+  JOIN lut1 l1 ON l1.cid = c1.cid AND l1.query_id = l0.query_id
+  WHERE c0.vec_id <> l0.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY pq_score DESC, neighbor_id ASC)
+            AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, pq_score
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+
+    codes = None
+    luts = []
+    for s, book in enumerate(books):
+        sub = _with_norm(
+            v.select("vec_id",
+                     F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("v")),
+            "v", "nv")
+        cent = _with_norm(
+            spark.createDataFrame(book, "cid long, cv array<double>"),
+            "cv", "cnv")
+        cos_c = F.round(F.expr(_sql_dot_cols("v", "cv", PQ_SUB_DIM))
+                        / (F.col("nv") * F.col("cnv")), 6)
+        w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(),
+                                                 F.col("cid").asc())
+        code = (sub.join(F.broadcast(cent), F.lit(True))
+                   .select("vec_id", "cid", cos_c.alias("__c"))
+                   .withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn") == 1)
+                   .select("vec_id", F.col("cid").alias(f"code{s}")))
+        codes = code if codes is None else codes.join(code, "vec_id")
+        lut = (sub.where(F.col("vec_id") < N_QUERIES)
+                  .select(F.col("vec_id").alias("query_id"), "v")
+                  .join(F.broadcast(cent.select("cid", "cv")), F.lit(True))
+                  .select("query_id", F.col("cid").alias(f"code{s}"),
+                          F.expr(_sql_dot_cols("v", "cv", PQ_SUB_DIM))
+                           .alias(f"p{s}")))
+        luts.append(lut)
+
+    scored = (codes
+              .join(F.broadcast(luts[0]), "code0")
+              .join(F.broadcast(luts[1]), ["query_id", "code1"])
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.col("p0") + F.col("p1"), 6)
+                       .alias("pq_score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "pq_score"))
 
 
 # --------------------------------------------------------------------------

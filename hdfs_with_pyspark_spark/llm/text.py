@@ -732,6 +732,73 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus_mixture_sample — the EXECUTION of the mixing plan: materialize
+# the uniform-source rebalance deterministically. Per-doc copy count =
+# floor(weight) + one extra copy for the hash-fraction of docs covering
+# the fractional part — over-represented sources (weight < 1)
+# downsample by content-stable hash, under-represented ones epoch-
+# multiply (the standard pretraining-mix trick), so the output mixture
+# matches the target in expectation with ZERO randomness: the kept set
+# is a pure function of (doc_id, per-source counts), stable across
+# partitioning, re-runs, and engines.
+#
+# All arithmetic is integer (weights as micro-units via integer div/mod
+# of exact counts), so both engines compute identical copy counts; the
+# fan-out is explode(sequence(1, copies)) after a copies >= 1 filter
+# (sequence() would run DESCENDING for copies = 0).
+#
+# Scale: one tiny per-source aggregate broadcast back onto the corpus,
+# then a map-side filter/fan-out — the corpus is never shuffled.
+# --------------------------------------------------------------------------
+MIX_UNIT = 1_000_000
+
+
+@register("corpus_mixture_sample", oracle=f"""
+WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM s),
+w AS (SELECT source,
+             total // (k * n) AS wfloor,
+             (total * {MIX_UNIT}) // (k * n) - (total // (k * n)) * {MIX_UNIT}
+               AS fscaled
+      FROM s, tot),
+c AS (SELECT doc_id, d.source,
+             wfloor + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 12))::BIGINT % {MIX_UNIT}
+                                < fscaled
+                           THEN 1 ELSE 0 END AS copies
+      FROM documents d JOIN w USING (source))
+SELECT doc_id, source, CAST(j AS BIGINT) AS copy_idx
+FROM c, LATERAL unnest(generate_series(1, copies::INT)) t(j)
+WHERE copies >= 1
+""")
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    weights = s.select(
+        "source",
+        F.expr(f"sum(n) over () div (count(*) over () * n)")
+         .alias("wfloor"),
+        (F.expr(f"(sum(n) over () * {MIX_UNIT}) div (count(*) over () * n)")
+         - F.expr(f"(sum(n) over () div (count(*) over () * n)) * {MIX_UNIT}"))
+        .alias("fscaled"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+         .cast("long"), F.lit(MIX_UNIT))
+    return (docs.select("doc_id", "source")
+                .join(F.broadcast(weights), "source")
+                .withColumn("copies",
+                            F.col("wfloor")
+                            + F.when(h < F.col("fscaled"), 1).otherwise(0))
+                .where(F.col("copies") >= 1)
+                .select("doc_id", "source",
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.col("copies").cast("long")))
+                         .alias("copy_idx")))
+
+
+# --------------------------------------------------------------------------
 # text_pii_scrub — PII detection + redaction: emails, IPv4 addresses,
 # and long digit runs found by RE2-and-Java-compatible regexes (no
 # lookaround, no backreferences), counted and replaced with typed

@@ -51,9 +51,31 @@ PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*unit
 # blowup (reference hazard: src/scripts/project_step_3.py:63-69).
 PR_CHANNEL_CAP = 16
 
-# Most recent persisted result per session (the caller reads it lazily,
-# so it must stay pinned until the next invocation supersedes it).
-_LAST_RESULT: dict[str, DataFrame] = {}
+# Most recent persisted result per (session, query) slot — the caller
+# reads it lazily, so it must stay pinned until the next invocation of
+# the same query supersedes it.
+_LAST_RESULT: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pin_result(spark: SparkSession, slot: str, result: DataFrame) -> None:
+    """Track ONE pinned node-sized frame per (session, query): the next
+    invocation of the same query releases the previous frame, and the
+    registry stays bounded however many sessions come and go."""
+    def _drop(df: DataFrame) -> None:
+        # An evicted entry may belong to a stopped SparkContext, where
+        # unpersist raises — the block is already gone, so ignore.
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+    key = (spark.sparkContext.applicationId, slot)
+    prev = _LAST_RESULT.pop(key, None)
+    if prev is not None:
+        _drop(prev)
+    if len(_LAST_RESULT) >= 8:      # sessions come and go; stay bounded
+        _drop(_LAST_RESULT.pop(next(iter(_LAST_RESULT))))
+    _LAST_RESULT[key] = result
 
 
 def _sql_pagerank_ctes(cap: int | None = None) -> str:
@@ -178,22 +200,7 @@ def channel_pagerank(spark: SparkSession, sf_dir: str,
     result.count()
     edges.unpersist()
     nodes.unpersist()
-    app = spark.sparkContext.applicationId
-
-    def _drop(df: DataFrame) -> None:
-        # An evicted entry may belong to a stopped SparkContext, where
-        # unpersist raises — the block is already gone, so ignore.
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-
-    prev = _LAST_RESULT.pop(app, None)
-    if prev is not None:
-        _drop(prev)
-    if len(_LAST_RESULT) >= 8:      # sessions come and go; stay bounded
-        _drop(_LAST_RESULT.pop(next(iter(_LAST_RESULT))))
-    _LAST_RESULT[app] = result
+    _pin_result(spark, "channel_pagerank", result)
     return result
 
 
@@ -209,3 +216,94 @@ def channel_pagerank_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-killer the capped registered query guards against.
     """
     return channel_pagerank(spark, sf_dir, max_channel_members=None)
+
+
+# --------------------------------------------------------------------------
+# channel_triangles — per-node triangle counts over the (capped)
+# co-membership graph: the standard cohesion/clustering-coefficient
+# numerator, and the second member of the multi-hop graph family
+# (PageRank = iterative; triangles = multi-way self-join).
+#
+# Shape: canonical u < v edge list; the edge-iterator algorithm joins
+# edges(a,b) x edges(b,c) on the shared middle node (one shuffle on the
+# join key), then a LEFT SEMI probe of (a,c) against the edge list
+# closes each wedge — at no point does a node's full neighborhood
+# materialize as an array. Per-node counts explode each triangle to its
+# three corners (3x fan-out of the TRIANGLE set, not the corpus) and the
+# node spine left-joins zeros back. The same per-channel member cap as
+# PageRank bounds the wedge count: a hub of degree d contributes
+# O(d²) wedges, which is exactly what the cap controls at 100 TB.
+# --------------------------------------------------------------------------
+@register("channel_triangles", oracle=f"""
+WITH subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id < b.user_id),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM edges ab JOIN edges bc ON ab.v = bc.u
+  WHERE EXISTS (SELECT 1 FROM edges ac
+                WHERE ac.u = ab.u AND ac.v = bc.v)),
+corners AS (
+  SELECT a AS user_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+pernode AS (SELECT user_id, COUNT(*) AS n FROM corners GROUP BY user_id),
+nodes AS (SELECT DISTINCT user_id FROM subs)
+SELECT n.user_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN pernode p USING (user_id)
+""")
+def channel_triangles(spark: SparkSession, sf_dir: str,
+                      max_channel_members: int | None = PR_CHANNEL_CAP
+                      ) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    edge_subs = subs
+    if max_channel_members is not None:
+        w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+        edge_subs = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                         .where(F.col("__rn") <= max_channel_members)
+                         .drop("__rn"))
+    edges = (edge_subs.alias("a")
+             .join(edge_subs.alias("b"), "channel")
+             .where(F.col("a.user_id") < F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct()
+             .persist())            # consumed three times below
+    wedges = (edges.alias("ab")
+              .join(edges.alias("bc"), F.col("ab.v") == F.col("bc.u"))
+              .select(F.col("ab.u").alias("a"), F.col("ab.v").alias("b"),
+                      F.col("bc.v").alias("c")))
+    tri = wedges.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"], "left_semi")
+    pernode = (tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+                  .groupBy("user_id").agg(F.count("*").alias("n")))
+    nodes = subs.select("user_id").distinct()
+    out = (nodes.join(pernode, "user_id", "left")
+                .select("user_id",
+                        F.coalesce("n", F.lit(0)).cast("long")
+                         .alias("n_triangles"))
+                .persist())
+    out.count()                     # cut lineage, then free the edges
+    edges.unpersist()
+    _pin_result(spark, "channel_triangles", out)
+    return out

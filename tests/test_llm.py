@@ -541,3 +541,49 @@ def test_export_shards_roundtrip_and_determinism(spark, tmp_path):
             if f.endswith(".parquet"):
                 ids = pq.read_table(os.path.join(path, d, f))["doc_id"].to_pylist()
                 assert ids == sorted(ids)
+
+
+# ------------------------------------------------------- mixture sampling
+
+def test_corpus_mixture_sample_deterministic_rebalance(spark, monkeypatch):
+    # Source A: 4 docs (over-represented -> weight 0.75, downsample);
+    # source B: 2 docs (under-represented -> weight 1.5, epoch-multiply).
+    # Copy counts are a pure function of (doc_id, counts): floor(w) plus
+    # one extra copy when the doc's md5 micro-bucket < frac(w)*1e6.
+    import hashlib
+
+    from hdfs_with_pyspark_spark.llm import text as tx
+    rows = [(i, "A") for i in range(4)] + [(10, "B"), (11, "B")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    out = {}
+    for r in tx.corpus_mixture_sample(spark, "x").collect():
+        out[r["doc_id"]] = max(out.get(r["doc_id"], 0), r["copy_idx"])
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12],
+                   16) % 1_000_000
+
+    for i in range(4):                      # A: kept iff bucket < 750000
+        assert out.get(i, 0) == (1 if bucket(i) < 750_000 else 0)
+    for i in (10, 11):                      # B: 1 copy + extra iff < 500000
+        assert out[i] == 1 + (1 if bucket(i) < 500_000 else 0)
+
+
+# ------------------------------------------------------- product quantization
+
+def test_ann_topk_pq_shape_and_determinism(spark, sf_dir):
+    from hdfs_with_pyspark_spark.llm import similarity as sim
+    rows = sim.ann_topk_pq(spark, sf_dir).collect()
+    assert len(rows) == sim.N_QUERIES * sim.TOP_K
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, sim.TOP_K + 1))
+               for v in per_q.values())
+    # deterministic: a second invocation reproduces the set exactly
+    again = sim.ann_topk_pq(spark, sf_dir).collect()
+    key = lambda rs: sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                            for r in rs)
+    assert key(rows) == key(again)

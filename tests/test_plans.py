@@ -304,6 +304,41 @@ def test_pagerank_cap_bounds_edges(spark, monkeypatch):
     assert all(out[u] == 150_000 for u in (2, 3, 4))
 
 
+def test_triangles_counts_and_isolates(spark, monkeypatch):
+    # channel 1 = {0,1,2} -> one triangle; channel 2 = {2,3} -> edge
+    # only; user 4 alone on channel 3 -> isolated. Per-node counts hit
+    # each triangle corner once; non-corner nodes report 0.
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = ([(i, "signup", u, '{"k": 1}') for i, u in enumerate((0, 1, 2))]
+            + [(10, "signup", 2, '{"k": 2}'), (11, "signup", 3, '{"k": 2}'),
+               (12, "signup", 4, '{"k": 3}')])
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = {r["user_id"]: r["n_triangles"]
+           for r in g.channel_triangles(spark, "x").collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def test_triangles_cap_bounds_wedges(spark, monkeypatch):
+    # One 5-member channel capped at 3: only {0,1,2} form edges -> one
+    # triangle; the capped-out members stay in the result with 0.
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = [(i, "signup", i, '{"k": 1}') for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = {r["user_id"]: r["n_triangles"]
+           for r in g.channel_triangles(spark, "x",
+                                        max_channel_members=3).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0}
+    full = {r["user_id"]: r["n_triangles"]
+            for r in g.channel_triangles(spark, "x",
+                                         max_channel_members=None).collect()}
+    # K5 uncapped: every node sits in C(4,2) = 6 triangles
+    assert full == {u: 6 for u in range(5)}
+
+
 def test_merge_upsert_row_presence_beats_null(spark):
     # A source row with a legitimate NULL must WIN over the target value
     # (row presence decides, not per-column coalesce).
