@@ -5,6 +5,7 @@ side-effect in the llm/ package.
 """
 
 from hdfs_with_pyspark_spark.llm import (  # noqa: F401
+    bpe,
     dedup,
     multimodal,
     similarity,

@@ -587,3 +587,32 @@ def test_ann_topk_pq_shape_and_determinism(spark, sf_dir):
     key = lambda rs: sorted((r["query_id"], r["neighbor_id"], r["rank"])
                             for r in rs)
     assert key(rows) == key(again)
+
+
+# --------------------------------------------------------------- BPE training
+
+def test_bpe_learns_classic_merges(spark, monkeypatch):
+    from hdfs_with_pyspark_spark.llm import bpe
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low"), (1, "newest newer new low")],
+        "doc_id long, text string")
+    rules = bpe.train_bpe(docs, n_merges=4)
+    # 'low' appears 3x (+lower/lowest prefixes = 5 weighted): l+o wins
+    # round 1, then lo+w; tie-breaks are (count DESC, l ASC, r ASC).
+    assert [(r[1], r[2], r[3]) for r in rules[:2]] == [("l", "o", 5),
+                                                      ("lo", "w", 5)]
+    assert [r[0] for r in rules] == [1, 2, 3, 4]
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark, monkeypatch):
+    # 'aaaa' under merge (a,a): greedy left-to-right pairs -> exactly 2
+    # 'aa' subwords, never 3 overlapping ones; 'aaa' -> ['aa', 'a'].
+    from hdfs_with_pyspark_spark.llm import bpe
+    docs = spark.createDataFrame([(0, "aaaa aaa")], "doc_id long, text string")
+    monkeypatch.setattr(bpe, "read_table", lambda s, d, n: docs)
+    stats = {r["doc_id"]: (r["n_chars"], r["n_subwords"])
+             for r in bpe.bpe_encode_stats(spark, "x").collect()}
+    # 7 chars; after (a,a) then (aa,a)/(aa,aa) merges everything packs:
+    # 6 merges on this tiny corpus converge both words to 1 subword each
+    assert stats[0][0] == 7
+    assert stats[0][1] == 2      # one fully-merged subword per word
