@@ -43,6 +43,10 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_lsh_multiprobe",
     "ann_topk_ivf",
+    "ann_topk_pq",
+    "channel_triangles",
+    "corpus_mixture_sample",
+    "bpe_merges",
     "doc_fingerprint",
     "doc_chunks",
     "asof_last_order_before_event",

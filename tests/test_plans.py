@@ -499,3 +499,53 @@ def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
     # joins = at least 6 broadcast joins in the unrolled plan.
     plan = explain(spark, "channel_pagerank", sf_dir)
     assert n_nodes(plan, "BroadcastHashJoin") >= 6
+
+
+def test_mixture_sample_no_corpus_shuffle(spark, sf_dir):
+    # The per-source weight table is tiny and broadcasts back onto the
+    # corpus; the corpus itself must never shuffle — the only Exchanges
+    # belong to the one-row-per-source aggregate (and its window).
+    plan = explain(spark, "corpus_mixture_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no shuffle keyed on the corpus side: every Exchange in the plan
+    # sits under the source-aggregate subtree (hashpartitioning(source)
+    # or the window's single partition), never on doc_id
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_pq_scores_codes_via_broadcast_luts(spark, sf_dir):
+    # ADC scoring joins the 2-code corpus relation against broadcast
+    # query LUTs — both LUT joins must be broadcast hash joins and no
+    # cartesian may appear. (The one corpus-keyed equi-join is the
+    # vec_id assembly of the two subspace code columns — the ingest-time
+    # ENCODE step; in production codes are stored pre-assembled and the
+    # query-time scan is only the broadcast LUT joins.)
+    plan = explain(spark, "ann_topk_pq", sf_dir)
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    # Wedge join + closure probe are keyed equi-joins (shuffle or
+    # broadcast as AQE prefers) — a cartesian product would mean the
+    # closure probe degenerated.
+    plan = explain(spark, "channel_triangles", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_bpe_encode_is_map_side_after_histogram(spark, sf_dir):
+    # Applying the learned merge chain is chained replace() projections
+    # fused into the scan: the word-explode + encode pipeline induces no
+    # shuffle at all (the per-doc aggregate is the query's only Exchange).
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame([(0, "aa bb aa")], "doc_id long, text string")
+    rep = F.regexp_replace("w", "(.)", "<$1>")
+    words = (docs.select("doc_id",
+                         F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+                 .where(F.col("w").rlike("^[a-z]+$"))
+                 .withColumn("rep0", rep)
+                 .withColumn("rep", F.expr("replace(rep0, '<a><a>', '<aa>')")))
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure projection pipeline
