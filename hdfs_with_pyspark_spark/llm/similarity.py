@@ -550,8 +550,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ASC tie-break, and the ADC score is one addition of two identically-
 # computed dots ROUNDed to 6 before ranking.
 # --------------------------------------------------------------------------
-PQ_SUB = 2                      # subspaces
-PQ_K = 8                        # codes per subspace codebook
+PQ_SUB = 4                      # subspaces (M)
+PQ_K = 16                       # codes per subspace codebook
 PQ_SUB_DIM = EMBED_DIM // PQ_SUB
 
 
@@ -596,17 +596,26 @@ lut{s} AS (
     return ",\n".join(parts)
 
 
+def _sql_pq_scored() -> str:
+    """codesM-join + lutM-join + summed ADC score, generated for PQ_SUB."""
+    code_joins = "".join(
+        f"\n  JOIN code{s} c{s} USING (vec_id)" for s in range(1, PQ_SUB))
+    lut_joins = "\n  JOIN lut0 l0 ON l0.cid = c0.cid" + "".join(
+        f"\n  JOIN lut{s} l{s} ON l{s}.cid = c{s}.cid "
+        f"AND l{s}.query_id = l0.query_id" for s in range(1, PQ_SUB))
+    score = " + ".join(f"l{s}.p" for s in range(PQ_SUB))
+    return f"""
+scored AS (
+  SELECT l0.query_id, c0.vec_id AS neighbor_id,
+         ROUND({score}, 6) AS pq_score
+  FROM code0 c0{code_joins}{lut_joins}
+  WHERE c0.vec_id <> l0.query_id)"""
+
+
 @register("ann_topk_pq", oracle=f"""
 WITH v AS ({_SQL_VECTORS}),
 {_sql_pq_ctes()},
-scored AS (
-  SELECT l0.query_id, c0.vec_id AS neighbor_id,
-         ROUND(l0.p + l1.p, 6) AS pq_score
-  FROM code0 c0
-  JOIN code1 c1 USING (vec_id)
-  JOIN lut0 l0 ON l0.cid = c0.cid
-  JOIN lut1 l1 ON l1.cid = c1.cid AND l1.query_id = l0.query_id
-  WHERE c0.vec_id <> l0.query_id),
+{_sql_pq_scored().strip()},
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY pq_score DESC, neighbor_id ASC)
@@ -648,13 +657,16 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias(f"p{s}")))
         luts.append(lut)
 
-    scored = (codes
-              .join(F.broadcast(luts[0]), "code0")
-              .join(F.broadcast(luts[1]), ["query_id", "code1"])
+    scored = codes.join(F.broadcast(luts[0]), "code0")
+    for s in range(1, PQ_SUB):
+        scored = scored.join(F.broadcast(luts[s]), ["query_id", f"code{s}"])
+    adc = F.col("p0")
+    for s in range(1, PQ_SUB):
+        adc = adc + F.col(f"p{s}")
+    scored = (scored
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(F.col("p0") + F.col("p1"), 6)
-                       .alias("pq_score")))
+                      F.round(adc, 6).alias("pq_score")))
     w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -958,6 +970,39 @@ def ann_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_at_k")))
 
 
+# --------------------------------------------------------------------------
+# ann_pq_recall_eval — the same evaluation for the PQ/ADC scan: recall@K
+# of the compressed-domain ranking vs the exact float top-K. THE number
+# that justifies (or vetoes) a 128x-compression deployment; computed and
+# oracle-checked exactly like the LSH eval.
+# --------------------------------------------------------------------------
+def _pq_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+SELECT bf.query_id,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(p.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+FROM ({ORACLES["ann_topk_bruteforce"]}) bf
+LEFT JOIN ({ORACLES["ann_topk_pq"]}) p
+  ON p.query_id = bf.query_id AND p.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ann_pq_recall_eval", oracle=None)  # composed below
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = (ann_topk_pq(spark, sf_dir)
+          .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    return (bf.join(pq, ["query_id", "neighbor_id"], "left")
+              .groupBy("query_id")
+              .agg(F.count("__hit").cast("long").alias("n_hit"),
+                   F.round(F.count("__hit") / TOP_K, 4)
+                    .alias("recall_at_k")))
+
+
 from hdfs_with_pyspark_spark.plans.registry import ORACLES as _OR  # noqa: E402
 
 _OR["ann_lsh_recall_eval"] = _recall_oracle()
+_OR["ann_pq_recall_eval"] = _pq_recall_oracle()

@@ -946,3 +946,101 @@ def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("rev"), 2).alias("revenue"),
                   F.round(F.sum("rev") / F.first("total_rev"), 6)
                    .alias("revenue_share")))
+
+
+# --------------------------------------------------------------------------
+# Round-3 decision-support additions: the two classic TPC-H shapes still
+# missing — Q3 (shipping-priority top-k over a 3-way join + aggregate)
+# and Q10 (returned-item customer ranking over a 4-way join). Both rank
+# on an AGGREGATED revenue, which would be hash-unstable as a float sum
+# (partial-agg merge order could flip a last-ulp tie and with it the
+# top-k cut); revenue is therefore computed in exact integer MICRO
+# dollars — cents(price) * (100 - cents_pct(discount)) — making the sum
+# associative and the ordering engine- and partitioning-invariant, the
+# same integer-units trick as PageRank and the LM scorers.
+#
+# Scale shape: filters reach every scan (date/segment/returnflag
+# pushdown), dimensions broadcast (customer->nation), the aggregate is
+# partial-before-exchange on the join key, and the top-k is
+# TakeOrderedAndProject (per-partition heaps), never a global sort.
+# --------------------------------------------------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPK = 10
+_REV_MICRO_SQL = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+                  "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))")
+
+
+@register("shipping_priority_topk", oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV_MICRO_SQL}) AS BIGINT) AS revenue_micro,
+       CAST(o_orderdate AS DATE) AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_micro DESC, l_orderkey ASC
+LIMIT {Q3_TOPK}
+""")
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cust = (read_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == Q3_SEGMENT)
+            .select("c_custkey"))
+    orders = (read_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (read_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+          .select("l_orderkey", F.expr(_REV_MICRO_SQL).alias("rev")))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(F.sum("rev").cast("long").alias("revenue_micro"))
+              .select("l_orderkey", "revenue_micro",
+                      F.to_date("o_orderdate").alias("orderdate"))
+              .orderBy(F.col("revenue_micro").desc(),
+                       F.col("l_orderkey").asc())
+              .limit(Q3_TOPK))
+
+
+Q10_TOPK = 20
+
+
+@register("returned_item_customers", oracle=f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM({_REV_MICRO_SQL}) AS BIGINT) AS revenue_micro
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_micro DESC, c_custkey ASC
+LIMIT {Q10_TOPK}
+""")
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cust = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    orders = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", F.expr(_REV_MICRO_SQL).alias("rev")))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .groupBy("o_custkey")
+              .agg(F.sum("rev").cast("long").alias("revenue_micro"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(nation),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("c_custkey", "c_name", "nation", "revenue_micro")
+              .orderBy(F.col("revenue_micro").desc(), F.col("c_custkey").asc())
+              .limit(Q10_TOPK))

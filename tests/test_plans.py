@@ -549,3 +549,26 @@ def test_bpe_encode_is_map_side_after_histogram(spark, sf_dir):
                  .withColumn("rep", F.expr("replace(rep0, '<a><a>', '<aa>')")))
     plan = words._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan          # pure projection pipeline
+
+
+def test_q3_topk_pushes_filters_and_heaps(spark, sf_dir):
+    # Q3 shape: segment/date filters must reach the scans (PushedFilters)
+    # and the top-k over the aggregated revenue must be per-partition
+    # heaps, not a global sort.
+    plan = explain(spark, "shipping_priority_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "Sort") == 0
+    assert "GreaterThan(l_shipdate" in plan      # pushed to lineitem scan
+    assert "EqualTo(c_mktsegment" in plan        # pushed to customer scan
+
+
+def test_q10_aggregates_before_dimension_joins(spark, sf_dir):
+    # Q10 shape: the per-customer aggregate runs on (orderkey->custkey,
+    # rev) BEFORE the customer/nation dimensions attach (broadcast), so
+    # the wide name/nation columns never transit the big shuffle.
+    plan = explain(spark, "returned_item_customers", sf_dir)
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.index("HashAggregate")
+    bcast_pos = plan.index("BroadcastHashJoin")
+    assert bcast_pos < agg_pos   # tree prints parent-first: join above agg
