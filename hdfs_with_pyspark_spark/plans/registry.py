@@ -90,12 +90,19 @@ DRIVER_PRIORITY = [
     # scale-correct shape (256 buckets, widened recall); the 4-bit
     # single-probe twin stays registered below the window, where its
     # O(N/16) per-bucket scoring can't masquerade as the scale path.
+    # (round 3: embedding_outliers demoted for ann_topk_pq — the
+    # compressed-domain ADC scan is the 100 TB vector-store capability,
+    # while the outlier audit shares its centroid machinery with
+    # embedding_label_centroids, which stays in-window)
     "ann_topk_bruteforce", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
-    "ivf_kmeans_centroids", "embedding_label_centroids",
-    "dedup_embedding_lsh", "embedding_outliers",
+    "ann_topk_pq", "ivf_kmeans_centroids", "embedding_label_centroids",
+    "dedup_embedding_lsh",
     # text analysis / training-prep family (quality_filter is the
-    # composed C4/Gopher keep-drop verdict over the signal queries)
-    "text_token_stats", "text_quality_score", "text_lang_id_ngram",
+    # composed C4/Gopher keep-drop verdict over the signal queries;
+    # round 3: text_token_stats demoted for bpe_merges — per-doc token
+    # counting is subsumed by quality_score's signal set, while the BPE
+    # trainer is a distinct iterative-training capability)
+    "bpe_merges", "text_quality_score", "text_lang_id_ngram",
     "doc_fingerprint", "term_doc_frequencies", "tfidf_top_terms",
     "corpus_sample_stratified", "doc_chunks", "corpus_token_bins",
     "corpus_quality_filter",

@@ -653,3 +653,44 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_active").cast("long").alias("n_active"),
                        F.round(F.col("n_active") / F.col("cohort_size"), 4)
                         .alias("retention")))
+
+
+# --------------------------------------------------------------------------
+# events_k_anonymity — privacy audit over quasi-identifiers: bucket every
+# event by the attacker-visible tuple (event_type, hour-of-day, value
+# decade), measure each bucket's population k, and report the k < K
+# buckets plus how many rows they expose. The pre-release check any
+# user-event dataset should pass before leaving the trust boundary
+# (k-anonymity, Sweeney 2002 — a row in a bucket of k is re-identifiable
+# to 1-in-k).
+#
+# Scale: one map-side bucketing projection + one partial-before-exchange
+# aggregate; the at-risk filter runs on the (tiny) bucket relation. No
+# row-level data survives into the result — the audit itself is safe to
+# share.
+# --------------------------------------------------------------------------
+K_ANON_THRESHOLD = 5
+
+
+@register("events_k_anonymity", oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+         CAST(FLOOR(value / 10) AS BIGINT) AS value_decade,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events
+  GROUP BY 1, 2, 3)
+SELECT event_type, hour_of_day, value_decade, k
+FROM buckets
+WHERE k < {K_ANON_THRESHOLD}
+""")
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy(
+                "event_type",
+                F.hour("ts").cast("long").alias("hour_of_day"),
+                F.floor(F.col("value") / 10).cast("long")
+                 .alias("value_decade"))
+              .agg(F.count("*").cast("long").alias("k"))
+              .where(F.col("k") < K_ANON_THRESHOLD))
