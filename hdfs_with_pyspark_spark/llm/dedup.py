@@ -792,3 +792,84 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("long").alias("n_shared_shingles"),
                         (F.coalesce("n_shared_shingles", F.lit(0)) >= 1)
                          .alias("is_contaminated")))
+
+
+# --------------------------------------------------------------------------
+# corpus_pipeline_funnel — the capstone composition: the full
+# pretraining-curation pipeline run end to end as ONE registered query,
+# reporting the survivor count after each stage (the funnel chart every
+# data-curation run produces):
+#
+#   raw -> quality filter (C4/Gopher verdict) -> decontamination
+#       (eval split + shingle-overlap docs leave) -> exact dedup
+#       (md5 canon reps) -> near-dedup (MinHash-LSH verified pairs,
+#       higher doc_id of each pair dropped)
+#
+# Each stage is the ALREADY-REGISTERED operator — this query only chains
+# their doc_id sets with semi/anti joins, so the funnel is correct by
+# composition, and its oracle composes the same four oracle SQL texts as
+# derived tables (like ann_lsh_recall_eval). Expect the decontamination
+# stage to bite hard on this corpus (438 -> 77 at sf0.01): the 3-gram
+# stand-in shingle (SHINGLE_N) over-flags relative to the 8-13-gram
+# n-grams real decontamination uses — the documented property of
+# corpus_decontaminate, surfaced honestly by the funnel. At 100 TB the stage order
+# is the cost order: the map-only quality verdict first, the broadcast
+# decontamination probe second, and the shuffling dedups run only on the
+# (much smaller) survivor sets in a real pipeline — here each component
+# recomputes from the corpus because each is independently oracle-gated;
+# scripts/run_marts.py-style orchestration (pipeline/dag.py) is where
+# the staged materialization lives.
+# --------------------------------------------------------------------------
+def _funnel_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH s1 AS (SELECT q.doc_id FROM ({ORACLES["corpus_quality_filter"]}) q
+            WHERE q.keep),
+s2 AS (SELECT s1.doc_id FROM s1
+       JOIN ({ORACLES["corpus_decontaminate"]}) dec ON dec.doc_id = s1.doc_id
+       WHERE NOT dec.is_contaminated),
+s3 AS (SELECT s2.doc_id FROM s2
+       JOIN ({ORACLES["dedup_exact"]}) de ON de.doc_id = s2.doc_id
+       WHERE NOT de.is_dup),
+s4 AS (SELECT doc_id FROM s3
+       WHERE doc_id NOT IN (SELECT doc_b
+                            FROM ({ORACLES["dedup_minhash_lsh"]}) mh))
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'decontaminated', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM s4
+"""
+
+
+@register("corpus_pipeline_funnel", oracle=None)  # composed below
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import corpus_quality_filter
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = docs.join(corpus_quality_filter(spark, sf_dir)
+                   .where("keep").select("doc_id"), "doc_id", "left_semi")
+    s2 = s1.join(corpus_decontaminate(spark, sf_dir)
+                 .where(~F.col("is_contaminated")).select("doc_id"),
+                 "doc_id", "left_semi")
+    s3 = s2.join(dedup_exact(spark, sf_dir)
+                 .where(~F.col("is_dup")).select("doc_id"),
+                 "doc_id", "left_semi")
+    s4 = s3.join(dedup_minhash_lsh(spark, sf_dir)
+                 .select(F.col("doc_b").alias("doc_id")).distinct(),
+                 "doc_id", "left_anti")
+    out = None
+    for idx, (name, df) in enumerate(
+            [("raw", docs), ("quality", s1), ("decontaminated", s2),
+             ("exact_dedup", s3), ("near_dedup", s4)]):
+        c = df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"), "n_docs")
+        out = c if out is None else out.unionByName(c)
+    return out
+
+# The composed oracle references corpus_quality_filter's SQL, which
+# registers when llm.text imports (after this module in llm.queries'
+# load order) — llm/queries.py attaches it once every module is in.
