@@ -870,6 +870,12 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = c if out is None else out.unionByName(c)
     return out
 
-# The composed oracle references corpus_quality_filter's SQL, which
-# registers when llm.text imports (after this module in llm.queries'
-# load order) — llm/queries.py attaches it once every module is in.
+# The composed oracle references corpus_quality_filter's SQL (llm.text),
+# which may not have registered yet under unusual import orders — defer
+# the composition to registry.finalize_order, which runs once every
+# query module has loaded.
+from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
+    register_deferred_oracle,
+)
+
+register_deferred_oracle("corpus_pipeline_funnel", _funnel_oracle)

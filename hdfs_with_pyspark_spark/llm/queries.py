@@ -11,9 +11,3 @@ from hdfs_with_pyspark_spark.llm import (  # noqa: F401
     similarity,
     text,
 )
-from hdfs_with_pyspark_spark.plans.registry import ORACLES as _ORACLES
-
-# Cross-module composed oracle: corpus_pipeline_funnel chains the
-# quality-filter (text), decontamination + dedup (dedup) oracle SQLs, so
-# it can only be assembled after every llm module has registered.
-_ORACLES["corpus_pipeline_funnel"] = dedup._funnel_oracle()

@@ -1094,3 +1094,54 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from hdfs_with_pyspark_spark.plans.registry import ORACLES as _ORC  # noqa: E402
 
 _ORC["lang_id_confusion"] = _confusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# doc_sentences_udtf — the Spark 4 PYTHON UDTF surface (one row in, N
+# typed rows out, usable in SQL LATERAL joins — the table-function
+# counterpart of the custom DataSource in sources/pyds.py). Splits each
+# doc into '. '-delimited sentences, emitting (index, md5, token count);
+# both engines split with plain non-regex semantics (empties kept), so
+# the fan-out matches row for row and the oracle is exact.
+#
+# When to reach for a UDTF instead of explode(): when the fan-out logic
+# is genuinely imperative Python (stateful parsers, tokenizers,
+# third-party libs). This one is deliberately explode-expressible so it
+# can carry an exact oracle; the mechanism under test is the UDTF
+# plumbing itself — registration, lateral join, typed multi-row yield.
+# Scale: row-at-a-time Python, so the SLOW path by design (10-100x off
+# codegen) — the hot-path splitter remains doc_chunks' explode form.
+# --------------------------------------------------------------------------
+@register("doc_sentences_udtf", oracle="""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS sent_idx,
+       md5(parts[i]) AS sent_hash,
+       CAST(len(list_filter(string_split(parts[i], ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+     LATERAL unnest(generate_series(1, len(parts))) t(i)
+""")
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                toks = [t for t in s.split(" ") if t]
+                yield (doc_id, i + 1,
+                       hashlib.md5(s.encode("utf-8")).hexdigest(), len(toks))
+
+    sent = udtf(SentenceSplit,
+                returnType="doc_id: bigint, sent_idx: bigint, "
+                           "sent_hash: string, n_tokens: bigint")
+    spark.udtf.register("sentence_split", sent)
+    read_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT s.* FROM __docs_for_udtf d, "
+        "LATERAL sentence_split(d.doc_id, d.text) s")

@@ -19,6 +19,17 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
 
+# Composed oracles that reference OTHER queries' oracle SQL can't build
+# at their own module's import time (the referenced module may still be
+# mid-import when a caller imports modules in an unusual order). They
+# register a thunk here; finalize_order materializes them once every
+# module has loaded.
+DEFERRED_ORACLES: dict[str, Callable[[], str]] = {}
+
+
+def register_deferred_oracle(name: str, build: Callable[[], str]) -> None:
+    DEFERRED_ORACLES[name] = build
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: add a named query (and optionally its oracle SQL)."""
@@ -138,6 +149,15 @@ def finalize_order(strict: bool = True) -> None:
     module is still mid-import, so its own registrations land only after
     this module finishes. __spark_entry__ re-finalizes strictly.
     """
+    for name, build in list(DEFERRED_ORACLES.items()):
+        try:
+            ORACLES[name] = build()
+            del DEFERRED_ORACLES[name]
+        except KeyError:
+            # a referenced oracle hasn't registered yet (partial import
+            # order); stays deferred for the next, strict finalize
+            if strict:
+                raise
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
     if strict:
         assert not missing, f"DRIVER_PRIORITY names unknown queries: {missing}"

@@ -1044,3 +1044,39 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("c_custkey", "c_name", "nation", "revenue_micro")
               .orderBy(F.col("revenue_micro").desc(), F.col("c_custkey").asc())
               .limit(Q10_TOPK))
+
+
+# --------------------------------------------------------------------------
+# event_props_variant — the Spark 4 VARIANT path for semi-structured
+# data: props parses ONCE into a binary variant (parse_json) and typed
+# access is variant_get with a JSON path. Versus the from_json twin
+# (event_props_typed), variant needs no up-front schema, keeps unknown
+# keys queryable, and decodes fields lazily — the modern replacement for
+# storing JSON as strings at 100 TB (the parse cost is paid once at
+# ingest when the column is materialized; here it fuses into the scan).
+# try_variant_get returns NULL for missing paths instead of erroring —
+# the forgiving semantics string-JSON users expect. The oracle reads the
+# same paths with DuckDB's JSON operators.
+# --------------------------------------------------------------------------
+@register("event_props_variant", oracle="""
+SELECT event_type,
+       CAST(COUNT(CASE WHEN CAST(props->>'k' AS BIGINT) IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_with_channel,
+       CAST(SUM(COALESCE(CAST(props->>'k' AS BIGINT), 0)) AS BIGINT)
+         AS channel_sum,
+       CAST(COUNT(CASE WHEN props->>'missing' IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_with_missing
+FROM events
+GROUP BY event_type
+""")
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = (read_table(spark, sf_dir, "events")
+          .withColumn("v", F.parse_json(F.col("props"))))
+    k = F.try_variant_get(F.col("v"), "$.k", "long")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "string")
+    return (ev.groupBy("event_type")
+              .agg(F.count(k).alias("n_with_channel"),
+                   F.sum(F.coalesce(k, F.lit(0))).cast("long")
+                    .alias("channel_sum"),
+                   F.count(missing).alias("n_with_missing")))

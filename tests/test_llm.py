@@ -616,3 +616,15 @@ def test_bpe_greedy_nonoverlapping_merge(spark, monkeypatch):
     # 6 merges on this tiny corpus converge both words to 1 subword each
     assert stats[0][0] == 7
     assert stats[0][1] == 2      # one fully-merged subword per word
+
+
+def test_pipeline_funnel_monotonic(spark, sf_dir):
+    from hdfs_with_pyspark_spark.llm import dedup as dd
+    rows = sorted(dd.corpus_pipeline_funnel(spark, sf_dir).collect(),
+                  key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == [
+        "raw", "quality", "decontaminated", "exact_dedup", "near_dedup"]
+    counts = [r["n_docs"] for r in rows]
+    assert counts[0] == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # funnel only narrows
+    assert counts[-1] > 0
