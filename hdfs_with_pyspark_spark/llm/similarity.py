@@ -629,32 +629,52 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     books = _pq_codebooks(spark, sf_dir)
 
-    codes = None
+    # ONE encode pass for all subspaces: the corpus explodes into
+    # (vec_id, sub, subvector) long form, joins the broadcast tagged
+    # codebook union on `sub`, and a single (vec_id, sub) window takes
+    # the argmax — then one aggregate pivots the codes back to columns.
+    # Versus the naive per-subspace loop (M broadcast-NLJs + M windows +
+    # an (M-1)-way corpus self-join on vec_id) this is one window
+    # exchange + one aggregate, independent of M. Assignment math
+    # (ROUND(cos,6) DESC, cid ASC) is identical, so the oracle — which
+    # keeps the per-subspace form for CTE clarity — matches unchanged.
+    cents = _with_norm(
+        spark.createDataFrame(
+            [(s, cid, cv) for s, book in enumerate(books)
+             for cid, cv in book],
+            "sub int, cid long, cv array<double>"),
+        "cv", "cnv")
+    sub_slices = F.array(*[
+        F.struct(F.lit(s).cast("int").alias("sub"),
+                 F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sv"))
+        for s in range(PQ_SUB)])
+    corpus_sub = _with_norm(
+        v.select("vec_id", F.explode(sub_slices).alias("p"))
+         .select("vec_id", "p.sub", F.col("p.sv").alias("sv")),
+        "sv", "nv")
+    cos_c = F.round(F.expr(_sql_dot_cols("sv", "cv", PQ_SUB_DIM))
+                    / (F.col("nv") * F.col("cnv")), 6)
+    w_enc = Window.partitionBy("vec_id", "sub").orderBy(F.col("__c").desc(),
+                                                        F.col("cid").asc())
+    codes_long = (corpus_sub.join(F.broadcast(cents), "sub")
+                  .select("vec_id", "sub", "cid", cos_c.alias("__c"))
+                  .withColumn("__rn", F.row_number().over(w_enc))
+                  .where(F.col("__rn") == 1))
+    codes = codes_long.groupBy("vec_id").agg(
+        *[F.max(F.when(F.col("sub") == s, F.col("cid")))
+           .alias(f"code{s}") for s in range(PQ_SUB)])
+
     luts = []
-    for s, book in enumerate(books):
-        sub = _with_norm(
-            v.select("vec_id",
-                     F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("v")),
-            "v", "nv")
-        cent = _with_norm(
-            spark.createDataFrame(book, "cid long, cv array<double>"),
-            "cv", "cnv")
-        cos_c = F.round(F.expr(_sql_dot_cols("v", "cv", PQ_SUB_DIM))
-                        / (F.col("nv") * F.col("cnv")), 6)
-        w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(),
-                                                 F.col("cid").asc())
-        code = (sub.join(F.broadcast(cent), F.lit(True))
-                   .select("vec_id", "cid", cos_c.alias("__c"))
-                   .withColumn("__rn", F.row_number().over(w))
-                   .where(F.col("__rn") == 1)
-                   .select("vec_id", F.col("cid").alias(f"code{s}")))
-        codes = code if codes is None else codes.join(code, "vec_id")
-        lut = (sub.where(F.col("vec_id") < N_QUERIES)
-                  .select(F.col("vec_id").alias("query_id"), "v")
-                  .join(F.broadcast(cent.select("cid", "cv")), F.lit(True))
-                  .select("query_id", F.col("cid").alias(f"code{s}"),
-                          F.expr(_sql_dot_cols("v", "cv", PQ_SUB_DIM))
-                           .alias(f"p{s}")))
+    for s in range(PQ_SUB):
+        lut = (v.where(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                         .alias("qv"))
+                .join(F.broadcast(cents.where(F.col("sub") == s)
+                                       .select("cid", "cv")), F.lit(True))
+                .select("query_id", F.col("cid").alias(f"code{s}"),
+                        F.expr(_sql_dot_cols("qv", "cv", PQ_SUB_DIM))
+                         .alias(f"p{s}")))
         luts.append(lut)
 
     scored = codes.join(F.broadcast(luts[0]), "code0")

@@ -694,3 +694,58 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("value_decade"))
               .agg(F.count("*").cast("long").alias("k"))
               .where(F.col("k") < K_ANON_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
+# daily_revenue_gapfill — calendar densification + forward fill, the two
+# time-series primitives every BI layer needs and sparse event data
+# lacks: (1) a complete day spine from the data's own min..max range
+# (explode(sequence(...)) — no driver-side calendar, no hardcoded
+# bounds), left-joined so zero-activity days exist with revenue 0;
+# (2) carry-forward of the last active day's revenue via
+# last(ignorenulls) over an unbounded-preceding frame — the same
+# union-window idiom as the as-of join, zero join nodes for the fill.
+#
+# Scale: the spine is |days| rows (tiny); the one real exchange is the
+# per-day pre-aggregate of orders. The fill window runs on the
+# day-spine frame, not the fact table. Oracle: generate_series +
+# IGNORE NULLS window.
+# --------------------------------------------------------------------------
+@register("daily_revenue_gapfill", oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1),
+spine AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM (SELECT unnest(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS d)),
+filled AS (
+  SELECT s.day,
+         COALESCE(d.revenue, 0.0) AS revenue,
+         d.revenue IS NULL AS is_gap,
+         LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+           ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_active_revenue
+  FROM spine s LEFT JOIN daily d USING (day))
+SELECT day, revenue, is_gap, last_active_revenue FROM filled
+""")
+def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+                   .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    w = (Window.orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(daily, "day", "left")
+                 .select("day",
+                         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+                         F.col("revenue").isNull().alias("is_gap"),
+                         F.last("revenue", ignorenulls=True).over(w)
+                          .alias("last_active_revenue")))
