@@ -93,3 +93,110 @@ def customers_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(1).cast("long").alias("version"),
                     F.lit(True).alias("is_current")))
     return scd2_apply(cust, _update_batch(cust), key="c_custkey")
+
+
+# --------------------------------------------------------------------------
+# orders_column_stats — ANALYZE TABLE in query form: per-column null
+# count, exact distinct count, min/max — the statistics a cost-based
+# optimizer (or a human sizing a join) feeds on. Computed column-at-a-
+# time then stacked long-form (column_name, n_nulls, n_distinct, lo,
+# hi as strings for a uniform schema across types).
+#
+# Scale: each count(distinct) is the standard two-level partial
+# aggregate; the per-column passes share one scan via a single select
+# of all stats (Spark computes them in ONE aggregate over the table —
+# no per-column rescans), then the long-form stack is a literal-sized
+# unpivot. At 100 TB: one full-table aggregate pass, exactly what
+# ANALYZE costs.
+# --------------------------------------------------------------------------
+_STAT_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"]
+
+
+@register("orders_column_stats", oracle=f"""
+WITH a AS (
+  SELECT {", ".join(
+    f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nn_{c}, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+    f"CAST(MIN({c}) AS VARCHAR) AS lo_{c}, "
+    f"CAST(MAX({c}) AS VARCHAR) AS hi_{c}" for c in _STAT_COLS)}
+  FROM orders)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+    f"lo_{c} AS min_value, hi_{c} AS max_value FROM a"
+    for c in _STAT_COLS)}
+""")
+def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _STAT_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"lo_{c}"),
+            F.max(c).cast("string").alias(f"hi_{c}"),
+        ]
+    a = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, lo_{c}, hi_{c}" for c in _STAT_COLS)
+    return a.select(F.expr(
+        f"stack({len(_STAT_COLS)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"))
+
+
+# --------------------------------------------------------------------------
+# orders_integrity_checks — declarative data-quality audit: each rule is
+# a boolean predicate counted over one shared scan (conditional
+# aggregation — adding a rule costs one column, never another pass).
+# Rules: FK orphans (orders -> customer via a broadcast anti-join
+# flag), non-positive totals, order dates outside the plausible window,
+# and duplicate primary keys. The result is one row per rule with its
+# violation count — the contract table a pipeline gates deploys on.
+# --------------------------------------------------------------------------
+@register("orders_integrity_checks", oracle="""
+WITH flags AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+         c.c_custkey IS NULL AS orphan_fk
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+dup AS (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
+        FROM orders)
+SELECT 'orphan_custkey' AS rule, CAST(SUM(CASE WHEN orphan_fk THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_violations FROM flags
+UNION ALL
+SELECT 'nonpositive_total', CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+       AS BIGINT) FROM flags
+UNION ALL
+SELECT 'date_out_of_range', CAST(SUM(CASE WHEN o_orderdate
+         NOT BETWEEN TIMESTAMP '1990-01-01 00:00:00'
+                 AND TIMESTAMP '2030-01-01 00:00:00'
+       THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'duplicate_orderkey', n FROM dup
+""")
+def orders_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    flags = (orders.join(F.broadcast(cust),
+                         orders["o_custkey"] == cust["c_custkey"], "left")
+                   .select("o_orderkey", "o_totalprice", "o_orderdate",
+                           F.col("c_custkey").isNull().alias("orphan_fk")))
+    lo = F.lit("1990-01-01").cast("timestamp")
+    hi = F.lit("2030-01-01").cast("timestamp")
+    counts = flags.agg(
+        F.sum(F.when(F.col("orphan_fk"), 1).otherwise(0)).cast("long")
+         .alias("orphan_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+         .cast("long").alias("nonpositive_total"),
+        F.sum(F.when(~F.col("o_orderdate").between(lo, hi), 1).otherwise(0))
+         .cast("long").alias("date_out_of_range"))
+    dup = orders.agg((F.count("*") - F.countDistinct("o_orderkey"))
+                     .cast("long").alias("duplicate_orderkey"))
+    long_counts = counts.select(F.expr(
+        "stack(3, 'orphan_custkey', orphan_custkey, "
+        "'nonpositive_total', nonpositive_total, "
+        "'date_out_of_range', date_out_of_range) AS (rule, n_violations)"))
+    return long_counts.unionByName(
+        dup.select(F.lit("duplicate_orderkey").alias("rule"),
+                   F.col("duplicate_orderkey").alias("n_violations")))
