@@ -175,3 +175,93 @@ def test_morton_code_bounds_and_locality(spark, pts):
     for r in z:
         by_pt.setdefault((r["lat"], r["lon"]), set()).add(r["z"])
     assert all(len(v) == 1 for v in by_pt.values())
+
+
+# --------------------------------------------------------------- BPE trainer
+
+@SLOW
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["ab", "aab", "ba", "abab", "bb", "a"]),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=4))
+def test_bpe_trainer_matches_python_model(spark, docs):
+    """train_bpe == a straight-line Python BPE on arbitrary corpora:
+    same winning pair, same count, same greedy merge application, every
+    round (ties included — small alphabets force plenty)."""
+    from collections import Counter
+
+    from hdfs_with_pyspark_spark.llm.bpe import train_bpe
+
+    def model(texts, n_merges):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w.isalpha() and w == w.lower():
+                    words[w] += 1
+        reps = {w: list(w) for w in words}
+        rules = []
+        for rnd in range(1, n_merges + 1):
+            pairs = Counter()
+            for w, n in words.items():
+                syms = reps[w]
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += n
+            if not pairs:
+                break
+            (l, r), cnt = min(pairs.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            rules.append((rnd, l, r, cnt))
+            for w in reps:
+                syms, out, i = reps[w], [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and syms[i] == l and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                reps[w] = out
+        return rules
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    assert train_bpe(df, n_merges=3) == model(docs, 3)
+
+
+# ----------------------------------------------------------- triangle counts
+
+@SLOW
+@given(subs=st.lists(st.tuples(st.integers(0, 7), st.integers(1, 3)),
+                     min_size=1, max_size=14))
+def test_triangles_match_bruteforce(spark, monkeypatch, subs):
+    """channel_triangles == itertools brute force over the capped
+    co-membership graph, for arbitrary (user, channel) memberships."""
+    from itertools import combinations
+
+    from hdfs_with_pyspark_spark.plans import graph as g
+
+    cap = 3
+    rows = [(i, "signup", u, '{"k": %d}' % ch)
+            for i, (u, ch) in enumerate(subs)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    got = {r["user_id"]: r["n_triangles"]
+           for r in g.channel_triangles(spark, "x",
+                                        max_channel_members=cap).collect()}
+
+    members: dict[int, set[int]] = {}
+    for u, ch in set(subs):
+        members.setdefault(ch, set()).add(u)
+    edges = set()
+    for ch, us in members.items():
+        for a, b in combinations(sorted(us)[:cap], 2):
+            edges.add((a, b))
+    nodes = {u for u, _ in subs}
+    expect = {u: 0 for u in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= edges:
+            for x in (a, b, c):
+                expect[x] += 1
+    assert got == expect
