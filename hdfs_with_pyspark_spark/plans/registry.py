@@ -64,6 +64,7 @@ def _load_all() -> None:
         temporal,
         graph,
         maintenance,
+        sketches,
     )
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,

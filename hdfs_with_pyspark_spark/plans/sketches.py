@@ -1,0 +1,106 @@
+"""Mergeable-sketch audits: HLL distinct-count sketches with rollup.
+
+The 100 TB capability being exercised: DataSketches HLL sketches
+(`hll_sketch_agg`) are MERGEABLE — per-partition / per-group sketches
+union into a global estimate (`hll_union_agg`) without re-scanning the
+fact table. That is how a cluster answers "distinct users this quarter"
+from pre-aggregated daily rollups instead of a quarter-long scan.
+
+Oracle strategy (same evaluation-as-a-query pattern as
+`ann_lsh_recall_eval`): the output carries the EXACT distinct counts
+(hash-matched against DuckDB) plus boolean within-bound flags computed
+Spark-side from the sketch estimates; the oracle asserts the flags TRUE,
+so a sketch estimate drifting outside its error bound flips the value
+hash and fails the gate. The sketches themselves are deterministic
+(DataSketches HLL has no RNG), so the flags are stable.
+
+Reference parity: the reference has no sketch surface (SURVEY.md §2.8
+covers only exact scalar functions); this is part of the driver's
+extended large-scale-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_with_pyspark_spark.plans.graph import _pin_result
+from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
+from hdfs_with_pyspark_spark.sources.io import read_table
+
+# Relative-error acceptance bound for the audit flags. Spark's
+# hll_sketch_agg default lgConfigK=12 gives rsd ~1.6%; approx_count_
+# distinct is called with rsd=0.02. 5% is ~3 standard errors for both.
+REL_ERR_BOUND = 0.05
+
+
+def _within(est: Column, exact: Column) -> Column:
+    """TRUE iff the estimate is within REL_ERR_BOUND of the exact count."""
+    return (F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(REL_ERR_BOUND) * exact.cast("double"))
+
+
+@register("distinct_sketch_audit", oracle="""
+SELECT l_returnflag AS grp,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS hll_ok,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL' AS grp,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS hll_ok,
+       TRUE AS approx_ok
+FROM lineitem
+ORDER BY grp
+""")
+def distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_orderkey per return flag and globally, three ways:
+    exact COUNT(DISTINCT) (the oracle-matched truth), an HLL
+    DataSketch per flag, and HLL++ approx_count_distinct — with the
+    per-flag sketches UNIONED (not recomputed) for the global row.
+
+    Scale shape: the exact path is one shuffle on (flag, orderkey); the
+    sketch path is map-side partial sketches merged on the reducer —
+    constant state per group regardless of input rows. The 'ALL' row
+    touches only the |groups| pre-aggregated sketches, which is the
+    rollup pattern a 100 TB deployment uses in place of a re-scan.
+    """
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey")
+
+    per = (li.groupBy("l_returnflag")
+             .agg(F.count_distinct("l_orderkey").alias("exact_orders"),
+                  F.hll_sketch_agg("l_orderkey").alias("sk"),
+                  F.approx_count_distinct("l_orderkey", 0.02).alias("apx"))
+             .persist())
+
+    per_rows = per.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        _within(F.hll_sketch_estimate("sk"),
+                F.col("exact_orders")).alias("hll_ok"),
+        _within(F.col("apx"), F.col("exact_orders")).alias("approx_ok"))
+
+    # Global row: exact global distinct (one agg over the fact frame)
+    # vs the UNION of the per-flag sketches — the merge is the point.
+    merged = (per.agg(F.hll_union_agg("sk").alias("sk"))
+                 .select(F.hll_sketch_estimate("sk").alias("hll_est")))
+    exact_all = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("apx"))
+    all_row = (exact_all.crossJoin(merged)  # 1x1
+               .select(F.lit("ALL").alias("grp"),
+                       F.col("exact_orders").cast("long").alias("exact_orders"),
+                       _within(F.col("hll_est"),
+                               F.col("exact_orders")).alias("hll_ok"),
+                       _within(F.col("apx"),
+                               F.col("exact_orders")).alias("approx_ok")))
+
+    out = per_rows.unionByName(all_row).orderBy("grp").persist()
+    out.count()        # cut lineage, then release the sketch frame
+    per.unpersist()
+    _pin_result(spark, "distinct_sketch_audit", out)
+    return out

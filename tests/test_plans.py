@@ -572,3 +572,28 @@ def test_q10_aggregates_before_dimension_joins(spark, sf_dir):
     agg_pos = plan.index("HashAggregate")
     bcast_pos = plan.index("BroadcastHashJoin")
     assert bcast_pos < agg_pos   # tree prints parent-first: join above agg
+
+
+def test_sketch_audit_flags_and_merge(spark, sf_dir):
+    # The audit's contract: exact counts are the oracle-matched truth,
+    # and BOTH sketch estimates (per-group HLL, unioned-global HLL,
+    # HLL++ approx) sit inside the 5% acceptance bound — a drifting
+    # estimate flips a flag and fails the value hash at the gate.
+    rows = {r["grp"]: r for r in QUERIES["distinct_sketch_audit"](spark, sf_dir).collect()}
+    assert "ALL" in rows and len(rows) >= 2
+    assert all(r["hll_ok"] and r["approx_ok"] for r in rows.values())
+    # the global row comes from MERGED per-group sketches, whose union
+    # must cover exactly the global distinct set's estimate bound; the
+    # exact global count is >= any single group's count
+    per_group = [r["exact_orders"] for g, r in rows.items() if g != "ALL"]
+    assert rows["ALL"]["exact_orders"] >= max(per_group)
+
+
+def test_sketch_audit_partial_agg_shape(spark, sf_dir):
+    # Sketch aggregation must be partial-before-exchange (map-side
+    # sketch build, reducer merge): constant bytes per group cross the
+    # wire regardless of input rows. ObjectHashAggregate carries the
+    # HLL sketch buffers in Spark's plan.
+    plan = explain(spark, "distinct_sketch_audit", sf_dir)
+    assert n_nodes(plan, "ObjectHashAggregate") >= 2   # partial + final
+    assert "CartesianProduct" not in plan or "rows: 1" not in plan  # 1x1 join only
