@@ -34,10 +34,15 @@ from hdfs_with_pyspark_spark.sources.io import read_table
 REL_ERR_BOUND = 0.05
 
 
+def _within_pct(est: Column, exact: Column, bound: float) -> Column:
+    """TRUE iff the estimate is within ``bound`` relative error of exact."""
+    return (F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(bound) * exact.cast("double"))
+
+
 def _within(est: Column, exact: Column) -> Column:
     """TRUE iff the estimate is within REL_ERR_BOUND of the exact count."""
-    return (F.abs(est.cast("double") - exact.cast("double"))
-            <= F.lit(REL_ERR_BOUND) * exact.cast("double"))
+    return _within_pct(est, exact, REL_ERR_BOUND)
 
 
 @register("distinct_sketch_audit", oracle="""
@@ -104,3 +109,58 @@ def distinct_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per.unpersist()
     _pin_result(spark, "distinct_sketch_audit", out)
     return out
+
+
+# Integer-cents order values (CAST(ROUND(x*100)) — the repo's exact-
+# money convention, identical text in Spark and DuckDB) so the discrete
+# percentiles are engine-exact, no float interpolation anywhere.
+_CENTS_SQL = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+@register("quantile_sketch_audit", oracle=f"""
+SELECT o_orderpriority AS grp,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY {_CENTS_SQL})
+            AS BIGINT) AS p50_cents,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY {_CENTS_SQL})
+            AS BIGINT) AS p90_cents,
+       CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY {_CENTS_SQL})
+            AS BIGINT) AS p99_cents,
+       TRUE AS approx_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY grp
+""")
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority p50/p90/p99 of order value two ways: exact
+    PERCENTILE_DISC (the oracle-matched truth — discrete, so it picks
+    real data values and matches DuckDB bit for bit on integer cents)
+    and the Greenwald-Khanna quantile sketch (`approx_percentile`,
+    accuracy 10000), flagged within a 1% value bound.
+
+    Scale shape: PERCENTILE_DISC needs a per-group sort — affordable
+    only because groups are few; the GK sketch is the 100 TB path:
+    map-side mergeable summaries, bounded state (O(accuracy) per
+    group), one exchange carrying sketches rather than rows. The audit
+    keeps both so the cheap path's error is continuously measured
+    against the exact one, and a drift past 1% fails the value hash at
+    the gate (GK is deterministic — no RNG — so the flag is stable).
+    """
+    ensure_session(spark)
+    ords = (read_table(spark, sf_dir, "orders")
+            .select("o_orderpriority",
+                    F.expr(_CENTS_SQL).alias("cents")))
+    per = (ords.groupBy("o_orderpriority")
+           .agg(*[F.expr(f"percentile_disc({p}) WITHIN GROUP "
+                         "(ORDER BY cents)").cast("long").alias(a)
+                  for p, a in ((0.5, "p50_cents"), (0.9, "p90_cents"),
+                               (0.99, "p99_cents"))],
+                F.percentile_approx(
+                    "cents", [0.5, 0.9, 0.99], 10000).alias("apx")))
+    ok = None
+    for i, a in enumerate(("p50_cents", "p90_cents", "p99_cents")):
+        this = _within_pct(F.col("apx")[i], F.col(a), 0.01)
+        ok = this if ok is None else ok & this
+    return (per.select(F.col("o_orderpriority").alias("grp"),
+                       "p50_cents", "p90_cents", "p99_cents",
+                       ok.alias("approx_ok"))
+               .orderBy("grp"))

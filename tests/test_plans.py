@@ -597,3 +597,14 @@ def test_sketch_audit_partial_agg_shape(spark, sf_dir):
     plan = explain(spark, "distinct_sketch_audit", sf_dir)
     assert n_nodes(plan, "ObjectHashAggregate") >= 2   # partial + final
     assert "CartesianProduct" not in plan or "rows: 1" not in plan  # 1x1 join only
+
+
+def test_quantile_audit_flags_true_and_exactness(spark, sf_dir):
+    # GK sketch (accuracy 10000) must sit inside the 1% bound on every
+    # group/percentile — on groups smaller than the accuracy parameter
+    # the sketch is lossless, so these flags additionally prove the
+    # exact==approx degenerate case holds.
+    rows = QUERIES["quantile_sketch_audit"](spark, sf_dir).collect()
+    assert rows and all(r["approx_ok"] for r in rows)
+    for r in rows:
+        assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
