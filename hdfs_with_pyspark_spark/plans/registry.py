@@ -105,9 +105,14 @@ DRIVER_PRIORITY = [
     # (round 3: embedding_outliers demoted for ann_topk_pq — the
     # compressed-domain ADC scan is the 100 TB vector-store capability,
     # while the outlier audit shares its centroid machinery with
-    # embedding_label_centroids, which stays in-window)
+    # embedding_label_centroids; later in round 3 embedding_label_
+    # centroids itself was demoted for distinct_sketch_audit — the
+    # mergeable-HLL rollup is a whole family the window otherwise
+    # lacks, while the label-centroid agg shares its machinery with
+    # in-window ivf_kmeans_centroids. Both demoted queries remain
+    # registered and parity-checked below the window.)
     "ann_topk_bruteforce", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
-    "ann_topk_pq", "ivf_kmeans_centroids", "embedding_label_centroids",
+    "ann_topk_pq", "ivf_kmeans_centroids", "distinct_sketch_audit",
     "dedup_embedding_lsh",
     # text analysis / training-prep family (quality_filter is the
     # composed C4/Gopher keep-drop verdict over the signal queries;
