@@ -265,3 +265,26 @@ def test_triangles_match_bruteforce(spark, monkeypatch, subs):
             for x in (a, b, c):
                 expect[x] += 1
     assert got == expect
+
+
+@SLOW
+@given(vals=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+                     min_size=1, max_size=400))
+def test_hll_union_rollup_matches_global_sketch(spark, vals):
+    """The mergeability invariant distinct_sketch_audit relies on:
+    unioning per-group HLL sketches yields EXACTLY the estimate of one
+    sketch built over all rows (DataSketches HLL union is lossless over
+    same-config sketches), and both sit within 5% of the exact distinct
+    count. Exercised over random group layouts so no particular
+    partitioning of values into groups can break the rollup."""
+    df = spark.createDataFrame(vals, "grp int, v int")
+    per = df.groupBy("grp").agg(F.hll_sketch_agg("v").alias("sk"))
+    merged = (per.agg(F.hll_union_agg("sk").alias("sk"))
+                 .select(F.hll_sketch_estimate("sk").alias("est"))
+                 .collect()[0]["est"])
+    direct = (df.agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("v")).alias("est"))
+                .collect()[0]["est"])
+    exact = len({v for _, v in vals})
+    assert merged == direct
+    assert abs(merged - exact) <= 0.05 * exact
