@@ -65,6 +65,7 @@ def _load_all() -> None:
         graph,
         maintenance,
         sketches,
+        tpch_flows,
     )
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,
