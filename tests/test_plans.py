@@ -608,3 +608,59 @@ def test_quantile_audit_flags_true_and_exactness(spark, sf_dir):
     assert rows and all(r["approx_ok"] for r in rows)
     for r in rows:
         assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
+
+
+def test_q6_every_predicate_pushed_to_scan(spark, sf_dir):
+    # forecast_revenue_change's whole cost model: shipdate range,
+    # discount band, and quantity cap must all reach the parquet scan as
+    # PushedFilters (row-group min/max skipping), and the plan must be a
+    # scan -> partial agg -> 1-row exchange -> final agg with no join.
+    plan = explain(spark, "forecast_revenue_change", sf_dir)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters line in plan"
+    line = pushed[0]
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert frag in line, f"{frag} not pushed: {line}"
+    assert "Join" not in plan
+
+
+def test_q7_nation_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    # nation_trade_flows: every dimension side (nation-filtered supplier,
+    # customer, orders chain) broadcasts; the only shuffle exchanges are
+    # the aggregate's. No cartesian anywhere despite the disjunctive
+    # nation-pair predicate.
+    plan = explain(spark, "nation_trade_flows", sf_dir)
+    assert n_nodes(plan, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_selection_avoids_global_sort(spark, sf_dir):
+    # top_supplier_revenue: the scalar-subquery max must be a 1-row
+    # broadcast joined back — never a global sort of the per-supplier
+    # aggregate (rangepartitioning would serialize suppliers at scale).
+    plan = explain(spark, "top_supplier_revenue", sf_dir)
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_single_lineitem_shuffle_not_self_joins(spark, sf_dir):
+    # supplier_sole_late_blame's scale rewrite: the textbook form
+    # self-joins lineitem twice (EXISTS + NOT EXISTS); this plan must
+    # contain NO lineitem self-join — exactly one scan of lineitem, with
+    # the per-order verdict computed in one aggregate.
+    plan = explain(spark, "supplier_sole_late_blame", sf_dir)
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, f"expected 1 lineitem scan, got {len(scans)}"
+
+
+def test_q22_threshold_broadcasts_and_anti_joins(spark, sf_dir):
+    # idle_customer_balances: the 1-row positive-average aggregate
+    # broadcasts (the only sanctioned nested-loop: 1-row build side) and
+    # the recency check is an anti join on the orders FK projection.
+    plan = explain(spark, "idle_customer_balances", sf_dir)
+    assert re.search(r"LeftAnti", plan)
+    assert "BroadcastExchange" in plan
