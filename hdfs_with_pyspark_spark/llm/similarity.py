@@ -864,6 +864,80 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_embedding_ivf — SemDedup-shape semantic dedup (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): cluster the corpus with the TRAINED k-means quantizer
+# (the same deterministic Lloyd's training ann_topk_ivf uses, so the
+# oracle unrolls identical rounds), then generate candidate pairs only
+# WITHIN a cluster and run the exact-cosine verify on those. Candidate
+# generation is a narrow (vec_id, cid) self equi-join — vectors re-attach
+# by vec_id only after the pair set exists, so nothing quadratic carries
+# a 64-dim payload (same discipline as dedup_embedding_lsh).
+#
+# Completes the candidate-generation matrix alongside the sign-LSH path:
+# LSH buckets are geometry-oblivious hash planes; IVF clusters adapt to
+# the corpus density, so correlated regions (where semantic dups live)
+# land in shared clusters. Scale note: with k fixed at N_CENTROIDS=8 the
+# within-cluster expansion is O(N²/k) — production SemDedup scales k
+# with N (k ≈ N/10³ keeps clusters ~constant-size, e.g. 50k clusters for
+# a 50M-doc shard in the paper), leaving O(N·cluster) work; k is a
+# constant here only so the unrolled-CTE oracle stays tractable.
+# --------------------------------------------------------------------------
+@register("dedup_embedding_ivf", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_KMEANS_CTES},
+cent AS (SELECT cid, cv FROM {_SQL_KMEANS_FINAL}),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY ROUND(list_dot_product(b.v, c.cv)
+                            / (sqrt(list_dot_product(b.v, b.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v b CROSS JOIN cent c) WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(a.cid AS BIGINT) AS cid,
+       ROUND({_SQL_COS}, 6) AS cos_sim
+FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE ROUND({_SQL_COS}, 6) >= {COSINE_DUP_THRESHOLD}
+""")
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent_df = _with_norm(
+        spark.createDataFrame(cents, "cid long, cv array<double>"),
+        "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(),
+                                             F.col("cid").asc())
+    assign = (v.join(F.broadcast(cent_df), F.lit(True))
+               .select("vec_id", "cid", cos_c.alias("__c"))
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1)
+               .select("vec_id", "cid"))
+    cand = (assign.alias("x")
+                  .join(assign.alias("y"),
+                        (F.col("x.cid") == F.col("y.cid"))
+                        & (F.col("x.vec_id") < F.col("y.vec_id")))
+                  .select(F.col("x.vec_id").alias("vec_a"),
+                          F.col("y.vec_id").alias("vec_b"),
+                          F.col("x.cid").alias("cid")))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nv").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nv").alias("nb"))
+    return (cand.join(a, "vec_a").join(b, "vec_b")
+                .select("vec_a", "vec_b", "cid",
+                        F.round(F.expr(_sql_dot_cols("va", "vb"))
+                                / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
+                .where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
 # embedding_quantize — per-vector int8 scalar quantization, the storage
 # path for 100 TB embedding stores (4x smaller than float32; recall loss
 # bounded by per-vector range). q[i] = round((v[i] - min) / (max - min)

