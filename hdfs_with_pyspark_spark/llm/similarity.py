@@ -280,6 +280,67 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# knn_graph_lsh — the k-nearest-neighbor GRAPH over the whole corpus:
+# every vector is a query. The feed for graph-based curation at scale
+# (connected-component near-dup clusters, label propagation, graph-based
+# coreset selection). Reuses the multiprobe geometry (LSH_MP_BITS-bit
+# code, Hamming<=1 probe fan-out) but the join SHAPE flips: with
+# |Q| == |corpus| nothing broadcasts — the 9x probe fan-out and the
+# corpus bucket table meet in a plain shuffle equi-join on bucket, the
+# one-shuffle linear-cost all-pairs-candidates build. Per-node top-k is
+# a bounded window over each node's own candidates. Directed by
+# construction (a may rank b without b ranking a) — symmetrize with
+# operators/pairs.py if an undirected graph is needed downstream.
+# --------------------------------------------------------------------------
+KNN_GRAPH_K = 3
+
+
+@register("knn_graph_lsh", oracle=f"""
+WITH v0 AS ({_SQL_VECTORS}),
+vb AS (SELECT vec_id, v, {_SQL_MP_BUCKET} AS bucket FROM v0),
+probes AS (SELECT q.vec_id, q.v, xor(q.bucket, m.m) AS bucket
+           FROM vb q CROSS JOIN (SELECT unnest([{", ".join(map(str, _MP_MASKS))}]) AS m) m),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND({_SQL_COS}, 6) AS cos_sim
+  FROM probes a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {KNN_GRAPH_K}
+""")
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bucket = F.lit(0).cast("long")
+    for i in range(LSH_MP_BITS):
+        bucket = bucket + F.when(F.try_element_at(F.col("v"), F.lit(i + 1)) >= 0,
+                                 F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    v = _with_norm(_vectors(spark, sf_dir).withColumn("bucket", bucket), "v", "nv")
+    probes = v.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                      F.col("nv").alias("qnv"),
+                      F.explode(F.array(*[
+                          F.col("bucket").bitwiseXOR(F.lit(m)).alias("b")
+                          for m in _MP_MASKS])).alias("bucket"))
+    # No broadcast hint: both sides are corpus-sized — this is the
+    # deliberate single shuffle on bucket.
+    scored = (probes.join(v, ["bucket"])
+                    .where(F.col("qid") != F.col("vec_id"))
+                    .select(F.col("qid"),
+                            F.col("vec_id").alias("neighbor_id"),
+                            F.round(F.expr(_sql_dot_cols("qv", "v"))
+                                    / (F.col("qnv") * F.col("nv")), 6)
+                             .alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(),
+                                          F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= KNN_GRAPH_K)
+                  .select(F.col("qid").alias("vec_id"), "neighbor_id",
+                          "rank", "cos_sim"))
+
+
+# --------------------------------------------------------------------------
 # ann_topk_ivf — inverted-file ANN: a coarse quantizer assigns every
 # corpus vector to its nearest centroid (the inverted list); a query
 # scores only the vectors in its nprobe closest lists. The quantizer is

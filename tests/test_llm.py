@@ -648,3 +648,22 @@ def test_embedding_ivf_dedup_subset_and_cluster_scoped(spark):
     plan = sim.dedup_embedding_ivf(spark, sf)._jdf.queryExecution() \
               .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_no_broadcast_single_bucket_shuffle(spark):
+    # The all-pairs kNN build must NOT broadcast either corpus-sized
+    # side: candidates come from a plain shuffle equi-join on bucket.
+    sf = "/root/testdata/sf0.001"
+    df = sim.knn_graph_lsh(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    # every node with any candidate reports at most K ranked neighbors,
+    # rank is 1..K dense per node, and self-edges are excluded
+    per = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+    assert per and all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert all(len(v) <= sim.KNN_GRAPH_K for v in per.values())
