@@ -301,6 +301,44 @@ def stream_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append")
 
 
+@register("stream_enriched_segment_value", oracle="""
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(COALESCE(e.value, 0) * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def stream_enriched_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the production enrichment shape the other
+    streaming queries don't cover: each micro-batch of the event stream
+    joins a bounded dimension (customer segments) read as a plain batch
+    frame. Spark re-plans the static side per micro-batch, so a
+    dimension refreshed in place is picked up without restarting the
+    stream; with the dim under the broadcast threshold the join is
+    map-side and the only streaming state is the downstream window agg.
+    Value sums in exact integer cents (order-independent), windowed per
+    day x segment with a watermark bounding the agg state."""
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    dim = read_table(spark, sf_dir, "customer") \
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    stream = read_events_stream(spark, sf_dir)
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    enriched = (stream.select("ts", "user_id", cents.alias("cents"))
+                      .join(F.broadcast(dim),
+                            F.col("user_id") == F.col("c_custkey")))
+    agg = (enriched
+           .withWatermark("ts", WATERMARK)
+           .groupBy(F.window("ts", COUNT_WINDOW).alias("w"), "segment")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("cents").cast("long").alias("value_cents"))
+           .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                   "segment", "n_events", "value_cents"))
+    return run_to_table(agg, "complete")
+
+
 def stream_upsert_sink(spark: SparkSession, sf_dir: str, dim_path: str,
                        n_rounds_col: str = "n_events") -> None:
     """Continuous mart maintenance: foreachBatch + MERGE upsert.
