@@ -38,6 +38,12 @@ HEADLINE = [
     "corpus_curation",
     "corpus_decontaminate",
     "channel_pagerank",
+    "forecast_revenue_change",
+    "nation_trade_flows",
+    "supplier_sole_late_blame",
+    "dedup_embedding_ivf",
+    "knn_graph_lsh",
+    "stream_enriched_segment_value",
     "events_time_proximity",
     "corpus_sample_stratified",
     "ann_topk_lsh",

@@ -120,8 +120,13 @@ DRIVER_PRIORITY = [
     # round 3: text_token_stats demoted for bpe_merges — per-doc token
     # counting is subsumed by quality_score's signal set, while the BPE
     # trainer is a distinct iterative-training capability)
+    # (late round 3: term_doc_frequencies demoted for knn_graph_lsh —
+    # tfidf_top_terms exercises the same document-frequency machinery
+    # in-window, while the all-pairs kNN-graph build is a query SHAPE
+    # the window otherwise lacks: no-broadcast bucket equi-join with
+    # |Q| == |corpus|, the feed for graph-based curation.)
     "bpe_merges", "text_quality_score", "text_lang_id_ngram",
-    "doc_fingerprint", "term_doc_frequencies", "tfidf_top_terms",
+    "doc_fingerprint", "knn_graph_lsh", "tfidf_top_terms",
     "corpus_sample_stratified", "doc_chunks", "corpus_token_bins",
     "corpus_quality_filter",
     # multimodal family (multimodal_summary demoted: its blob-pruning
