@@ -1080,3 +1080,82 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.coalesce(k, F.lit(0))).cast("long")
                     .alias("channel_sum"),
                    F.count(missing).alias("n_with_missing")))
+
+
+# --------------------------------------------------------------------------
+# part_token_calculus — array HIGHER-ORDER functions (lambda Column
+# expressions the reference never touches and part_name_analysis's
+# plain array ops don't cover): transform / filter / exists / aggregate
+# all run inside whole-stage codegen — the idiomatic replacement for
+# "explode, compute, re-collect" round trips (which would cost a
+# per-row fan-out plus a re-grouping shuffle at 100 TB; this is one
+# map-side pass, no shuffle at all). DuckDB mirrors each lambda with
+# list_transform / list_filter / list_sum.
+# --------------------------------------------------------------------------
+@register("part_token_calculus", oracle="""
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                                      x -> upper(x)), '|')  AS tokens_upper,
+       CAST(len(list_filter(string_split(p_name, ' '),
+                            x -> len(x) > 4)) AS BIGINT)    AS n_long_tokens,
+       len(list_filter(string_split(p_name, ' '),
+                       x -> contains(x, 'a'))) > 0          AS has_a_token,
+       CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                    x -> len(x))) AS BIGINT) AS total_len
+FROM part
+""")
+def part_token_calculus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    part = read_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.array_join(F.transform(toks, lambda x: F.upper(x)), "|")
+         .alias("tokens_upper"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long")
+         .alias("n_long_tokens"),
+        F.exists(toks, lambda x: x.contains("a")).alias("has_a_token"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("total_len"))
+
+
+# --------------------------------------------------------------------------
+# nation_balance_unpivot — UNPIVOT / melt, the inverse of the reference's
+# pivot (SURVEY §2.4 A8): a wide per-nation aggregate melts into
+# (nation, metric, value) long form — the shape BI metric stores and
+# sparse metric pipelines want at rest. Spark's unpivot is a zero-shuffle
+# projection fan-out (3 rows per input row, no exchange beyond the
+# aggregate's); the oracle is the textbook UNION ALL expansion.
+# --------------------------------------------------------------------------
+@register("nation_balance_unpivot", oracle="""
+WITH a AS (
+  SELECT n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN c_acctbal > 0
+                       THEN CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pos_cents,
+         CAST(SUM(CASE WHEN c_acctbal < 0
+                       THEN CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS neg_cents
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name)
+SELECT nation, 'n_customers' AS metric, n_customers AS value FROM a
+UNION ALL SELECT nation, 'pos_cents', pos_cents FROM a
+UNION ALL SELECT nation, 'neg_cents', neg_cents FROM a
+""")
+def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    nation = read_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    wide = (read_table(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("nation")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.when(F.col("c_acctbal") > 0, cents).otherwise(0))
+                  .cast("long").alias("pos_cents"),
+                 F.sum(F.when(F.col("c_acctbal") < 0, cents).otherwise(0))
+                  .cast("long").alias("neg_cents")))
+    return wide.unpivot(["nation"], ["n_customers", "pos_cents", "neg_cents"],
+                        "metric", "value")
