@@ -138,6 +138,13 @@ def running_user_state(stream: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+# Memory-sink tables pin their rows in the driver for the session's
+# lifetime; a long-lived service (or the 39-query bench) re-running
+# streaming queries would accumulate them without bound. Keep a short
+# tail so recently-returned frames stay collectable, drop the rest.
+_SINK_KEEP = 8
+
+
 def run_to_table(result: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming frame with availableNow into a memory sink."""
     spark = result.sparkSession
@@ -150,6 +157,12 @@ def run_to_table(result: DataFrame, mode: str) -> DataFrame:
                .trigger(availableNow=True)
                .start())
     q.awaitTermination()
+    stale = _SINK_SEQ[0] - _SINK_KEEP
+    if stale > 0:
+        try:
+            spark.catalog.dropTempView(f"stream_sink_{stale}")
+        except Exception:
+            pass  # another session may own it; eviction is best-effort
     return spark.table(name)
 
 
