@@ -288,3 +288,49 @@ def test_hll_union_rollup_matches_global_sketch(spark, vals):
     exact = len({v for _, v in vals})
     assert merged == direct
     assert abs(merged - exact) <= 0.05 * exact
+
+
+@SLOW
+@given(lines=st.lists(
+    st.tuples(st.integers(0, 3),        # orderkey
+              st.integers(0, 3),        # suppkey
+              st.integers(0, 200)),     # ship offset, days after orderdate
+    min_size=1, max_size=20))
+def test_sole_late_blame_matches_correlated_model(spark, monkeypatch, lines):
+    # The Q21 scale rewrite (one per-order aggregate) must equal the
+    # textbook correlated EXISTS/NOT-EXISTS semantics, here re-derived
+    # in straight-line Python over random order/supplier layouts.
+    import datetime
+    from hdfs_with_pyspark_spark.plans import tpch_flows as tf
+
+    base = datetime.datetime(2000, 1, 1)
+    orders = {ok: base + datetime.timedelta(days=ok) for ok in {o for o, _, _ in lines}}
+    li_rows = [(ok, sk, orders[ok] + datetime.timedelta(days=off))
+               for ok, sk, off in lines]
+    frames = {
+        "lineitem": spark.createDataFrame(
+            li_rows, "l_orderkey long, l_suppkey long, l_shipdate timestamp"),
+        "orders": spark.createDataFrame(
+            [(ok, d) for ok, d in orders.items()],
+            "o_orderkey long, o_orderdate timestamp"),
+        "supplier": spark.createDataFrame(
+            [(k, f"s{k}") for k in range(4)], "s_suppkey long, s_name string"),
+    }
+    monkeypatch.setattr(tf, "read_table", lambda s, d, n: frames[n])
+
+    got = {(r["s_name"], r["numwait"])
+           for r in tf.supplier_sole_late_blame(spark, "unused").collect()}
+
+    late = {}   # orderkey -> set of late suppliers
+    supps = {}  # orderkey -> set of all suppliers
+    for ok, sk, off in lines:
+        supps.setdefault(ok, set()).add(sk)
+        if off > tf.Q21_LATE_DAYS:
+            late.setdefault(ok, set()).add(sk)
+    blame = {}
+    for ok, ls in late.items():
+        if len(ls) == 1 and len(supps[ok]) > 1:
+            (s,) = ls
+            blame[s] = blame.get(s, 0) + 1
+    want = {(f"s{s}", n) for s, n in blame.items()}
+    assert got == want
