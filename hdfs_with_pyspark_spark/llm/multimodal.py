@@ -331,3 +331,74 @@ def multimodal_dedup_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum("n").cast("long").alias("n_blobs"),
                       F.sum(F.col("n") - 1).cast("long")
                        .alias("n_duplicates")))
+
+
+# --------------------------------------------------------------------------
+# multimodal_chunk_dedup — content-addressable CHUNK-store dedup, the
+# backup-system / data-lake pass below whole-blob dedup: every payload
+# splits into fixed CHUNK_BYTES slices, each chunk is addressed by the
+# md5 of its BYTES, and storage dedup is measured per modality
+# (sum bytes vs unique-chunk bytes). Whole-blob md5 dedup
+# (multimodal_dedup_blobs) misses payloads that share most-but-not-all
+# content; chunk addressing recovers that sharing with one shuffle on
+# (modality, chunk digest). Production systems use content-defined
+# boundaries (rolling hash) so an insertion doesn't re-address the tail;
+# fixed-size boundaries keep this exactly SQL-expressible — the chunk
+# relation here IS the CDC shape, only the boundary rule differs.
+#
+# Oracle note: Spark slices the BINARY payload; DuckDB (no blob
+# substring) slices the VARCHAR and hashes the chunk string. The corpus
+# is pure ASCII (verified: zero rows match [^\x00-\x7F]), so byte
+# offsets == char offsets and the hashed bytes are identical. A
+# non-ASCII corpus would need a byte-aware oracle, not a different
+# engine implementation.
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 256
+
+
+@register("multimodal_chunk_dedup", oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS modality,
+         text
+  FROM documents WHERE octet_length(encode(text)) > 0),
+c AS (
+  SELECT modality,
+         md5(substring(text, ci * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS h,
+         octet_length(encode(substring(text, ci * {CHUNK_BYTES} + 1,
+                                       {CHUNK_BYTES}))) AS len
+  FROM b, LATERAL unnest(generate_series(
+         0, CAST(ceil(octet_length(encode(text)) / {CHUNK_BYTES}.0)
+                 AS BIGINT) - 1)) t(ci)),
+g AS (SELECT modality, h, COUNT(*) AS n, MIN(len) AS len
+      FROM c GROUP BY modality, h)
+SELECT modality,
+       CAST(SUM(n) AS BIGINT)       AS n_chunks,
+       CAST(COUNT(*) AS BIGINT)     AS n_unique_chunks,
+       CAST(SUM(len * n) AS BIGINT) AS bytes_total,
+       CAST(SUM(len) AS BIGINT)     AS bytes_unique
+FROM g GROUP BY modality
+""")
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    blobs = (as_blobs(read_table(spark, sf_dir, "documents"))
+             .where(F.octet_length("blob") > 0))
+    n_chunks = F.ceil(F.octet_length("blob") / F.lit(float(CHUNK_BYTES))) \
+                .cast("long")
+    chunk = F.substring(F.col("blob"),
+                        (F.col("ci") * CHUNK_BYTES + 1).cast("int"),
+                        CHUNK_BYTES)
+    chunks = (blobs
+              .select("modality", "blob",
+                      F.explode(F.sequence(F.lit(0).cast("long"),
+                                           n_chunks - 1)).alias("ci"))
+              .select("modality", F.md5(chunk).alias("h"),
+                      F.octet_length(chunk).cast("long").alias("len")))
+    per_chunk = (chunks.groupBy("modality", "h")
+                       .agg(F.count("*").alias("n"), F.min("len").alias("len")))
+    return (per_chunk.groupBy("modality")
+            .agg(F.sum("n").cast("long").alias("n_chunks"),
+                 F.count("*").cast("long").alias("n_unique_chunks"),
+                 F.sum(F.col("len") * F.col("n")).cast("long")
+                  .alias("bytes_total"),
+                 F.sum("len").cast("long").alias("bytes_unique")))
