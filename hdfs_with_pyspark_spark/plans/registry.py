@@ -66,6 +66,7 @@ def _load_all() -> None:
         maintenance,
         sketches,
         tpch_flows,
+        affinity,
     )
     from hdfs_with_pyspark_spark.llm import (  # noqa: F401
         queries as llm_queries,

@@ -749,3 +749,49 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("revenue").isNull().alias("is_gap"),
                          F.last("revenue", ignorenulls=True).over(w)
                           .alias("last_active_revenue")))
+
+
+# --------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transitions over each
+# user's event stream: counts and exact-integer probabilities (ppm) of
+# event_type following event_type. The sequence-mining primitive behind
+# next-action prediction features and behavioral anomaly scoring.
+#
+# Scale shape: ONE shuffle of the fact table (hash(user_id)) feeds the
+# lag window; everything after operates on |types|² rows. The
+# row-normalization denominator comes from a window over the tiny
+# transition matrix, and the probability is integer `div` on exact
+# counts — partition-count invariant, no float summation anywhere.
+# Reference parity: no sequence analytics exists in the reference; this
+# extends SURVEY.md §2.5 (W5 lag) into n-gram-on-events territory.
+# --------------------------------------------------------------------------
+@register("event_transition_matrix", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, event_type, n_trans,
+       CAST((1000000 * n_trans)
+            // SUM(n_trans) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS prob_ppm
+FROM trans
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+               .where(F.col("prev_type").isNotNull())
+               .groupBy("prev_type", "event_type")
+               .agg(F.count("*").alias("n_trans")))
+    return trans.select(
+        "prev_type", "event_type",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.expr("(1000000 * n_trans) div sum(n_trans) over "
+               "(partition by prev_type)").cast("long").alias("prob_ppm"))

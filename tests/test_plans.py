@@ -664,3 +664,39 @@ def test_q22_threshold_broadcasts_and_anti_joins(spark, sf_dir):
     plan = explain(spark, "idle_customer_balances", sf_dir)
     assert re.search(r"LeftAnti", plan)
     assert "BroadcastExchange" in plan
+
+
+def test_fuzzy_pairs_length_band_blocking_no_cartesian(spark, sf_dir):
+    # part_name_fuzzy_pairs must candidate-generate via the length-band
+    # equi-join (broadcast hash join of the tiny name spine), never an
+    # all-pairs product; the levenshtein verify runs on candidates only.
+    plan = explain(spark, "part_name_fuzzy_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_basket_affinity_apriori_broadcasts_frequent_set(spark, sf_dir):
+    # basket_part_affinity: the frequent-item prune must come back as
+    # BROADCAST hash joins onto the pair stream (the apriori guard), the
+    # per-basket pairing is a keyed equi self-join, and the only
+    # nested-loop is the sanctioned 1-row basket-count broadcast.
+    plan = explain(spark, "basket_part_affinity", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # The frequent set derives from a full corpus aggregate; it must be
+    # cached and REUSED by the a-side and b-side joins (two
+    # InMemoryTableScans over one InMemoryRelation), not recomputed per
+    # side. (The 1-row n_orders BroadcastNestedLoopJoin lives inside the
+    # cached build and so executes once, however often explain text
+    # renders the cached plan.)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_fuzzy_chain_closure_uses_recursive_union_loop(spark, sf_dir):
+    # fuzzy_chain_closure runs through Spark 4's recursive-CTE executor
+    # (UnionLoop); a rewrite into a static union would silently cap the
+    # recursion depth at whatever was unrolled.
+    plan = explain(spark, "fuzzy_chain_closure", sf_dir)
+    assert "UnionLoop" in plan
