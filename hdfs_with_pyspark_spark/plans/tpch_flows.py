@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hdfs_with_pyspark_spark.plans.graph import _pin_result
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
 from hdfs_with_pyspark_spark.sources.io import read_table
 
@@ -460,3 +461,225 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Window-ranking breadth — ntile/percent_rank/cume_dist/lead — already
 # lives in plans/relational.py customer_value_ranks; deliberately not
 # duplicated here.)
+
+
+# --------------------------------------------------------------------------
+# min_cost_part_supplier — TPC-H Q2 shape: for each part in a
+# (type, size-band) slice, the cheapest supplier who actually ships it.
+# This corpus has no partsupp relation, so the supplier-of-part set is
+# the DISTINCT (l_partkey, l_suppkey) projection of lineitem — at scale
+# one shuffle of two integer columns — and "cheapest" ranks on supplier
+# account balance in exact integer cents. The classic formulation is a
+# correlated scalar-subquery (kept verbatim in the oracle, plus a
+# second correlated min as the deterministic tie-break); the engine
+# expresses the same thing as one window top-1 per part — Catalyst's
+# decorrelation target shape, written directly.
+# --------------------------------------------------------------------------
+Q2_TYPE = "STANDARD"
+Q2_SIZE_LO, Q2_SIZE_HI = 1, 25
+
+_Q2_CAND_SQL = f"""
+  SELECT p_partkey, p_name, s_suppkey, s_name,
+         CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM part
+  JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    ON ps.l_partkey = p_partkey
+  JOIN supplier ON s_suppkey = ps.l_suppkey
+  WHERE p_type = '{Q2_TYPE}' AND p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+"""
+
+
+@register("min_cost_part_supplier", oracle=f"""
+WITH cand AS ({_Q2_CAND_SQL})
+SELECT p_partkey, p_name, s_name, acctbal_cents
+FROM cand c
+WHERE acctbal_cents = (SELECT MIN(acctbal_cents) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+  AND s_suppkey = (SELECT MIN(s_suppkey) FROM cand c3
+                   WHERE c3.p_partkey = c.p_partkey
+                     AND c3.acctbal_cents = c.acctbal_cents)
+""")
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from pyspark.sql import Window
+    ps = (read_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    part = (read_table(spark, sf_dir, "part")
+            .where((F.col("p_type") == Q2_TYPE)
+                   & F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI))
+            .select("p_partkey", "p_name"))
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("long")
+         .alias("acctbal_cents"))
+    cand = (ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")))
+    w = (Window.partitionBy("p_partkey")
+               .orderBy(F.col("acctbal_cents").asc(), F.col("s_suppkey").asc()))
+    return (cand.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("p_partkey", "p_name", "s_name", "acctbal_cents"))
+
+
+# --------------------------------------------------------------------------
+# nation_year_profit — TPC-H Q9 shape: profit per (supplier nation,
+# order year) on a part-name slice. No ps_supplycost exists, so cost is
+# modeled as 60% of the part's retail price per unit — like revenue, an
+# exact integer in cents*pct units (cents(retail) * 60 * qty), so
+# profit = revenue - cost is associative and partition-invariant.
+# Plan shape: part slice and supplier->nation broadcast onto the fact
+# scan; the single data-sized exchange is the lineitem-orders join on
+# orderkey for the order year.
+# --------------------------------------------------------------------------
+Q9_NAME_TOKEN = "widget"
+_Q9_COST_MICRO_SQL = ("CAST(ROUND(p_retailprice * 100) AS BIGINT) * 60 "
+                      "* CAST(l_quantity AS BIGINT)")
+
+
+@register("nation_year_profit", oracle=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM({_REV_MICRO_SQL} - {_Q9_COST_MICRO_SQL}) AS BIGINT)
+         AS profit_micro
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{Q9_NAME_TOKEN}%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+""")
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    part = (read_table(spark, sf_dir, "part")
+            .where(F.col("p_name").contains(Q9_NAME_TOKEN))
+            .select("p_partkey", "p_retailprice"))
+    supp_nation = (read_table(spark, sf_dir, "supplier")
+                   .join(F.broadcast(read_table(spark, sf_dir, "nation")),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        _rev_micro().alias("rev_micro"))
+    amount = (F.col("rev_micro")
+              - F.round(F.col("p_retailprice") * 100).cast("long") * 60
+                * F.col("l_quantity").cast("long"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(supp_nation),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("nation", "o_year")
+              .agg(F.sum(amount).cast("long").alias("profit_micro")))
+
+
+# --------------------------------------------------------------------------
+# important_part_value — TPC-H Q11 shape: parts whose revenue through
+# one nation's suppliers exceeds a fixed FRACTION of that nation's
+# total — the scalar-subquery-in-HAVING pattern. The global total is a
+# 1-row aggregate broadcast back; the threshold compare is exact
+# integer cross-multiplication (value * DENOM > total), so no float
+# fraction exists on either engine. At 100 TB: two aggregates over one
+# semi-join-reduced fact projection, no second scan for the threshold.
+# --------------------------------------------------------------------------
+Q11_NATION = "NATION_5"
+Q11_SHARE_DENOM = 1000  # keep parts with > 1/1000 of total value
+
+
+@register("important_part_value", oracle=f"""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM({_REV_MICRO_SQL}) AS BIGINT) AS value_micro
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY l_partkey)
+SELECT l_partkey, value_micro
+FROM v
+WHERE value_micro * {Q11_SHARE_DENOM} > (SELECT SUM(value_micro) FROM v)
+""")
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    nation_supp = (read_table(spark, sf_dir, "supplier")
+                   .join(F.broadcast(read_table(spark, sf_dir, "nation")
+                                     .where(F.col("n_name") == Q11_NATION)),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .select("s_suppkey"))
+    v = (read_table(spark, sf_dir, "lineitem")
+         .select("l_partkey", "l_suppkey", _rev_micro().alias("rev"))
+         .join(F.broadcast(nation_supp),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum("rev").cast("long").alias("value_micro"))
+         .persist())
+    v.count()
+    _pin_result(spark, "important_part_value_v", v)
+    total = v.agg(F.sum("value_micro").alias("total"))
+    return (v.crossJoin(F.broadcast(total))
+             .where(F.col("value_micro") * Q11_SHARE_DENOM > F.col("total"))
+             .select("l_partkey", "value_micro"))
+
+
+# --------------------------------------------------------------------------
+# dominant_part_suppliers — TPC-H Q20 shape: suppliers who DOMINATE the
+# supply of some part (shipped more than half of a part's total volume
+# in the window, on a part-name slice) — the nested correlated-
+# aggregate-threshold pattern. The per-part total re-aggregates the
+# per-(part,supplier) frame (no second fact scan), the threshold is
+# exact integer cross-multiplication (2*q > total), and the supplier
+# dimension joins broadcast. Output: per supplier, how many parts they
+# dominate.
+# --------------------------------------------------------------------------
+Q20_NAME_PREFIX = "small "
+Q20_START, Q20_END = "1996-01-01", "1997-01-01"
+
+
+@register("dominant_part_suppliers", oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q20_END} 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+pt AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+  FROM ps GROUP BY l_partkey)
+SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+       CAST(SUM(ps.qty) AS BIGINT) AS dominated_qty
+FROM ps
+JOIN pt USING (l_partkey)
+JOIN supplier ON s_suppkey = ps.l_suppkey
+WHERE ps.qty * 2 > pt.total_qty
+GROUP BY s_name
+""")
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    part = (read_table(spark, sf_dir, "part")
+            .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+            .select("p_partkey"))
+    ps = (read_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit(Q20_START).cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit(Q20_END).cast("timestamp")))
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("qty"))
+          .persist())
+    ps.count()
+    _pin_result(spark, "dominant_part_suppliers_ps", ps)
+    pt = (ps.groupBy("l_partkey")
+            .agg(F.sum("qty").cast("long").alias("total_qty")))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (ps.join(pt, "l_partkey")
+              .where(F.col("qty") * 2 > F.col("total_qty"))
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(F.count("*").alias("n_dominated_parts"),
+                   F.sum("qty").cast("long").alias("dominated_qty")))

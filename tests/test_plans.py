@@ -700,3 +700,51 @@ def test_fuzzy_chain_closure_uses_recursive_union_loop(spark, sf_dir):
     # recursion depth at whatever was unrolled.
     plan = explain(spark, "fuzzy_chain_closure", sf_dir)
     assert "UnionLoop" in plan
+
+
+def test_q2_correlated_min_as_single_window(spark, sf_dir):
+    # min_cost_part_supplier decorrelates the classic Q2 scalar
+    # subquery into one window top-1: dims broadcast onto the distinct
+    # (part, supplier) spine, no cartesian, exactly one window pass.
+    plan = explain(spark, "min_cost_part_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_q9_single_fact_exchange_dims_broadcast(spark, sf_dir):
+    # nation_year_profit: part slice and supplier->nation broadcast;
+    # the only data-sized join is lineitem-orders on orderkey; lineitem
+    # is scanned exactly once.
+    plan = explain(spark, "nation_year_profit", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1
+
+
+def test_q11_threshold_reuses_cached_value_frame(spark, sf_dir):
+    # important_part_value: the per-part value frame is cached and
+    # reused by both the global-total aggregate and the threshold
+    # filter (no second fact scan); the 1-row total broadcasts.
+    plan = explain(spark, "important_part_value", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2
+    # The cached relation renders its ORIGIN plan (one lineitem scan
+    # line); an uncached threshold path would print a second, live one.
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "lineitem" in ln]
+    assert len(scans) <= 1, "threshold path must not re-scan the fact table"
+
+
+def test_q20_dominance_reaggregates_cached_ps_frame(spark, sf_dir):
+    # dominant_part_suppliers: the per-part total derives from the
+    # cached per-(part,supplier) aggregate, not a second lineitem scan.
+    plan = explain(spark, "dominant_part_suppliers", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    # One lineitem scan line = the cached frame's origin rendering; a
+    # second would mean the per-part total re-scanned the fact table.
+    scans = [ln for ln in plan.splitlines()
+             if "Location" in ln and "lineitem" in ln]
+    assert len(scans) <= 1
