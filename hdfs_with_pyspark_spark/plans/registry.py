@@ -113,7 +113,14 @@ DRIVER_PRIORITY = [
     # lacks, while the label-centroid agg shares its machinery with
     # in-window ivf_kmeans_centroids. Both demoted queries remain
     # registered and parity-checked below the window.)
-    "ann_topk_bruteforce", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
+    # (late round 3: ann_topk_bruteforce demoted for basket_part_
+    # affinity — the window carried FOUR ANN entries (multiprobe LSH,
+    # IVF, PQ, and the k-means trainer), and the exact O(Q x N)
+    # brute-force scan is by design NOT a scale path, only the verify
+    # baseline the in-window recall evals are defined against; the
+    # apriori-pruned market-basket lift join is a capability family —
+    # association mining — the window otherwise lacked.)
+    "basket_part_affinity", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
     "ann_topk_pq", "ivf_kmeans_centroids", "distinct_sketch_audit",
     "dedup_embedding_lsh",
     # text analysis / training-prep family (quality_filter is the
@@ -126,10 +133,15 @@ DRIVER_PRIORITY = [
     # in-window, while the all-pairs kNN-graph build is a query SHAPE
     # the window otherwise lacks: no-broadcast bucket equi-join with
     # |Q| == |corpus|, the feed for graph-based curation.)
+    # (late round 3: doc_chunks demoted for part_name_fuzzy_pairs —
+    # the chunker's explode+slice 1->N fan-out shape is exercised
+    # in-window by multimodal_frame_sample, while the length-band
+    # blocked edit-distance join is a family the window lacked
+    # entirely: entity resolution over near-identical names.)
     "bpe_merges", "text_quality_score", "text_lang_id_ngram",
     "doc_fingerprint", "knn_graph_lsh", "tfidf_top_terms",
-    "corpus_sample_stratified", "doc_chunks", "corpus_token_bins",
-    "corpus_quality_filter",
+    "corpus_sample_stratified", "part_name_fuzzy_pairs",
+    "corpus_token_bins", "corpus_quality_filter",
     # multimodal family (multimodal_summary demoted: its blob-pruning
     # plan shape is test-asserted; features/frame-sample/byte-entropy
     # cover the three distinct Python-boundary mechanisms)

@@ -1159,3 +1159,70 @@ def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("neg_cents")))
     return wide.unpivot(["nation"], ["n_customers", "pos_cents", "neg_cents"],
                         "metric", "value")
+
+
+# --------------------------------------------------------------------------
+# customer_rfm_segments — RFM (recency / frequency / monetary)
+# segmentation, the classic CRM scoring matrix: per-customer metrics
+# from one orders aggregate, quartile scores via NTILE over TOTAL
+# orders (custkey tie-break -> deterministic bucket edges in both
+# engines), rolled up to segment populations. Recency anchors on the
+# corpus max order date (data-derived, so the query is reproducible).
+#
+# Scale note: the input to the NTILE windows is the CUSTOMER dimension
+# (one row per customer), not the fact table — a single-node sort of a
+# dim is the standard BI trade; at a scale where even the dim can't
+# sort on one node, the swap-in is bucketing against broadcast
+# approx-quantile cutpoints (the quantile_sketch_audit path), which
+# changes only the score column's derivation.
+# --------------------------------------------------------------------------
+@register("customer_rfm_segments", oracle="""
+WITH maxd AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+base AS (
+  SELECT o_custkey,
+         DATE_DIFF('day', MAX(o_orderdate), (SELECT mx FROM maxd))
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT recency_days, monetary_cents,
+         NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey ASC) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency DESC,    o_custkey ASC) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+  FROM base)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents
+FROM scored GROUP BY r_score, f_score, m_score
+""")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (orders.groupBy("o_custkey")
+                  .agg(F.max("o_orderdate").alias("last_order"),
+                       F.count("*").alias("frequency"),
+                       F.sum("cents").cast("long").alias("monetary_cents"))
+                  .crossJoin(F.broadcast(maxd))
+                  .select("o_custkey", "frequency", "monetary_cents",
+                          F.datediff(F.col("mx"), F.col("last_order"))
+                           .alias("recency_days")))
+    scored = base.select(
+        "recency_days", "monetary_cents",
+        F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(),
+                                       F.col("o_custkey").asc()))
+         .alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
+                                       F.col("o_custkey").asc()))
+         .alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(),
+                                       F.col("o_custkey").asc()))
+         .alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+                  .agg(F.count("*").alias("n_customers"),
+                       F.sum("monetary_cents").cast("long")
+                        .alias("total_monetary_cents")))

@@ -795,3 +795,70 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_trans").cast("long").alias("n_trans"),
         F.expr("(1000000 * n_trans) div sum(n_trans) over "
                "(partition by prev_type)").cast("long").alias("prob_ppm"))
+
+
+# --------------------------------------------------------------------------
+# weekly_brand_rank_shift — trending analysis: per-week brand revenue
+# leaderboard with week-over-week rank movement. Composes the two
+# window axes orthogonally: rank WITHIN each week (partition by week),
+# then lag ACROSS weeks (partition by brand) — the "what moved this
+# week" dashboard primitive.
+#
+# Scale shape: one partial-before-exchange aggregate collapses the fact
+# table to |weeks| x |brands| rows; both windows and the final compare
+# run on that tiny frame. Revenue is exact integer micro units, ranks
+# take brand as tie-break — partition-count invariant end to end.
+# --------------------------------------------------------------------------
+_WEEK_REV_MICRO_SQL = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+                       "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))")
+
+
+@register("weekly_brand_rank_shift", oracle=f"""
+WITH weekly AS (
+  SELECT CAST(DATE_TRUNC('week', l_shipdate) AS DATE) AS week_start,
+         p_brand,
+         CAST(SUM({_WEEK_REV_MICRO_SQL}) AS BIGINT) AS revenue_micro
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT week_start, p_brand, revenue_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY week_start
+                                 ORDER BY revenue_micro DESC, p_brand ASC)
+              AS INT) AS rk
+  FROM weekly),
+-- the lag must see EVERY week's rank (a brand outside last week's top 5
+-- still has a rank to fall from), so it runs in its own block BEFORE
+-- the top-5 cut: a bare WHERE here would filter ahead of the same-block
+-- window function.
+shifted AS (
+  SELECT week_start, p_brand, revenue_micro, rk,
+         CAST(LAG(rk) OVER (PARTITION BY p_brand ORDER BY week_start)
+              AS INT) AS prev_rk
+  FROM ranked)
+SELECT week_start, p_brand, revenue_micro, rk, prev_rk,
+       CAST(prev_rk - rk AS INT) AS rank_gain
+FROM shifted
+WHERE rk <= 5
+""")
+def weekly_brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week_start"),
+        F.expr(_WEEK_REV_MICRO_SQL).alias("rev"))
+    weekly = (li.join(F.broadcast(part),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("week_start", "p_brand")
+                .agg(F.sum("rev").cast("long").alias("revenue_micro")))
+    rank_w = (Window.partitionBy("week_start")
+                    .orderBy(F.col("revenue_micro").desc(),
+                             F.col("p_brand").asc()))
+    lag_w = Window.partitionBy("p_brand").orderBy("week_start")
+    ranked = weekly.withColumn("rk", F.row_number().over(rank_w).cast("int"))
+    return (ranked.withColumn("prev_rk", F.lag("rk").over(lag_w).cast("int"))
+                  .where(F.col("rk") <= 5)
+                  .select("week_start", "p_brand", "revenue_micro", "rk",
+                          "prev_rk",
+                          (F.col("prev_rk") - F.col("rk")).cast("int")
+                           .alias("rank_gain")))
