@@ -200,3 +200,88 @@ def orders_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long_counts.unionByName(
         dup.select(F.lit("duplicate_orderkey").alias("rule"),
                    F.col("duplicate_orderkey").alias("n_violations")))
+
+
+# --------------------------------------------------------------------------
+# orders_snapshot_diff — table diff between two snapshots: the
+# reconciliation primitive behind CDC validation, backfill regression
+# checks, and blue/green cutover audits. Snapshot B derives from orders
+# by three deterministic mutations (hash-free, key-arithmetic only, so
+# both engines build the identical snapshot): orderkey % 20 == 3 gets a
+# 10% price bump (changed), orderkey % 25 == 7 is dropped (removed),
+# and orderkey % 100 == 11 is re-inserted under a fresh negative key
+# (added).
+#
+# Scale shape: ONE full-outer join on the primary key — each side
+# shuffles once (zero shuffles if both snapshots are bucketed on the
+# PK), with change classification as a projection over the join's
+# null-presence pattern. Value compare uses exact integer cents; the
+# summary is one tiny aggregate. No row-hash needed when columns are
+# few; wide tables swap the compare for md5(concat_ws(cols)) with the
+# same plan shape.
+# --------------------------------------------------------------------------
+@register("orders_snapshot_diff", oracle="""
+WITH a AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus
+  FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 3
+              THEN CAST(ROUND(o_totalprice * 110) AS BIGINT)
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 25 <> 7
+  UNION ALL
+  SELECT -o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT),
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 100 = 11),
+d AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.cents <> b.cents
+                OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS delta_cents
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(delta_cents) AS BIGINT) AS total_delta_cents
+FROM d GROUP BY change_type
+""")
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    a = base.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus")
+    bumped = F.when(F.col("o_orderkey") % 20 == 3,
+                    F.round(F.col("o_totalprice") * 110).cast("long")) \
+              .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+    b = (base.where(F.col("o_orderkey") % 25 != 7)
+             .select("o_orderkey", bumped.alias("cents"), "o_orderstatus")
+         .unionByName(
+             base.where(F.col("o_orderkey") % 100 == 11)
+                 .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                         F.round(F.col("o_totalprice") * 100).cast("long")
+                          .alias("cents"),
+                         "o_orderstatus")))
+    j = a.alias("a").join(b.alias("b"),
+                          F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+                          "full_outer")
+    change = (F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+               .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+               .when((F.col("a.cents") != F.col("b.cents"))
+                     | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+                     F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    delta = (F.coalesce(F.col("b.cents"), F.lit(0))
+             - F.coalesce(F.col("a.cents"), F.lit(0)))
+    return (j.select(change.alias("change_type"), delta.alias("delta_cents"))
+             .groupBy("change_type")
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum("delta_cents").cast("long")
+                   .alias("total_delta_cents")))

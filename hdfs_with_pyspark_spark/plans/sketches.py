@@ -232,3 +232,70 @@ def heavy_hitter_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      bool(r["exact_cnt"] <= est <= r["exact_cnt"] + bound)))
     return spark.createDataFrame(
         rows, "l_partkey long, exact_cnt long, cms_ok boolean")
+
+
+@register("rolling_distinct_users_audit", oracle="""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ev)
+SELECT w.day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM days w JOIN ev e ON e.day BETWEEN w.day - 6 AND w.day
+GROUP BY w.day
+""")
+def rolling_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    DISTINCT problem, which unlike rolling sums does NOT decompose over
+    days — solved both ways and audited:
+
+    * exact: every event fans out to the 7 window-days it contributes
+      to, then one COUNT(DISTINCT) per window-day. Correct, but the
+      fan-out is 7x the FACT table — at 100 TB this is the
+      calibration pass you run once.
+    * sketch: one HLL sketch per day (a single corpus aggregate), then
+      the 7-day window is a UNION of 7 day-sketches — the fan-out is
+      7x |days| CONSTANT-SIZE sketches, independent of corpus size.
+      This is the production path: daily sketch rollups answer any
+      trailing window (7d/28d/quarter) without touching events again.
+
+    The audit emits the exact counts (hash-matched against DuckDB's
+    range-join formulation) plus within-5%-bound flags on the sketch
+    estimates, asserted TRUE by the oracle — the same
+    evaluation-as-a-query contract as the other sketch audits.
+    """
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id")
+    daily = (ev.groupBy("day")
+               .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    days = daily.select("day").persist()
+    days.count()
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "rolling_distinct_days", days)
+
+    # Sketch path: |days| sketches fan to their 7 covering windows.
+    fan_sk = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+         .alias("wday"), "sk")
+    est = (fan_sk.join(F.broadcast(days.withColumnRenamed("day", "wday")),
+                       "wday")
+                 .groupBy("wday")
+                 .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                       .alias("est")))
+
+    # Exact path: the fact table fans to its 7 covering windows.
+    fan_ev = ev.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+         .alias("wday"), "user_id")
+    exact = (fan_ev.join(F.broadcast(days.withColumnRenamed("day", "wday")),
+                         "wday")
+                   .groupBy("wday")
+                   .agg(F.count_distinct("user_id").alias("exact_users")))
+
+    return (exact.join(est, "wday")
+                 .select(F.col("wday").alias("day"),
+                         F.col("exact_users").cast("long")
+                          .alias("exact_users"),
+                         _within(F.col("est"),
+                                 F.col("exact_users")).alias("hll_ok")))
