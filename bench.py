@@ -61,6 +61,12 @@ HEADLINE = [
     "multimodal_features",
     "stream_windowed_counts",
     "stream_session_stats",
+    # late round 3: the new capability families
+    "part_name_fuzzy_pairs",
+    "basket_part_affinity",
+    "nation_year_profit",
+    "rolling_distinct_users_audit",
+    "daily_peak_concurrency",
 ]
 
 

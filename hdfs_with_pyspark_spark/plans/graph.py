@@ -73,9 +73,30 @@ def _pin_result(spark: SparkSession, slot: str, result: DataFrame) -> None:
     prev = _LAST_RESULT.pop(key, None)
     if prev is not None:
         _drop(prev)
-    if len(_LAST_RESULT) >= 8:      # sessions come and go; stay bounded
+    if len(_LAST_RESULT) >= 16:     # sessions come and go; stay bounded
         _drop(_LAST_RESULT.pop(next(iter(_LAST_RESULT))))
     _LAST_RESULT[key] = result
+
+
+def _pinned_frame(spark: SparkSession, slot: str, build) -> DataFrame:
+    """Build-or-reuse a pinned, persisted frame per (session, slot).
+
+    Re-invoking a query must return the SAME DataFrame object, not
+    rebuild an identical-plan twin: Spark's cache manager dedups
+    persist() calls by logical plan, so a rebuilt twin maps onto the
+    existing cache entry — and _pin_result's release of the previous
+    frame would then evict the entry both share, leaving the "cached"
+    frame silently uncached. Callers embed everything the frame depends
+    on (sf_dir at minimum) in ``slot``.
+    """
+    key = (spark.sparkContext.applicationId, slot)
+    df = _LAST_RESULT.get(key)
+    if df is not None:
+        return df
+    df = build().persist()
+    df.count()
+    _pin_result(spark, slot, df)
+    return df
 
 
 def _sql_pagerank_ctes(cap: int | None = None) -> str:

@@ -269,10 +269,9 @@ def rolling_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "user_id")
     daily = (ev.groupBy("day")
                .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    days = daily.select("day").persist()
-    days.count()
-    from hdfs_with_pyspark_spark.plans.graph import _pin_result
-    _pin_result(spark, "rolling_distinct_days", days)
+    from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
+    days = _pinned_frame(spark, f"rolling_distinct_days:{sf_dir}",
+                         lambda: daily.select("day"))
 
     # Sketch path: |days| sketches fan to their 7 covering windows.
     fan_sk = daily.select(

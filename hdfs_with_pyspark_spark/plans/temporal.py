@@ -862,3 +862,93 @@ def weekly_brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "prev_rk",
                           (F.col("prev_rk") - F.col("rk")).cast("int")
                            .alias("rank_gain")))
+
+
+# --------------------------------------------------------------------------
+# daily_peak_concurrency — sweep-line interval analytics: the peak
+# number of SIMULTANEOUSLY active sessions per day (the capacity-
+# planning metric). Sessions come from the same >30-min-gap
+# sessionization as user_sessions; each session becomes a (+1 at start,
+# -1 at end) event pair, a per-day running sum sweeps the timeline, and
+# the day's max is the peak. A session is attributed to its START day
+# (the 30-min-gap sessions of this corpus essentially never straddle
+# midnight; a splitter would clip intervals at day bounds with the same
+# plan shape).
+#
+# Determinism: the sweep orders by (t, delta DESC) so simultaneous
+# starts count as concurrent before any end applies; equal-key rows are
+# interchangeable under a running sum, and both engines' default RANGE
+# frame treats them as peers identically — the per-day MAX is
+# partition-count invariant.
+#
+# Scale shape: sessionization is the one fact-table exchange
+# (hash(user_id)); the sweep runs over |sessions| * 2 boundary points
+# partitioned BY DAY — each day's timeline sorts independently, so no
+# global sort exists anywhere.
+# --------------------------------------------------------------------------
+@register("daily_peak_concurrency", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR DATE_DIFF('microseconds', LAG(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+iv AS (
+  SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+  FROM sessions GROUP BY user_id, session_id),
+pts AS (
+  SELECT CAST(st AS DATE) AS day, st AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT CAST(st AS DATE) AS day, en AS t, -1 AS delta FROM iv),
+run AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC)
+           AS concurrent
+  FROM pts)
+SELECT r.day,
+       CAST(MAX(r.concurrent) AS INT) AS peak_concurrency,
+       CAST((SELECT COUNT(*) FROM iv i WHERE CAST(i.st AS DATE) = r.day)
+            AS BIGINT) AS n_sessions
+FROM run r GROUP BY r.day
+""")
+def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    sessions = (events
+                .withColumn("new_session",
+                            F.when(gap_us.isNull()
+                                   | (gap_us > 1800 * 1000 * 1000), 1)
+                             .otherwise(0))
+                .withColumn("session_id",
+                            F.sum("new_session").over(
+                                w.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow))))
+    iv = (sessions.groupBy("user_id", "session_id")
+                  .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
+    pts = (iv.select(F.to_date("st").alias("day"), F.col("st").alias("t"),
+                     F.lit(1).alias("delta"))
+             .unionByName(
+                 iv.select(F.to_date("st").alias("day"),
+                           F.col("en").alias("t"),
+                           F.lit(-1).alias("delta"))))
+    sweep = Window.partitionBy("day").orderBy(F.col("t").asc(),
+                                              F.col("delta").desc())
+    run = pts.withColumn("concurrent", F.sum("delta").over(sweep))
+    peaks = (run.groupBy("day")
+                .agg(F.max("concurrent").cast("int")
+                      .alias("peak_concurrency")))
+    starts = (iv.groupBy(F.to_date("st").alias("day"))
+                .agg(F.count("*").alias("n_sessions")))
+    return (peaks.join(starts, "day")
+                 .select("day", "peak_concurrency",
+                         F.col("n_sessions").cast("long")
+                          .alias("n_sessions")))

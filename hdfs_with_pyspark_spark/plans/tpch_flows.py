@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdfs_with_pyspark_spark.plans.graph import _pin_result
+from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
 from hdfs_with_pyspark_spark.sources.io import read_table
 
@@ -608,15 +608,14 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      .where(F.col("n_name") == Q11_NATION)),
                          F.col("s_nationkey") == F.col("n_nationkey"))
                    .select("s_suppkey"))
-    v = (read_table(spark, sf_dir, "lineitem")
-         .select("l_partkey", "l_suppkey", _rev_micro().alias("rev"))
-         .join(F.broadcast(nation_supp),
-               F.col("l_suppkey") == F.col("s_suppkey"))
-         .groupBy("l_partkey")
-         .agg(F.sum("rev").cast("long").alias("value_micro"))
-         .persist())
-    v.count()
-    _pin_result(spark, "important_part_value_v", v)
+    v = _pinned_frame(
+        spark, f"important_part_value_v:{sf_dir}",
+        lambda: (read_table(spark, sf_dir, "lineitem")
+                 .select("l_partkey", "l_suppkey", _rev_micro().alias("rev"))
+                 .join(F.broadcast(nation_supp),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+                 .groupBy("l_partkey")
+                 .agg(F.sum("rev").cast("long").alias("value_micro"))))
     total = v.agg(F.sum("value_micro").alias("total"))
     return (v.crossJoin(F.broadcast(total))
              .where(F.col("value_micro") * Q11_SHARE_DENOM > F.col("total"))
@@ -663,16 +662,18 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (read_table(spark, sf_dir, "part")
             .where(F.col("p_name").startswith(Q20_NAME_PREFIX))
             .select("p_partkey"))
-    ps = (read_table(spark, sf_dir, "lineitem")
-          .where((F.col("l_shipdate") >= F.lit(Q20_START).cast("timestamp"))
-                 & (F.col("l_shipdate") < F.lit(Q20_END).cast("timestamp")))
-          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
-                .alias("qty"))
-          .persist())
-    ps.count()
-    _pin_result(spark, "dominant_part_suppliers_ps", ps)
+    ps = _pinned_frame(
+        spark, f"dominant_part_suppliers_ps:{sf_dir}",
+        lambda: (read_table(spark, sf_dir, "lineitem")
+                 .where((F.col("l_shipdate")
+                         >= F.lit(Q20_START).cast("timestamp"))
+                        & (F.col("l_shipdate")
+                           < F.lit(Q20_END).cast("timestamp")))
+                 .join(F.broadcast(part),
+                       F.col("l_partkey") == F.col("p_partkey"))
+                 .groupBy("l_partkey", "l_suppkey")
+                 .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                       .alias("qty"))))
     pt = (ps.groupBy("l_partkey")
             .agg(F.sum("qty").cast("long").alias("total_qty")))
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
