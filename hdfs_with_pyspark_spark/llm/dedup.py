@@ -879,3 +879,52 @@ from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
 )
 
 register_deferred_oracle("corpus_pipeline_funnel", _funnel_oracle)
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_recall_eval — evaluation-as-a-query for the NEAR-DUP path:
+# how much of the exact-Jaccard truth (dedup_ngram_jaccard) does the
+# banded MinHash pipeline (dedup_minhash_lsh) recover? The number that
+# justifies the banding parameters (32 hashes x 8 bands here) before a
+# 100 TB run — computed by joining the two REGISTERED queries' outputs,
+# with the oracle composing their SQL texts, so the metric itself is
+# oracle-checked (same contract as ann_lsh_recall_eval). Precision is
+# reported too and is 1 by construction (the LSH path exact-verifies
+# its candidates at the same threshold) — the eval would catch a
+# regression that broke the verify step.
+# --------------------------------------------------------------------------
+def _dedup_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH exact AS ({ORACLES["dedup_ngram_jaccard"]}),
+lsh AS ({ORACLES["dedup_minhash_lsh"]})
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT)   AS n_lsh_pairs,
+       CAST(COUNT(*) AS BIGINT)                     AS n_hit,
+       ROUND(COUNT(*) * 1.0 /
+             (SELECT COUNT(*) FROM exact), 4)       AS recall,
+       ROUND(COUNT(*) * 1.0 /
+             (SELECT COUNT(*) FROM lsh), 4)         AS precision
+FROM exact e JOIN lsh l
+  ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+"""
+
+
+@register("dedup_lsh_recall_eval", oracle=None)  # composed below
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh_pairs"))
+    n_hit = (exact.join(lsh, ["doc_a", "doc_b"])
+                  .agg(F.count("*").cast("long").alias("n_hit")))
+    return (n_exact.crossJoin(n_lsh).crossJoin(n_hit)  # three 1-row frames
+            .select("n_exact_pairs", "n_lsh_pairs", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_exact_pairs"), 4)
+                     .alias("recall"),
+                    F.round(F.col("n_hit") / F.col("n_lsh_pairs"), 4)
+                     .alias("precision")))
+
+
+register_deferred_oracle("dedup_lsh_recall_eval", _dedup_recall_oracle)
