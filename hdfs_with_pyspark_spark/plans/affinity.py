@@ -67,17 +67,17 @@ _FUZZY_PAIRS_SQL = f"""
 """
 
 
-def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-band blocked fuzzy pairs over the distinct-name spine.
+def blocked_fuzzy_pairs(names: DataFrame,
+                        max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+    """Length-band blocked fuzzy pairs over a (p_name, n_parts) spine.
 
     Exactness: levenshtein(a, b) <= K requires abs(len(a) - len(b))
     <= K, so fanning each name out to the K-neighborhood of its length
     and equi-joining on the banded length loses no qualifying pair; a
     pair is generated exactly once (probe side fans, build side
-    doesn't, orientation a < b dedups).
+    doesn't, orientation a < b dedups). Property-tested against a
+    brute-force Python model in tests/test_properties.py.
     """
-    names = (read_table(spark, sf_dir, "part")
-             .groupBy("p_name").agg(F.count("*").alias("n_parts")))
     build = names.select(
         F.col("p_name").alias("name_b"),
         F.col("n_parts").alias("n_parts_b"),
@@ -85,14 +85,14 @@ def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = names.select(
         F.col("p_name").alias("name_a"),
         F.col("n_parts").alias("n_parts_a"),
-        F.explode(F.sequence(F.length("p_name") - FUZZY_MAX_DIST,
-                             F.length("p_name") + FUZZY_MAX_DIST))
+        F.explode(F.sequence(F.length("p_name") - max_dist,
+                             F.length("p_name") + max_dist))
          .alias("len_b"))
     return (probe.join(build, "len_b")
                  .where(F.col("name_a") < F.col("name_b"))
                  .withColumn("lev_dist",
                              F.levenshtein("name_a", "name_b"))
-                 .where(F.col("lev_dist") <= FUZZY_MAX_DIST)
+                 .where(F.col("lev_dist") <= max_dist)
                  .select("name_a", "name_b",
                          F.col("lev_dist").cast("int").alias("lev_dist"),
                          "n_parts_a", "n_parts_b"))
@@ -111,7 +111,9 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed analytically by the length bound).
     """
     ensure_session(spark)
-    return _fuzzy_pairs(spark, sf_dir)
+    names = (read_table(spark, sf_dir, "part")
+             .groupBy("p_name").agg(F.count("*").alias("n_parts")))
+    return blocked_fuzzy_pairs(names)
 
 
 @register("basket_part_affinity", oracle=f"""
@@ -223,7 +225,9 @@ def fuzzy_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     against each other.
     """
     ensure_session(spark)
-    edges = _fuzzy_pairs(spark, sf_dir).select("name_a", "name_b")
+    names = (read_table(spark, sf_dir, "part")
+             .groupBy("p_name").agg(F.count("*").alias("n_parts")))
+    edges = blocked_fuzzy_pairs(names).select("name_a", "name_b")
     view = "fuzzy_edges_recursive_src"
     edges.createOrReplaceTempView(view)
     return spark.sql(f"""

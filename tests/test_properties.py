@@ -334,3 +334,71 @@ def test_sole_late_blame_matches_correlated_model(spark, monkeypatch, lines):
             blame[s] = blame.get(s, 0) + 1
     want = {(f"s{s}", n) for s, n in blame.items()}
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook DP Levenshtein — the model for the blocked fuzzy join."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(names=st.sets(st.text(alphabet="abc", min_size=0, max_size=6),
+                     min_size=1, max_size=10),
+       max_dist=st.integers(1, 3))
+def test_blocked_fuzzy_pairs_match_bruteforce(spark, names, max_dist):
+    # The length-band blocking must be EXACT: every pair within
+    # levenshtein max_dist appears exactly once (a < b orientation),
+    # nothing else appears, whatever the length distribution — including
+    # empty strings and bands hanging below length 0.
+    from hdfs_with_pyspark_spark.plans.affinity import blocked_fuzzy_pairs
+    df = spark.createDataFrame([(n, 1) for n in names],
+                               "p_name string, n_parts long")
+    got = {(r["name_a"], r["name_b"]): r["lev_dist"]
+           for r in blocked_fuzzy_pairs(df, max_dist=max_dist).collect()}
+    ns = sorted(names)
+    want = {}
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            d = _lev(a, b)
+            if d <= max_dist:
+                want[(a, b)] = d
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ivs=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                              st.integers(0, 30)),
+                    min_size=1, max_size=12))
+def test_sweepline_peak_matches_interval_model(spark, ivs):
+    # The day-partitioned sweep (+1 at start, -1 at end, ORDER BY
+    # t, delta DESC, default RANGE frame) must equal the brute-force
+    # interval-overlap maximum: peak(day) = max over boundary instants
+    # of #{intervals covering it}, with touching intervals concurrent.
+    rows = [(d, s, s + dur) for d, s, dur in ivs]
+    df = spark.createDataFrame(rows, "day int, st long, en long")
+    pts = (df.select("day", F.col("st").alias("t"), F.lit(1).alias("delta"))
+             .unionByName(df.select("day", F.col("en").alias("t"),
+                                    F.lit(-1).alias("delta"))))
+    from pyspark.sql import Window
+    sweep = Window.partitionBy("day").orderBy(F.col("t").asc(),
+                                              F.col("delta").desc())
+    got = {r["day"]: r["peak"]
+           for r in pts.withColumn("c", F.sum("delta").over(sweep))
+                       .groupBy("day").agg(F.max("c").alias("peak"))
+                       .collect()}
+    want = {}
+    for day in {d for d, _, _ in rows}:
+        day_ivs = [(s, e) for d, s, e in rows if d == day]
+        peak = max(sum(1 for s2, e2 in day_ivs if s2 <= t <= e2)
+                   for s, _ in day_ivs for t in [s])
+        want[day] = peak
+    assert got == want
