@@ -1168,3 +1168,101 @@ from hdfs_with_pyspark_spark.plans.registry import ORACLES as _OR  # noqa: E402
 
 _OR["ann_lsh_recall_eval"] = _recall_oracle()
 _OR["ann_pq_recall_eval"] = _pq_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# ann_topk_int8 — the quantized search path that completes the
+# embedding_quantize story: per-vector affine int8 codes (the 4x-smaller
+# stored form) searched DIRECTLY in the integer domain — the score is
+# the raw int8 x int8 dot product, summed exactly in 64-bit integers,
+# so the ranking is bit-identical across engines and partition layouts
+# (no float anywhere until nothing is left to round). At 100 TB the
+# scan reads ~1/4 the bytes of the float corpus and the SIMD integer
+# dot is the cheapest kernel a vector store has; the recall cost of
+# ranking by unscaled affine codes is measured by ann_int8_recall_eval
+# (same evaluation-as-a-query contract as the LSH/PQ evals).
+# --------------------------------------------------------------------------
+_SQL_Q_CASE = ("CASE WHEN hi = lo THEN 0 "
+               "ELSE ROUND((x - lo) / (hi - lo) * 254) - 127 END")
+
+
+def _sql_int_dot(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Unrolled exact integer dot product (Spark side; 1-based)."""
+    terms = " + ".join(
+        f"coalesce(try_element_at({a}, {i}) * try_element_at({b}, {i}), 0)"
+        for i in range(1, dim + 1))
+    return f"(0 + {terms})"
+
+
+@register("ann_topk_int8", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM v),
+q AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+             CAST({_SQL_Q_CASE.replace('x', 'unnest(v)')} AS BIGINT) AS qv
+      FROM b),
+s AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(a.qv * c.qv) AS BIGINT) AS dot_int
+      FROM q a JOIN q c ON a.dim = c.dim AND c.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+      GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dot_int DESC, neighbor_id ASC)
+                AS rank
+      FROM s)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dot_int
+FROM r WHERE rank <= {TOP_K}
+""")
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    qarr = F.expr(
+        "transform(v, x -> CAST("
+        "CASE WHEN hi = lo THEN 0 "
+        "ELSE ROUND((x - lo) / (hi - lo) * 254) - 127 END AS BIGINT))")
+    coded = (v.select("vec_id", "v",
+                      F.array_min("v").alias("lo"),
+                      F.array_max("v").alias("hi"))
+              .select("vec_id", qarr.alias("qv")))
+    probes = coded.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"))
+    scored = (F.broadcast(probes)
+              .join(coded, F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.expr(_sql_int_dot("qq", "qv")).cast("long")
+                       .alias("dot_int")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_int").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "dot_int"))
+
+
+def _int8_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+SELECT bf.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(i.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+FROM ({ORACLES["ann_topk_bruteforce"]}) bf
+LEFT JOIN ({ORACLES["ann_topk_int8"]}) i
+  ON i.query_id = bf.query_id AND i.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ann_int8_recall_eval", oracle=None)  # composed below
+def ann_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the integer-domain int8 ranking vs the exact float
+    cosine top-K — the number that prices the 4x storage saving."""
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    i8 = (ann_topk_int8(spark, sf_dir)
+          .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    return (bf.join(i8, ["query_id", "neighbor_id"], "left")
+              .groupBy("query_id")
+              .agg(F.count("__hit").cast("long").alias("n_hit"),
+                   F.round(F.count("__hit") / TOP_K, 4)
+                    .alias("recall_at_k")))
+
+
+_OR["ann_int8_recall_eval"] = _int8_recall_oracle()
