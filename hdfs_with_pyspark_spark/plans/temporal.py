@@ -952,3 +952,71 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("day", "peak_concurrency",
                          F.col("n_sessions").cast("long")
                           .alias("n_sessions")))
+
+
+# --------------------------------------------------------------------------
+# purchase_attribution — last-touch marketing attribution: each purchase
+# is credited to the user's most recent click no older than the
+# attribution horizon (7 days). Composes the engine's scalable as-of
+# join (union + last-ignorenulls, ONE shuffle on user_id — see
+# operators/asof.py) with a horizon POST-FILTER: the as-of match is the
+# latest click ever, and the window test then decides attributed vs
+# organic — no inequality join anywhere. Clicks pre-dedupe to distinct
+# (user, ts), making the as-of pick well-defined (the operator's
+# uniqueness contract); attribution rate is exact integer ppm.
+#
+# At 100 TB: |purchases| + |clicks| rows through one exchange, a
+# per-key ordered pass, then a |days|-sized aggregate. The oracle uses
+# DuckDB's native ASOF JOIN — the rewrite's equivalence is itself what
+# the gate checks.
+# --------------------------------------------------------------------------
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1000 * 1000  # 7 days in microseconds
+
+
+@register("purchase_attribution", oracle=f"""
+WITH purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT DISTINCT user_id, ts AS click_ts FROM events
+  WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.ts, c.click_ts
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(CASE WHEN DATE_DIFF('microseconds', click_ts, ts)
+                            <= {ATTR_WINDOW_US} THEN 1 END) AS BIGINT)
+         AS n_attributed,
+       CAST((1000000 * COUNT(CASE WHEN DATE_DIFF('microseconds',
+                                                 click_ts, ts)
+                                       <= {ATTR_WINDOW_US} THEN 1 END))
+            // COUNT(*) AS BIGINT) AS attribution_ppm
+FROM j GROUP BY CAST(ts AS DATE)
+""")
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.operators.asof import asof_join
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts")
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("click_ts"))
+                .distinct()
+                .withColumn("click_ts_v", F.col("click_ts")))
+    j = asof_join(purchases, clicks, on=["user_id"],
+                  left_ts="ts", right_ts="click_ts",
+                  value_cols=["click_ts_v"])
+    in_window = (F.timestamp_diff("MICROSECOND", F.col("click_ts_v"),
+                                  F.col("ts")) <= ATTR_WINDOW_US)
+    attributed = F.count(F.when(in_window, F.lit(1)))
+    return (j.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n_purchases"),
+                  attributed.alias("n_attributed"))
+             .select("day",
+                     F.col("n_purchases").cast("long").alias("n_purchases"),
+                     F.col("n_attributed").cast("long").alias("n_attributed"),
+                     F.expr("(1000000 * n_attributed) div n_purchases")
+                      .cast("long").alias("attribution_ppm")))
