@@ -154,12 +154,17 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session(spark)
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    items = (read_table(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey")
-             .join(F.broadcast(part),
-                   F.col("l_partkey") == F.col("p_partkey"))
-             .select("l_orderkey", "p_name")
-             .distinct())
+    # The distinct (order, item) frame is the REDUCED form every stage
+    # consumes (frequent-set build + both pair sides) — the C1 persist
+    # idiom; narrow two-column cache, one distinct instead of three.
+    items = _pinned_frame(
+        spark, f"basket_part_affinity_items:{sf_dir}",
+        lambda: (read_table(spark, sf_dir, "lineitem")
+                 .select("l_orderkey", "l_partkey")
+                 .join(F.broadcast(part),
+                       F.col("l_partkey") == F.col("p_partkey"))
+                 .select("l_orderkey", "p_name")
+                 .distinct()))
     n_orders = items.agg(
         F.count_distinct("l_orderkey").alias("n"))
     # The frequent-item set is item-sized (tiny) but derives from a full

@@ -92,7 +92,23 @@ def _pinned_frame(spark: SparkSession, slot: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, slot)
     df = _LAST_RESULT.get(key)
     if df is not None:
-        return df
+        try:
+            # NOT df.is_cached — that flag stays True after
+            # spark.catalog.clearCache(); the storage level is what
+            # actually reports whether the data can still be served.
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                return df
+        except Exception:
+            pass
+        # Evicted externally (spark.catalog.clearCache() — e.g. the
+        # bench does this between runs). unpersist() resets the RDD's
+        # storage level to NONE, so the old frame would recompute per
+        # consumer forever; rebuild instead. Drop the registry entry
+        # WITHOUT unpersisting — its cache data is already gone, and an
+        # unpersist-by-plan here would evict the rebuild's entry, which
+        # shares the same logical plan.
+        _LAST_RESULT.pop(key, None)
     df = build().persist()
     df.count()
     _pin_result(spark, slot, df)

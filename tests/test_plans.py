@@ -748,3 +748,51 @@ def test_q20_dominance_reaggregates_cached_ps_frame(spark, sf_dir):
     scans = [ln for ln in plan.splitlines()
              if "Location" in ln and "lineitem" in ln]
     assert len(scans) <= 1
+
+
+def test_markov_transitions_no_cartesian_two_windows(spark, sf_dir):
+    # event_transition_matrix: lag window over the fact exchange, then
+    # everything downstream on the |types|^2 matrix — one lag window,
+    # one row-normalization window, no join anywhere.
+    plan = explain(spark, "event_transition_matrix", sf_dir)
+    assert n_nodes(plan, "Window") == 2
+    assert not re.search(r"^\(\d+\) \w*Join", plan, flags=re.M)
+
+
+def test_attribution_is_joinless_asof(spark, sf_dir):
+    # purchase_attribution composes the union + last-ignorenulls as-of
+    # rewrite: the horizon test is a post-filter projection, so the
+    # whole plan must contain NO join node (an ASOF expressed as an
+    # inequality join would fan out per user).
+    plan = explain(spark, "purchase_attribution", sf_dir)
+    assert n_nodes(plan, "Window") == 1
+    assert not re.search(r"^\(\d+\) \w*Join", plan, flags=re.M)
+
+
+def test_rolling_distinct_sketch_path_broadcasts_day_spine(spark, sf_dir):
+    # rolling_distinct_users_audit: the sketch fan-out joins the tiny
+    # day spine via broadcast (never a shuffle of the sketch stream on
+    # the spine), and the HLL aggregation is the object-hash partial
+    # shape so constant sketch bytes cross the wire.
+    plan = explain(spark, "rolling_distinct_users_audit", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_scan_broadcasts_query_codes(spark, sf_dir):
+    # ann_topk_int8: the N_QUERIES code vectors broadcast onto the
+    # corpus scan; the integer dot never shuffles the corpus.
+    plan = explain(spark, "ann_topk_int8", sf_dir)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark, sf_dir):
+    # orders_snapshot_diff: exactly one join in the plan, and it is the
+    # full-outer PK join — classification is a projection over its
+    # null pattern, never a second pass.
+    plan = explain(spark, "orders_snapshot_diff", sf_dir)
+    joins = re.findall(r"^\(\d+\) (\w*Join\w*)", plan, flags=re.M)
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan
