@@ -1145,3 +1145,51 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM __docs_for_udtf d, "
         "LATERAL sentence_split(d.doc_id, d.text) s")
+
+
+# --------------------------------------------------------------------------
+# corpus_weighted_sample — deterministic WEIGHTED sampling without RNG:
+# the A-ES / A-ExpJ scheme (Efraimidis & Spirakis 2006) with the uniform
+# drawn from the corpus's own content hash. Each doc gets
+# u = (hash64(salt || doc_id) + 1) / 2^60 in (0, 1] and priority
+# -ln(u) / weight; the k smallest priorities ARE a weighted sample
+# without replacement (longer docs proportionally more likely) — the
+# mixture-construction primitive when sources should be sampled by
+# token mass rather than uniformly (complements corpus_mixture_sample's
+# exact per-source epoch weighting).
+#
+# Determinism: the hash is the engine-shared 60-bit md5 prefix, the
+# division and negation are exactly-specified IEEE ops, and ln differs
+# across libms by <= 1 ulp — ROUND(priority, 9) absorbs that (a flip
+# would need a value within 5e-10 of a rounding boundary), with doc_id
+# as the total-order tie-break. Scale shape: pure map + global top-k =
+# per-partition heaps + k-row driver merge (TakeOrderedAndProject), the
+# same no-global-sort plan the ranking queries pin in tests.
+# --------------------------------------------------------------------------
+WS_SALT = "ws1:"
+WS_K = 100
+_WS_POW60 = float(1 << 60)
+
+
+@register("corpus_weighted_sample", oracle=f"""
+SELECT doc_id, n_chars,
+       ROUND(-ln((CAST(('0x' || substr(md5('{WS_SALT}' ||
+                                       CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) + 1) / {_WS_POW60!r})
+             / n_chars, 9) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority ASC, doc_id ASC
+LIMIT {WS_K}
+""")
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = ((hash64(F.concat(F.lit(WS_SALT),
+                          F.col("doc_id").cast("string"))) + 1)
+         / F.lit(_WS_POW60))
+    priority = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (docs.where(F.col("n_chars") > 0)
+                .select("doc_id", "n_chars", priority.alias("priority"))
+                .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+                .limit(WS_K))
