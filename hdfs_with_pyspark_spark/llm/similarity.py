@@ -1266,3 +1266,168 @@ def ann_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["ann_int8_recall_eval"] = _int8_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# ann_topk_mmr — Maximal Marginal Relevance re-ranking (Carbonell &
+# Goldstein, SIGIR 1998): from each query's top-C exact candidates,
+# greedily select K results maximizing
+#   score(c) = (7*rel(c) - 3*max_{s in selected} sim(c, s)) / 10
+# (lambda = 0.7) — the standard diversity re-rank between retrieval and
+# prompt assembly in RAG stacks (near-duplicate passages waste context).
+#
+# Shape: candidate generation is the broadcast-query exact scan; the
+# greedy loop runs per query INSIDE a grouped applyInPandas — C is
+# small by construction (the re-rank shortlist), so the K*C^2 greedy is
+# per-group constant work, embarrassingly parallel across queries. The
+# oracle unrolls the K greedy steps as CTE stages (the kmeans/PQ
+# unrolling idiom).
+#
+# Determinism across engines: rel and the pairwise sims are rounded to
+# 6dp from IDENTICAL left-associative dot products (the pandas loop
+# accumulates sequentially, exactly like list_dot_product / the
+# unrolled SQL dot), the lambda mix uses integer literals over already-
+# rounded inputs (exactly-specified IEEE ops), and every argmax
+# tie-breaks on neighbor_id.
+# --------------------------------------------------------------------------
+MMR_K = 4
+MMR_C = 12
+
+
+def _sql_mmr_steps() -> str:
+    steps = []
+    for i in range(1, MMR_K + 1):
+        if i == 1:
+            steps.append(f"""
+s1 AS (
+  SELECT query_id, neighbor_id, rel AS score FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id ASC) AS rn
+    FROM mcands) WHERE rn = 1)""")
+            continue
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{j}" for j in range(1, i))
+        steps.append(f"""
+sel{i - 1} AS ({sel_union}),
+sc{i} AS (
+  SELECT c.query_id, c.neighbor_id,
+         (7 * c.rel - 3 * MAX(p.sim)) / 10.0 AS score
+  FROM mcands c
+  JOIN sel{i - 1} s ON s.query_id = c.query_id
+  JOIN msims p ON p.query_id = c.query_id
+             AND p.a = c.neighbor_id AND p.b = s.neighbor_id
+  WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel{i - 1} z
+                              WHERE z.query_id = c.query_id)
+  GROUP BY c.query_id, c.neighbor_id, c.rel),
+s{i} AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM sc{i}) WHERE rn = 1)""")
+    return ",".join(steps)
+
+
+_SQL_MMR_OUT = " UNION ALL ".join(
+    f"SELECT query_id, {i} AS position, neighbor_id, ROUND(score, 6) "
+    f"AS mmr_score FROM s{i}" for i in range(1, MMR_K + 1))
+
+
+@register("ann_topk_mmr", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM v),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v) / (q.nv * c.nv), 6) AS rel,
+         c.v AS v, c.nv AS nv
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+mcands AS (
+  SELECT query_id, neighbor_id, rel, v, nv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, neighbor_id ASC) AS rn
+    FROM sc) WHERE rn <= {MMR_C}),
+msims AS (
+  SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+         ROUND(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS sim
+  FROM mcands a JOIN mcands b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+{_sql_mmr_steps()}
+SELECT query_id, CAST(position AS INT) AS position, neighbor_id,
+       mmr_score
+FROM ({_SQL_MMR_OUT})
+""")
+def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    import pandas as pd
+
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"))
+    scored = (F.broadcast(q)
+              .join(v, F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6)
+                       .alias("rel"),
+                      "v", "nv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(),
+                                               F.col("neighbor_id").asc())
+    cands = (scored.withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") <= MMR_C)
+                   .select("query_id", "neighbor_id", "rel", "v", "nv"))
+
+    def _round6(x: float) -> float:
+        # HALF_UP away from zero, matching Spark/DuckDB ROUND (Python's
+        # round() is banker's and would diverge at exact boundaries).
+        import math
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    def _seq_dot(a, b) -> float:
+        # Sequential left-associative accumulation — bit-identical to
+        # list_dot_product / the unrolled SQL dot.
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
+        ids = list(pdf["neighbor_id"])
+        rel = dict(zip(ids, pdf["rel"]))
+        vecs = {r.neighbor_id: (list(r.v), float(r.nv))
+                for r in pdf.itertuples()}
+        sim = {}
+        for a in ids:
+            for b in ids:
+                if a != b:
+                    va, na = vecs[a]
+                    vb, nb = vecs[b]
+                    sim[(a, b)] = _round6(_seq_dot(va, vb) / (na * nb))
+        selected, rows = [], []
+        qid = int(pdf["query_id"].iloc[0])
+        for pos in range(1, MMR_K + 1):
+            best = None
+            for c in ids:
+                if c in selected:
+                    continue
+                if not selected:
+                    score = rel[c]
+                else:
+                    score = (7 * rel[c]
+                             - 3 * max(sim[(c, s)] for s in selected)) / 10.0
+                # tie-break: higher score, then smaller neighbor_id
+                # (ids iterate ascending, so strict > keeps the smaller)
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            rows.append((qid, pos, int(best[0]), _round6(best[1])))
+        return pd.DataFrame(rows, columns=["query_id", "position",
+                                           "neighbor_id", "mmr_score"])
+
+    return cands.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, position int, neighbor_id long, mmr_score double")
