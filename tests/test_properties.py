@@ -402,3 +402,39 @@ def test_sweepline_peak_matches_interval_model(spark, ivs):
                    for s, _ in day_ivs for t in [s])
         want[day] = peak
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                                 st.sampled_from("abc")),
+                       min_size=1, max_size=25, unique_by=lambda e: (e[0], e[1])))
+def test_markov_transition_algebra_matches_model(spark, events):
+    # The lag-then-count transition build must equal the Python model:
+    # per user, sort by (ts, event_id), count adjacent type pairs; the
+    # ppm normalization is exact integer division per prev-type row.
+    from pyspark.sql import Window
+    rows = [(u, t, t, ty) for (u, t, ty) in events]  # event_id = ts (unique per user)
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_id long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (df.withColumn("prev", F.lag("event_type").over(w))
+               .where(F.col("prev").isNotNull())
+               .groupBy("prev", "event_type").agg(F.count("*").alias("n"))
+               .withColumn("ppm", F.expr(
+                   "(1000000 * n) div sum(n) over (partition by prev)")))
+    got = {(r["prev"], r["event_type"]): (r["n"], r["ppm"])
+           for r in trans.collect()}
+    from collections import defaultdict
+    cnt = defaultdict(int)
+    by_user = defaultdict(list)
+    for u, t, ty in events:
+        by_user[u].append((t, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, a), (_, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] += 1
+    row_tot = defaultdict(int)
+    for (a, _), n in cnt.items():
+        row_tot[a] += n
+    want = {k: (n, (1000000 * n) // row_tot[k[0]]) for k, n in cnt.items()}
+    assert got == want
