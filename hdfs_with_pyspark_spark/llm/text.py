@@ -1193,3 +1193,98 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "n_chars", priority.alias("priority"))
                 .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
                 .limit(WS_K))
+
+
+# --------------------------------------------------------------------------
+# text_repeated_spans — EXACT-SUBSTRING dedup signal (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find
+# character spans of length >= SPAN_L repeated across documents and
+# report each doc's repeated-span coverage — the signal that drives
+# span-level (not doc-level) dedup of boilerplate, licenses, and
+# templated content that whole-doc near-dup misses.
+#
+# Shape (the paper's suffix-automaton pass re-expressed relationally):
+# every doc explodes into its |text| overlapping SPAN_L-char grams
+# (map-side), the inverted index groups on the engine-shared 60-bit
+# gram hash (THE corpus shuffle — identical in both engines, so any
+# hash collision merges identically and the oracle stays exact), and
+# positions whose gram occurs in >= 2 docs are repeated. Per-doc
+# coverage needs the UNION of fixed-length intervals [p, p+L-1]: sorted
+# by p, that is exactly L for the first interval plus
+# min(p_i - p_{i-1}, L) for each subsequent one — a lag window per
+# doc, no sweep state needed.
+#
+# At 100 TB the gram explode is |corpus chars| rows of (hash, doc, pos)
+# — big but narrow and map-generated; the group-by is one shuffle, and
+# the doc-frequency filter reduces everything after it to the repeated
+# tail. Coverage ppm is exact integer division.
+# --------------------------------------------------------------------------
+SPAN_L = 40
+
+_SQL_GRAM_HASH = ("CAST(('0x' || substr(md5(substr(text, p, "
+                  f"{SPAN_L})), 1, 15)) AS BIGINT)")
+
+
+@register("text_repeated_spans", oracle=f"""
+WITH g AS (
+  SELECT doc_id, p, {_SQL_GRAM_HASH} AS h
+  FROM documents
+  CROSS JOIN LATERAL (SELECT UNNEST(GENERATE_SERIES(1,
+                        n_chars - {SPAN_L - 1})) AS p) t
+  WHERE n_chars >= {SPAN_L}),
+rep AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+pos AS (
+  SELECT g.doc_id, g.p,
+         LAG(g.p) OVER (PARTITION BY g.doc_id ORDER BY g.p) AS prev_p
+  FROM g JOIN rep USING (h)),
+cov AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_repeated_positions,
+         CAST(SUM(CASE WHEN prev_p IS NULL THEN {SPAN_L}
+                       ELSE LEAST(p - prev_p, {SPAN_L}) END) AS BIGINT)
+           AS covered_chars
+  FROM pos GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.n_repeated_positions, 0) AS n_repeated_positions,
+       COALESCE(c.covered_chars, 0) AS covered_chars,
+       CAST((1000000 * COALESCE(c.covered_chars, 0)) // d.n_chars
+            AS BIGINT) AS coverage_ppm
+FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+""")
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    grams = (docs.where(F.col("n_chars") >= SPAN_L)
+                 .select("doc_id",
+                         F.explode(F.sequence(
+                             F.lit(1),
+                             F.col("n_chars") - (SPAN_L - 1))).alias("p"),
+                         "text")
+                 .select("doc_id", "p",
+                         hash64(F.expr(f"substring(text, p, {SPAN_L})"))
+                         .alias("h")))
+    rep = (grams.groupBy("h")
+                .agg(F.count_distinct("doc_id").alias("nd"))
+                .where(F.col("nd") >= 2)
+                .select("h"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    pos = (grams.join(rep, "h")
+                .withColumn("prev_p", F.lag("p").over(w)))
+    contrib = (F.when(F.col("prev_p").isNull(), F.lit(SPAN_L))
+                .otherwise(F.least(F.col("p") - F.col("prev_p"),
+                                   F.lit(SPAN_L))))
+    cov = (pos.groupBy("doc_id")
+              .agg(F.count("*").alias("n_repeated_positions"),
+                   F.sum(contrib).cast("long").alias("covered_chars")))
+    return (docs.select("doc_id", "n_chars")
+                .join(cov, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("n_repeated_positions", F.lit(0))
+                         .cast("long").alias("n_repeated_positions"),
+                        F.coalesce("covered_chars", F.lit(0)).cast("long")
+                         .alias("covered_chars"),
+                        F.expr("(1000000 * coalesce(covered_chars, 0)) "
+                               "div n_chars").cast("long")
+                         .alias("coverage_ppm")))
