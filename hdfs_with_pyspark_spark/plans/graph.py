@@ -344,3 +344,117 @@ def channel_triangles(spark: SparkSession, sf_dir: str,
     edges.unpersist()
     _pin_result(spark, "channel_triangles", out)
     return out
+
+
+# --------------------------------------------------------------------------
+# channel_kcore — k-core decomposition of the (capped) co-membership
+# graph by iterative peeling: drop nodes with degree < K, recompute,
+# repeat. The community-detection / spam-filtering primitive: the
+# k-core is the maximal subgraph where everyone keeps >= K neighbors
+# AFTER the weakly-connected fringe is removed — node degree alone
+# cannot compute it (peeling cascades; K=60 on this corpus takes 4
+# rounds to settle).
+#
+# Shape: like PageRank, statically unrolled BSP rounds — each round is
+# ONE degree aggregate over the current edge set plus two semi-joins
+# shrinking it; edges only ever shrink, so round cost is monotone
+# non-increasing. The oracle unrolls the same rounds as CTE stages.
+# ``converged`` is TRUE iff the last two node sets match (fixpoint
+# reached within KCORE_ROUNDS — true at the gate sf; at other scales
+# the flag honestly reports a pre-fixpoint exit, and both engines
+# compute the same rounds either way).
+# --------------------------------------------------------------------------
+KCORE_K = 60
+KCORE_ROUNDS = 4
+
+_SQL_KCORE_EDGES = f"""
+subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+e0 AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id < b.user_id)"""
+
+
+def _sql_kcore_rounds() -> str:
+    steps = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+n{i} AS (
+  SELECT x AS user_id
+  FROM (SELECT u AS x FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+  GROUP BY x HAVING COUNT(*) >= {KCORE_K}),
+e{i} AS (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN n{i} a ON a.user_id = e.u
+  JOIN n{i} b ON b.user_id = e.v)""")
+    return ",".join(steps)
+
+
+@register("channel_kcore", oracle=f"""
+WITH {_SQL_KCORE_EDGES},
+{_sql_kcore_rounds()}
+SELECT x AS user_id, CAST(COUNT(*) AS BIGINT) AS core_degree,
+       (SELECT COUNT(*) FROM n{KCORE_ROUNDS})
+         = (SELECT COUNT(*) FROM n{KCORE_ROUNDS - 1}) AS converged
+FROM (SELECT u AS x FROM e{KCORE_ROUNDS}
+      UNION ALL SELECT v FROM e{KCORE_ROUNDS})
+GROUP BY x
+""")
+def channel_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup")
+                     & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+    capped = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                  .where(F.col("__rn") <= PR_CHANNEL_CAP)
+                  .drop("__rn"))
+    edges = (capped.alias("a")
+             .join(capped.alias("b"), "channel")
+             .where(F.col("a.user_id") < F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct())
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (e.select(F.col("u").alias("x"))
+                 .unionByName(e.select(F.col("v").alias("x")))
+                 .groupBy("x").agg(F.count("*").alias("d")))
+
+    # Each round's frame references the previous round's TWICE (degree
+    # union + edge filter), so the raw lineage tree doubles per round —
+    # by round 4 even rendering the plan string OOMs the driver. An
+    # EAGER localCheckpoint per round cuts the lineage to the
+    # materialized blocks (the same reason iterative GraphX/ML code
+    # checkpoints); on a cluster with flaky executors, point
+    # sparkContext.setCheckpointDir at durable storage and use
+    # checkpoint() for the identical shape.
+    e = edges.localCheckpoint(eager=True)
+    n_count = prev_count = None
+    for _ in range(KCORE_ROUNDS):
+        nodes = (degrees(e).where(F.col("d") >= KCORE_K)
+                 .select("x").localCheckpoint(eager=True))
+        e = (e.join(nodes.withColumnRenamed("x", "u"), "u")
+              .join(nodes.withColumnRenamed("x", "v"), "v")
+              .select("u", "v").localCheckpoint(eager=True))
+        prev_count, n_count = n_count, nodes.count()
+    converged = (prev_count is not None and n_count == prev_count)
+    return (degrees(e)
+            .select(F.col("x").alias("user_id"),
+                    F.col("d").cast("long").alias("core_degree"),
+                    F.lit(bool(converged)).alias("converged")))
