@@ -1226,3 +1226,101 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("*").alias("n_customers"),
                        F.sum("monetary_cents").cast("long")
                         .alias("total_monetary_cents")))
+
+
+# --------------------------------------------------------------------------
+# order_value_drift — distribution-drift audit (the training-data /
+# segment-monitoring primitive): for each order priority, the maximum
+# gap between its order-value CDF and the GLOBAL CDF, evaluated at the
+# global deciles — a KS-style statistic restricted to 9 exact probe
+# points so the whole computation stays integer-exact (no density
+# estimation, no float CDFs: the compare is |c_g * N - c_all * n_g|
+# by cross-multiplication).
+#
+# Shape: deciles come from one exact PERCENTILE_DISC pass (discrete —
+# picks real data values, engine-identical on integer cents); the
+# 9-value cutpoint row broadcasts onto ONE fact scan that computes all
+# 9 running counts per group as conditional sums (no 9x fan-out of the
+# fact table); the global row re-aggregates the per-group counts. At
+# 100 TB: one percentile pass + one grouped scan, both
+# partial-before-exchange.
+# --------------------------------------------------------------------------
+_DRIFT_DECILES = [i / 10 for i in range(1, 10)]
+
+
+@register("order_value_drift", oracle=f"""
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+cuts AS (
+  SELECT {", ".join(
+      f"PERCENTILE_DISC({p}) WITHIN GROUP (ORDER BY cents) AS c{i}"
+      for i, p in enumerate(_DRIFT_DECILES, 1))}
+  FROM o),
+per_grp AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         {", ".join(
+      f"CAST(COUNT(CASE WHEN cents <= c{i} THEN 1 END) AS BIGINT) AS le{i}"
+      for i in range(1, 10))}
+  FROM o CROSS JOIN cuts GROUP BY grp),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+         {", ".join(f"CAST(SUM(le{i}) AS BIGINT) AS all{i}"
+                    for i in range(1, 10))}
+  FROM per_grp),
+long_form AS (
+  {" UNION ALL ".join(
+      f"SELECT grp, {i} AS decile, c{i} AS cutpoint_cents, "
+      f"(1000000 * ABS(le{i} * n_all - all{i} * n)) // (n * n_all) AS gap_ppm "
+      f"FROM per_grp CROSS JOIN tot CROSS JOIN cuts"
+      for i in range(1, 10))}),
+ranked AS (
+  SELECT grp, decile, cutpoint_cents, gap_ppm,
+         ROW_NUMBER() OVER (PARTITION BY grp
+                            ORDER BY gap_ppm DESC, decile ASC) AS rn
+  FROM long_form)
+SELECT grp AS o_orderpriority,
+       CAST(gap_ppm AS BIGINT) AS max_gap_ppm,
+       CAST(decile AS INT) AS at_decile,
+       cutpoint_cents
+FROM ranked WHERE rn = 1
+""")
+def order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cuts = o.agg(*[
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY cents)")
+         .cast("long").alias(f"c{i}")
+        for i, p in enumerate(_DRIFT_DECILES, 1)])
+    per_grp = (o.crossJoin(F.broadcast(cuts))
+                .groupBy("grp")
+                .agg(F.count("*").alias("n"),
+                     *[F.count(F.when(F.col("cents") <= F.col(f"c{i}"),
+                                      F.lit(1))).alias(f"le{i}")
+                       for i in range(1, 10)],
+                     *[F.min(f"c{i}").alias(f"c{i}")
+                       for i in range(1, 10)]))
+    tot = per_grp.agg(
+        F.sum("n").alias("n_all"),
+        *[F.sum(f"le{i}").alias(f"all{i}") for i in range(1, 10)])
+    wide = per_grp.crossJoin(F.broadcast(tot))
+    long_form = None
+    for i in range(1, 10):
+        gap = F.expr(f"(1000000 * abs(le{i} * n_all - all{i} * n)) "
+                     f"div (n * n_all)")
+        row = wide.select("grp", F.lit(i).alias("decile"),
+                          F.col(f"c{i}").alias("cutpoint_cents"),
+                          gap.alias("gap_ppm"))
+        long_form = row if long_form is None else long_form.unionByName(row)
+    w = Window.partitionBy("grp").orderBy(F.col("gap_ppm").desc(),
+                                          F.col("decile").asc())
+    return (long_form.withColumn("rn", F.row_number().over(w))
+                     .where(F.col("rn") == 1)
+                     .select(F.col("grp").alias("o_orderpriority"),
+                             F.col("gap_ppm").cast("long")
+                              .alias("max_gap_ppm"),
+                             F.col("decile").cast("int").alias("at_decile"),
+                             "cutpoint_cents"))
