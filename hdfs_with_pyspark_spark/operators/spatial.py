@@ -173,7 +173,24 @@ def nearest_city_gridded(df: DataFrame, cities: DataFrame,
 
     offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    cities_cells = (cities
+    # Longitude is CYCLIC: a city at lon -179 is one degree from an event
+    # at +180, but their linear cells are at opposite ends of the axis,
+    # so the 3x3 neighborhood would never see it — and the margin test
+    # below would then wrongly certify a farther in-neighborhood
+    # candidate (caught by the Hypothesis exactness property). Standard
+    # cylindrical-embedding fix: replicate each city at lon +- 360 for
+    # CELL assignment (haversine is 360-periodic in the lon difference,
+    # so distances computed from the shifted copy are identical); copies
+    # that land beyond any event's reachable neighborhood are pruned.
+    shifts = F.array(F.lit(-360.0), F.lit(0.0), F.lit(360.0))
+    cities_wrapped = (cities
+                      .withColumn("__shift", F.explode(shifts))
+                      .withColumn("city_lon",
+                                  F.col("city_lon") + F.col("__shift"))
+                      .where(F.abs(F.col("city_lon"))
+                             <= 180.0 + 2.0 * cell_deg)
+                      .drop("__shift"))
+    cities_cells = (cities_wrapped
                     .withColumn("__o", F.explode(offs))
                     .withColumn("__cell", pack(cell(F.col("city_lat")) + F.col("__o.dx"),
                                                cell(F.col("city_lon")) + F.col("__o.dy")))
