@@ -1020,3 +1020,82 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_attributed").cast("long").alias("n_attributed"),
                      F.expr("(1000000 * n_attributed) div n_purchases")
                       .cast("long").alias("attribution_ppm")))
+
+
+# --------------------------------------------------------------------------
+# seasonal_naive_eval — forecast-accuracy evaluation as a query: score
+# the weekly seasonal-naive forecast (predict day d with day d-7) of
+# daily revenue per order priority, reporting MAE and the count of
+# scored days in exact integer cents — the baseline every production
+# forecast must beat, continuously measured where the data lives (the
+# same evaluation-as-a-query contract as the ANN/dedup recall evals).
+#
+# The lag-7 is BY POSITION over the calendar-complete day spine (gap
+# days count as zero revenue — they are real zero-sales days, and
+# without densification lag(7) would silently compare across gaps).
+# Shape: one aggregate to (priority, day), a per-priority calendar
+# spine from the GLOBAL date bounds (explode(sequence) of a 1-row
+# aggregate — every group scores the same horizon), a lag window over
+# the tiny frame, one summary row per priority.
+# --------------------------------------------------------------------------
+@register("seasonal_naive_eval", oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT p.o_orderpriority, d.day
+  FROM (SELECT DISTINCT o_orderpriority FROM daily) p
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 DAY))::DATE
+                AS day) d),
+filled AS (
+  SELECT s.o_orderpriority, s.day, COALESCE(d.cents, 0) AS cents
+  FROM spine s LEFT JOIN daily d
+    ON d.o_orderpriority = s.o_orderpriority AND d.day = s.day),
+scored AS (
+  SELECT o_orderpriority, cents,
+         LAG(cents, 7) OVER (PARTITION BY o_orderpriority
+                             ORDER BY day) AS forecast
+  FROM filled)
+SELECT o_orderpriority,
+       CAST(COUNT(forecast) AS BIGINT) AS n_days_scored,
+       CAST(SUM(ABS(cents - forecast)) AS BIGINT) AS total_abs_err_cents,
+       CAST(SUM(ABS(cents - forecast)) // COUNT(forecast) AS BIGINT)
+         AS mae_cents
+FROM scored WHERE forecast IS NOT NULL
+GROUP BY o_orderpriority
+""")
+def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    daily = (orders.groupBy("o_orderpriority", "day")
+                   .agg(F.sum("cents").cast("long").alias("cents")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    prios = daily.select("o_orderpriority").distinct()
+    spine = prios.crossJoin(F.broadcast(days))
+    filled = (spine.join(daily, ["o_orderpriority", "day"], "left")
+                   .select("o_orderpriority", "day",
+                           F.coalesce("cents", F.lit(0)).alias("cents")))
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    scored = (filled.withColumn("forecast", F.lag("cents", 7).over(w))
+                    .where(F.col("forecast").isNotNull()))
+    return (scored.groupBy("o_orderpriority")
+                  .agg(F.count("forecast").alias("n_days_scored"),
+                       F.sum(F.abs(F.col("cents") - F.col("forecast")))
+                        .cast("long").alias("total_abs_err_cents"))
+                  .select("o_orderpriority",
+                          F.col("n_days_scored").cast("long")
+                           .alias("n_days_scored"),
+                          "total_abs_err_cents",
+                          F.expr("total_abs_err_cents div n_days_scored")
+                           .cast("long").alias("mae_cents")))
