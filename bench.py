@@ -67,6 +67,11 @@ HEADLINE = [
     "nation_year_profit",
     "rolling_distinct_users_audit",
     "daily_peak_concurrency",
+    "text_repeated_spans",
+    "channel_kcore",
+    "order_value_drift",
+    "ann_topk_mmr",
+    "seasonal_naive_eval",
 ]
 
 
