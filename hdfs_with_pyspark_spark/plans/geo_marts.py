@@ -717,3 +717,72 @@ FROM q GROUP BY 1
 from hdfs_with_pyspark_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["events_zorder_cells"] = _zorder_oracle()
+
+
+# --------------------------------------------------------------------------
+# events_geohash_hotspots — geohash cells as the STRING-keyed geo index
+# (the join/API counterpart of operators/zorder.py's binary Morton
+# clustering): standard geohash-5 (25 bits: 13 lon, 12 lat, lon bit
+# first, base32 alphabet) computed as PURE integer div/mod arithmetic —
+# no bit operators, so the identical expression text runs in Spark and
+# DuckDB — then the top hotspot cells by event count. Geohash's
+# defining property (shared prefix => spatial containment) is what
+# makes it the interchange format for geo joins against external
+# systems; cell assignment is map-side, the aggregate is
+# partial-before-exchange, and the top-k is a TakeOrderedAndProject
+# heap, so the fact table is scanned once and never globally sorted.
+# --------------------------------------------------------------------------
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_TOPK = 20
+
+
+def _sql_geohash5(lat: str, lon: str) -> str:
+    """Portable SQL for the 5-char geohash of (lat, lon)."""
+    ln = f"CAST(FLOOR(({lon} + 180.0) / 360.0 * 8192) AS BIGINT)"
+    lt = f"CAST(FLOOR(({lat} + 90.0) / 180.0 * 4096) AS BIGINT)"
+    terms = []
+    for j in range(13):        # lon bits, MSB first -> even slots
+        weight = 1 << (24 - 2 * j)
+        terms.append(f"(({ln} // {1 << (12 - j)}) % 2) * {weight}")
+    for j in range(12):        # lat bits, MSB first -> odd slots
+        weight = 1 << (23 - 2 * j)
+        terms.append(f"(({lt} // {1 << (11 - j)}) % 2) * {weight}")
+    code = "(" + " + ".join(terms) + ")"
+    chars = [f"substr('{GEOHASH_ALPHABET}', "
+             f"CAST(({code} // {1 << (20 - 5 * k)}) % 32 AS INT) + 1, 1)"
+             for k in range(5)]
+    return "(" + " || ".join(chars) + ")"
+
+
+@register("events_geohash_hotspots", oracle=f"""
+WITH pos AS (
+  SELECT {SQL_EVENT_LAT} AS lat, {SQL_EVENT_LON} AS lon, user_id
+  FROM events),
+cells AS (
+  SELECT {_sql_geohash5('lat', 'lon')} AS geohash5, user_id
+  FROM pos WHERE lat IS NOT NULL)
+SELECT geohash5,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cells GROUP BY geohash5
+ORDER BY n_events DESC, geohash5 ASC
+LIMIT {GEOHASH_TOPK}
+""")
+def events_geohash_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = with_synth_event_coords(read_table(spark, sf_dir, "events")) \
+        .where(F.col("lat").isNotNull()) \
+        .select("user_id", "lat", "lon")
+    # Spark spells integer division `div`; everything else in the
+    # generated expression is shared verbatim with the oracle.
+    gh = _sql_geohash5("lat", "lon").replace("//", "div")
+    return (ev.select(F.expr(gh).alias("geohash5"), "user_id")
+              .groupBy("geohash5")
+              .agg(F.count("*").alias("n_events"),
+                   F.count_distinct("user_id").cast("long")
+                    .alias("n_users"))
+              .select("geohash5",
+                      F.col("n_events").cast("long").alias("n_events"),
+                      "n_users")
+              .orderBy(F.col("n_events").desc(), F.col("geohash5").asc())
+              .limit(GEOHASH_TOPK))
