@@ -1324,3 +1324,55 @@ def order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                               .alias("max_gap_ppm"),
                              F.col("decile").cast("int").alias("at_decile"),
                              "cutpoint_cents"))
+
+
+# --------------------------------------------------------------------------
+# orders_benford_audit — first-digit distribution of order values vs
+# Benford's law, the forensic-accounting / synthetic-data smell test:
+# naturally-occurring multi-scale amounts follow P(d) = log10(1 + 1/d),
+# and a segment that drifts far from it was rounded, capped, or
+# fabricated. Digit extraction is string-based on integer cents (both
+# engines print a BIGINT identically — no float log10 whose ulp at a
+# power-of-ten boundary could flip a digit); the expected shares are
+# compile-time integer ppm constants embedded in both texts, so the
+# whole audit is integer-exact. One partial-agg pass; 9 rows out.
+# --------------------------------------------------------------------------
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+_BENFORD_CASE = ("CASE " + " ".join(
+    f"WHEN first_digit = {d} THEN {p}"
+    for d, p in _BENFORD_PPM.items()) + " END")
+
+
+@register("orders_benford_audit", oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+  FROM orders),
+c AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+  FROM d GROUP BY first_digit)
+SELECT first_digit, n,
+       CAST((1000000 * n) // total AS BIGINT) AS share_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+       CAST(ABS((1000000 * n) // total - {_BENFORD_CASE}) AS BIGINT)
+         AS gap_ppm
+FROM c
+""")
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = read_table(spark, sf_dir, "orders").select(
+        F.substring(cents.cast("string"), 1, 1).cast("long")
+         .alias("first_digit"))
+    c = (d.groupBy("first_digit")
+          .agg(F.count("*").cast("long").alias("n"))
+          .withColumn("total", F.sum("n").over(Window.partitionBy())))
+    expected = F.expr(_BENFORD_CASE).cast("long")
+    share = F.expr("(1000000 * n) div total").cast("long")
+    return c.select("first_digit", "n",
+                    share.alias("share_ppm"),
+                    expected.alias("benford_ppm"),
+                    F.abs(share - expected).cast("long").alias("gap_ppm"))

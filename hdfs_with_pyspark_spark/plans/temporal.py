@@ -1099,3 +1099,38 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "total_abs_err_cents",
                           F.expr("total_abs_err_cents div n_days_scored")
                            .cast("long").alias("mae_cents")))
+
+
+# --------------------------------------------------------------------------
+# events_l_diversity — the privacy audit k-anonymity alone misses: a
+# quasi-identifier bucket can be population-large (k passes) yet still
+# attributable if few DISTINCT identities generated it. Same QI
+# bucketing as events_k_anonymity; l = distinct user_id per bucket;
+# buckets below the diversity floor are the at-risk report. One
+# grouped aggregate computing k and l together — the audit costs one
+# shuffle, shared with its k-anonymity sibling if run in one pass.
+# --------------------------------------------------------------------------
+L_DIV_THRESHOLD = 3
+
+
+@register("events_l_diversity", oracle=f"""
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(FLOOR(value / 10) AS BIGINT) AS value_decade,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(DISTINCT user_id) < {L_DIV_THRESHOLD}
+""")
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy(
+                "event_type",
+                F.hour("ts").cast("long").alias("hour_of_day"),
+                F.floor(F.col("value") / 10).cast("long")
+                 .alias("value_decade"))
+              .agg(F.count("*").cast("long").alias("k"),
+                   F.count_distinct("user_id").cast("long").alias("l"))
+              .where(F.col("l") < L_DIV_THRESHOLD))
