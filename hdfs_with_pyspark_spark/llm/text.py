@@ -1288,3 +1288,82 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("(1000000 * coalesce(covered_chars, 0)) "
                                "div n_chars").cast("long")
                          .alias("coverage_ppm")))
+
+
+# --------------------------------------------------------------------------
+# corpus_span_dedup — the EXECUTION companion of text_repeated_spans:
+# span-level dedup with keep-first-occurrence semantics (Lee et al.
+# 2022). A position in doc d is removable when its SPAN_L-gram also
+# occurs in some EARLIER doc (min owning doc_id < d) — the first
+# occurrence stays, later copies of the span go. Per doc: chars
+# removed (union of removable fixed-length intervals, same lag-window
+# identity as the signal query) and the kept remainder.
+#
+# Shape: identical gram explode, but the inverted index aggregates
+# MIN(doc_id) per gram hash instead of a distinct count — still one
+# corpus shuffle; the join back + per-doc window then touch only
+# removable positions. The doc_id total order IS the dedup policy,
+# deterministic by construction (content-stable priorities — e.g. the
+# weighted-sample hash — drop in by swapping the ordering key).
+# --------------------------------------------------------------------------
+@register("corpus_span_dedup", oracle=f"""
+WITH g AS (
+  SELECT doc_id, p, {_SQL_GRAM_HASH} AS h
+  FROM documents
+  CROSS JOIN LATERAL (SELECT UNNEST(GENERATE_SERIES(1,
+                        n_chars - {SPAN_L - 1})) AS p) t
+  WHERE n_chars >= {SPAN_L}),
+owner AS (
+  SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h),
+removable AS (
+  SELECT g.doc_id, g.p,
+         LAG(g.p) OVER (PARTITION BY g.doc_id ORDER BY g.p) AS prev_p
+  FROM g JOIN owner USING (h)
+  WHERE owner.first_doc < g.doc_id),
+cov AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN prev_p IS NULL THEN {SPAN_L}
+                       ELSE LEAST(p - prev_p, {SPAN_L}) END) AS BIGINT)
+           AS removed_chars
+  FROM removable GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.removed_chars, 0) AS removed_chars,
+       d.n_chars - COALESCE(c.removed_chars, 0) AS kept_chars,
+       CAST((1000000 * COALESCE(c.removed_chars, 0)) // d.n_chars
+            AS BIGINT) AS removed_ppm
+FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+""")
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    grams = (docs.where(F.col("n_chars") >= SPAN_L)
+                 .select("doc_id",
+                         F.explode(F.sequence(
+                             F.lit(1),
+                             F.col("n_chars") - (SPAN_L - 1))).alias("p"),
+                         "text")
+                 .select("doc_id", "p",
+                         hash64(F.expr(f"substring(text, p, {SPAN_L})"))
+                         .alias("h")))
+    owner = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    removable = (grams.join(owner, "h")
+                      .where(F.col("first_doc") < F.col("doc_id"))
+                      .withColumn("prev_p", F.lag("p").over(w)))
+    contrib = (F.when(F.col("prev_p").isNull(), F.lit(SPAN_L))
+                .otherwise(F.least(F.col("p") - F.col("prev_p"),
+                                   F.lit(SPAN_L))))
+    cov = (removable.groupBy("doc_id")
+                    .agg(F.sum(contrib).cast("long").alias("removed_chars")))
+    return (docs.select("doc_id", "n_chars")
+                .join(cov, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("removed_chars", F.lit(0)).cast("long")
+                         .alias("removed_chars"),
+                        (F.col("n_chars")
+                         - F.coalesce("removed_chars", F.lit(0)))
+                        .cast("long").alias("kept_chars"),
+                        F.expr("(1000000 * coalesce(removed_chars, 0)) "
+                               "div n_chars").cast("long")
+                         .alias("removed_ppm")))
