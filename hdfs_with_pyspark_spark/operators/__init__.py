@@ -6,6 +6,7 @@ from hdfs_with_pyspark_spark.operators.windows import (
 )
 from hdfs_with_pyspark_spark.operators.spatial import (
     nearest_city,
+    nearest_city_auto,
     nearest_city_gridded,
 )
 from hdfs_with_pyspark_spark.operators.pairs import (
@@ -19,6 +20,7 @@ __all__ = [
     "change_points",
     "streaks",
     "nearest_city",
+    "nearest_city_auto",
     "nearest_city_gridded",
     "canonicalize_pair",
     "symmetrize_pairs",
