@@ -1215,9 +1215,15 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc, no sweep state needed.
 #
 # At 100 TB the gram explode is |corpus chars| rows of (hash, doc, pos)
-# — big but narrow and map-generated; the group-by is one shuffle, and
-# the doc-frequency filter reduces everything after it to the repeated
-# tail. Coverage ppm is exact integer division.
+# — big but narrow and map-generated. Round-4 shape (VERDICT r3 item
+# 3): the positional stream shuffles ON h EXACTLY ONCE — the
+# doc-frequency test is "min(doc_id) != max(doc_id) over the h
+# partition" (>= 2 distinct docs iff min != max), a window over the
+# same exchange the stream already needs, replacing the previous
+# groupBy(h) + join-back which shuffled the stream twice AND
+# regenerated every md5 for the second pass. After the filter only the
+# repeated tail reaches the per-doc lag window. Coverage ppm is exact
+# integer division, guarded for zero-length docs (ANSI-safe).
 # --------------------------------------------------------------------------
 SPAN_L = 40
 
@@ -1248,8 +1254,9 @@ cov AS (
 SELECT d.doc_id,
        COALESCE(c.n_repeated_positions, 0) AS n_repeated_positions,
        COALESCE(c.covered_chars, 0) AS covered_chars,
-       CAST((1000000 * COALESCE(c.covered_chars, 0)) // d.n_chars
-            AS BIGINT) AS coverage_ppm
+       CAST(CASE WHEN d.n_chars > 0
+                 THEN (1000000 * COALESCE(c.covered_chars, 0)) // d.n_chars
+                 ELSE 0 END AS BIGINT) AS coverage_ppm
 FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
 """)
 def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,13 +1272,17 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "p",
                          hash64(F.expr(f"substring(text, p, {SPAN_L})"))
                          .alias("h")))
-    rep = (grams.groupBy("h")
-                .agg(F.count_distinct("doc_id").alias("nd"))
-                .where(F.col("nd") >= 2)
-                .select("h"))
+    # >= 2 distinct owning docs iff min(doc_id) != max(doc_id) within
+    # the h partition — one shuffle of the positional stream, no
+    # groupBy + join-back (which would shuffle it twice and regenerate
+    # every gram hash for the second consumer).
+    wh = Window.partitionBy("h")
+    pos = (grams.withColumn("__mn", F.min("doc_id").over(wh))
+                .withColumn("__mx", F.max("doc_id").over(wh))
+                .where(F.col("__mn") != F.col("__mx"))
+                .drop("__mn", "__mx"))
     w = Window.partitionBy("doc_id").orderBy("p")
-    pos = (grams.join(rep, "h")
-                .withColumn("prev_p", F.lag("p").over(w)))
+    pos = pos.withColumn("prev_p", F.lag("p").over(w))
     contrib = (F.when(F.col("prev_p").isNull(), F.lit(SPAN_L))
                 .otherwise(F.least(F.col("p") - F.col("prev_p"),
                                    F.lit(SPAN_L))))
@@ -1285,8 +1296,9 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("long").alias("n_repeated_positions"),
                         F.coalesce("covered_chars", F.lit(0)).cast("long")
                          .alias("covered_chars"),
-                        F.expr("(1000000 * coalesce(covered_chars, 0)) "
-                               "div n_chars").cast("long")
+                        F.expr("CASE WHEN n_chars > 0 THEN "
+                               "(1000000 * coalesce(covered_chars, 0)) "
+                               "div n_chars ELSE 0L END").cast("long")
                          .alias("coverage_ppm")))
 
 
@@ -1299,11 +1311,12 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # removed (union of removable fixed-length intervals, same lag-window
 # identity as the signal query) and the kept remainder.
 #
-# Shape: identical gram explode, but the inverted index aggregates
-# MIN(doc_id) per gram hash instead of a distinct count — still one
-# corpus shuffle; the join back + per-doc window then touch only
-# removable positions. The doc_id total order IS the dedup policy,
-# deterministic by construction (content-stable priorities — e.g. the
+# Shape: identical gram explode; the first-owner test is
+# "min(doc_id) over the h partition < doc_id" — like the signal query,
+# ONE shuffle of the positional stream on h (window, not
+# groupBy + join-back), then the per-doc window touches only removable
+# positions. The doc_id total order IS the dedup policy, deterministic
+# by construction (content-stable priorities — e.g. the
 # weighted-sample hash — drop in by swapping the ordering key).
 # --------------------------------------------------------------------------
 @register("corpus_span_dedup", oracle=f"""
@@ -1329,8 +1342,9 @@ cov AS (
 SELECT d.doc_id,
        COALESCE(c.removed_chars, 0) AS removed_chars,
        d.n_chars - COALESCE(c.removed_chars, 0) AS kept_chars,
-       CAST((1000000 * COALESCE(c.removed_chars, 0)) // d.n_chars
-            AS BIGINT) AS removed_ppm
+       CAST(CASE WHEN d.n_chars > 0
+                 THEN (1000000 * COALESCE(c.removed_chars, 0)) // d.n_chars
+                 ELSE 0 END AS BIGINT) AS removed_ppm
 FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
 """)
 def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,9 +1360,12 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "p",
                          hash64(F.expr(f"substring(text, p, {SPAN_L})"))
                          .alias("h")))
-    owner = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # first_doc as a window over the h partition: one shuffle of the
+    # positional stream, no groupBy + join-back (see
+    # text_repeated_spans).
+    wh = Window.partitionBy("h")
     w = Window.partitionBy("doc_id").orderBy("p")
-    removable = (grams.join(owner, "h")
+    removable = (grams.withColumn("first_doc", F.min("doc_id").over(wh))
                       .where(F.col("first_doc") < F.col("doc_id"))
                       .withColumn("prev_p", F.lag("p").over(w)))
     contrib = (F.when(F.col("prev_p").isNull(), F.lit(SPAN_L))
@@ -1364,6 +1381,7 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("n_chars")
                          - F.coalesce("removed_chars", F.lit(0)))
                         .cast("long").alias("kept_chars"),
-                        F.expr("(1000000 * coalesce(removed_chars, 0)) "
-                               "div n_chars").cast("long")
+                        F.expr("CASE WHEN n_chars > 0 THEN "
+                               "(1000000 * coalesce(removed_chars, 0)) "
+                               "div n_chars ELSE 0L END").cast("long")
                          .alias("removed_ppm")))

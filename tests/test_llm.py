@@ -667,3 +667,32 @@ def test_knn_graph_no_broadcast_single_bucket_shuffle(spark):
         per.setdefault(r["vec_id"], []).append(r["rank"])
     assert per and all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
     assert all(len(v) <= sim.KNN_GRAPH_K for v in per.values())
+
+
+def test_span_dedup_empty_doc_ansi_safe(spark, tmp_path):
+    """ADVICE r3: a zero-length doc must yield ppm=0 (not a
+    DIVIDE_BY_ZERO under ANSI mode, not a NULL-vs-0 parity break)."""
+    from hdfs_with_pyspark_spark.llm.text import (corpus_span_dedup,
+                                                  text_repeated_spans)
+    shared = "x" * 60  # one 40-gram shared across two docs
+    docs = spark.createDataFrame(
+        [(1, shared + "abc", "en", "web", 63),
+         (2, shared + "def", "en", "web", 63),
+         (3, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        sig = {r["doc_id"]: r for r in
+               text_repeated_spans(spark, str(tmp_path)).collect()}
+        ded = {r["doc_id"]: r for r in
+               corpus_span_dedup(spark, str(tmp_path)).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert sig[3]["coverage_ppm"] == 0 and sig[3]["covered_chars"] == 0
+    assert ded[3]["removed_ppm"] == 0 and ded[3]["kept_chars"] == 0
+    # the planted shared span is detected in both non-empty docs and
+    # removed from the later one only (keep-first semantics)
+    assert sig[1]["covered_chars"] > 0 and sig[2]["covered_chars"] > 0
+    assert ded[1]["removed_chars"] == 0 and ded[2]["removed_chars"] > 0
