@@ -34,6 +34,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -131,8 +133,10 @@ SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(COUNT(*) AS BIGINT)   AS n_both,
        MIN(fa.n_item)             AS n_a,
        MIN(fb.n_item)             AS n_b,
-       CAST((1000000 * (SELECT n FROM n_orders) * CAST(COUNT(*) AS BIGINT))
-            // (MIN(fa.n_item) * MIN(fb.n_item)) AS BIGINT) AS lift_ppm
+       CAST((1000000 * CAST((SELECT n FROM n_orders) AS HUGEINT)
+             * CAST(COUNT(*) AS BIGINT))
+            // (CAST(MIN(fa.n_item) AS HUGEINT) * MIN(fb.n_item))
+            AS BIGINT) AS lift_ppm
 FROM items a
 JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_name < b.p_name
 JOIN freq fa ON fa.p_name = a.p_name
@@ -195,7 +199,11 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.min("n_a").alias("n_a"),
                        F.min("n_b").alias("n_b"),
                        F.min("n_orders").alias("n_orders")))
-    lift = F.expr("(1000000 * n_orders * n_both) div (n_a * n_b)")
+    # DECIMAL(38,0) cross-multiplication (ADVICE r3): N * c(ab) with
+    # N ~ 1.5e11 orders at 100 TB overflows int64; the oracle's HUGEINT
+    # and Spark's DECIMAL(38,0) are both exact, values unchanged.
+    lift = F.expr("(1000000 * CAST(n_orders AS DECIMAL(38,0)) * n_both) "
+                  "div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
     return pairs.select(
         "name_a", "name_b",
         F.col("n_both").cast("long").alias("n_both"),
@@ -233,9 +241,14 @@ def fuzzy_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = (read_table(spark, sf_dir, "part")
              .groupBy("p_name").agg(F.count("*").alias("n_parts")))
     edges = blocked_fuzzy_pairs(names).select("name_a", "name_b")
-    view = "fuzzy_edges_recursive_src"
+    # Per-invocation view name, dropped before returning (ADVICE r3): a
+    # fixed name would let concurrent/interleaved runs in one session
+    # clobber each other's edge set and would leak into the caller's
+    # catalog forever. spark.sql() resolves the view at ANALYSIS time
+    # (eager), so the returned DataFrame stays valid after the drop.
+    view = f"fuzzy_edges_recursive_src_{uuid.uuid4().hex}"
     edges.createOrReplaceTempView(view)
-    return spark.sql(f"""
+    out = spark.sql(f"""
 WITH RECURSIVE chains(start_name, end_name, len) AS (
   SELECT name_a, name_b, 1 FROM {view}
   UNION ALL
@@ -249,3 +262,5 @@ SELECT len,
        MAX(end_name)                              AS last_end
 FROM chains GROUP BY len
 """)
+    spark.catalog.dropTempView(view)
+    return out

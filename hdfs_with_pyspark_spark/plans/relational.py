@@ -1272,7 +1272,9 @@ tot AS (
 long_form AS (
   {" UNION ALL ".join(
       f"SELECT grp, {i} AS decile, c{i} AS cutpoint_cents, "
-      f"(1000000 * ABS(le{i} * n_all - all{i} * n)) // (n * n_all) AS gap_ppm "
+      f"(1000000 * ABS(CAST(le{i} AS HUGEINT) * n_all"
+      f" - CAST(all{i} AS HUGEINT) * n))"
+      f" // (CAST(n AS HUGEINT) * n_all) AS gap_ppm "
       f"FROM per_grp CROSS JOIN tot CROSS JOIN cuts"
       for i in range(1, 10))}),
 ranked AS (
@@ -1309,8 +1311,12 @@ def order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = per_grp.crossJoin(F.broadcast(tot))
     long_form = None
     for i in range(1, 10):
-        gap = F.expr(f"(1000000 * abs(le{i} * n_all - all{i} * n)) "
-                     f"div (n * n_all)")
+        # DECIMAL(38,0) cross-multiplication (ADVICE r3): le * n_all
+        # overflows int64 once orders exceed ~3M rows. The oracle uses
+        # HUGEINT (int128); both are exact, so values stay identical.
+        gap = F.expr(f"(1000000 * abs(CAST(le{i} AS DECIMAL(38,0)) * n_all"
+                     f" - CAST(all{i} AS DECIMAL(38,0)) * n)) "
+                     f"div (CAST(n AS DECIMAL(38,0)) * n_all)")
         row = wide.select("grp", F.lit(i).alias("decile"),
                           F.col(f"c{i}").alias("cutpoint_cents"),
                           gap.alias("gap_ppm"))

@@ -702,6 +702,20 @@ def test_fuzzy_chain_closure_uses_recursive_union_loop(spark, sf_dir):
     assert "UnionLoop" in plan
 
 
+def test_fuzzy_chain_closure_no_view_leak(spark, sf_dir):
+    # ADVICE r3: the recursive source view must be per-invocation and
+    # dropped before return — a fixed name let interleaved runs clobber
+    # each other's edge set and leaked into the caller's catalog. The
+    # returned frame stays evaluable after the drop (view resolution is
+    # analysis-time).
+    from hdfs_with_pyspark_spark.plans.affinity import fuzzy_chain_closure
+    df = fuzzy_chain_closure(spark, sf_dir)
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if "fuzzy_edges_recursive_src" in t.name]
+    assert leftovers == []
+    assert df.count() > 0
+
+
 def test_q2_correlated_min_as_single_window(spark, sf_dir):
     # min_cost_part_supplier decorrelates the classic Q2 scalar
     # subquery into one window top-1: dims broadcast onto the distinct
