@@ -178,6 +178,9 @@ CMS_EPS = 0.005
 CMS_CONF = 0.99
 CMS_SEED = 42
 HH_TOPK = 10
+# Counter-table geometry from (eps, conf): the classic CMS sizing.
+CMS_WIDTH = 544   # ceil(e / CMS_EPS)
+CMS_DEPTH = 5     # ceil(ln(1 / (1 - CMS_CONF)))
 
 
 @register("heavy_hitter_sketch_audit", oracle=f"""
@@ -194,44 +197,59 @@ FROM topk WHERE rk <= {HH_TOPK}
 def heavy_hitter_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{HH_TOPK} hottest part keys in lineitem two ways: exact
     hash-aggregate counts (the oracle-matched truth, deterministic
-    count-desc/key-asc ranking) and a Count-Min sketch
-    (`count_min_sketch`, eps={CMS_EPS}, conf={CMS_CONF}, fixed seed)
-    probed for the same keys, flagged within the CMS guarantee
-    [exact, exact + eps*N].
+    count-desc/key-asc ranking) and a Count-Min sketch probed for the
+    same keys, flagged within the CMS guarantee [exact, exact + eps*N].
+
+    The sketch is built IN the DataFrame API (ADVICE r3: the previous
+    form deserialized Spark's binary `count_min_sketch` through the
+    private py4j bridge, which breaks under Spark Connect): each row
+    hashes to one bucket per depth via xxhash64(key, depth, seed) mod
+    width, and the counter table is a (depth, bucket) hash aggregate —
+    at most depth x width = {CMS_DEPTH}x{CMS_WIDTH} rows survive the
+    map-side combine per task, the exact mergeable-bounded-state shape
+    of the binary sketch. Probing is a broadcast join of the counter
+    table onto the top-k spine + min over depths. Everything stays in
+    DataFrame/SQL, fully deterministic, no driver-side sketch state.
 
     Scale shape: the exact path shuffles |keys| partial counts; the CMS
-    path is the mergeable bounded-state alternative — a constant-size
-    counter table per partition, merged by integer addition, probed in
-    O(depth) per key. That is the shape that answers "how hot is this
-    key right now" over a 100 TB stream without keeping |keys| state.
-    The audit keeps both paths so the sketch's error is continuously
-    measured against the truth (same evaluation-as-a-query pattern as
-    distinct_sketch_audit / quantile_sketch_audit); the probe set is the
-    driver-bounded top-{HH_TOPK} rows only.
+    path shuffles <= depth x width counters per task regardless of
+    corpus size. That answers "how hot is this key right now" over a
+    100 TB stream without keeping |keys| state. The audit keeps both
+    paths so the sketch's error is continuously measured against the
+    truth (same evaluation-as-a-query pattern as distinct_sketch_audit
+    / quantile_sketch_audit).
     """
     ensure_session(spark)
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
-    n_rows = li.count()
-    sk_bytes = bytes(
-        li.agg(F.count_min_sketch(
-            "l_partkey", F.lit(CMS_EPS), F.lit(CMS_CONF),
-            F.lit(CMS_SEED)).alias("sk")).collect()[0][0])
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        sk_bytes)
+
+    def buckets(key_col: str):
+        # one bucket per depth; the depth literal is hashed alongside
+        # the key so the CMS_DEPTH hash functions are independent
+        return F.array(*[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(d), F.lit(CMS_SEED)),
+                   F.lit(CMS_WIDTH))
+            for d in range(CMS_DEPTH)])
+
+    counters = (li.select(F.posexplode(buckets("l_partkey"))
+                           .alias("d", "b"))
+                  .groupBy("d", "b").agg(F.count("*").alias("cnt")))
+    n = li.agg(F.count("*").alias("n_rows"))
     topk = (li.groupBy("l_partkey")
               .agg(F.count("*").alias("exact_cnt"))
               .orderBy(F.col("exact_cnt").desc(), F.col("l_partkey").asc())
-              .limit(HH_TOPK)
-              .collect())  # bounded: HH_TOPK rows
-    bound = CMS_EPS * n_rows
-    jlong = spark._jvm.java.lang.Long.valueOf
-    rows = []
-    for r in topk:
-        est = cms.estimateCount(jlong(str(r["l_partkey"])))
-        rows.append((int(r["l_partkey"]), int(r["exact_cnt"]),
-                     bool(r["exact_cnt"] <= est <= r["exact_cnt"] + bound)))
-    return spark.createDataFrame(
-        rows, "l_partkey long, exact_cnt long, cms_ok boolean")
+              .limit(HH_TOPK))
+    probes = topk.select("l_partkey", "exact_cnt",
+                         F.posexplode(buckets("l_partkey")).alias("d", "b"))
+    est = (probes.join(F.broadcast(counters), ["d", "b"])
+                 .groupBy("l_partkey", "exact_cnt")
+                 .agg(F.min("cnt").alias("est")))
+    return (est.crossJoin(F.broadcast(n))
+               .select(F.col("l_partkey").cast("long").alias("l_partkey"),
+                       F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                       ((F.col("exact_cnt") <= F.col("est"))
+                        & (F.col("est") <= F.col("exact_cnt")
+                           + CMS_EPS * F.col("n_rows")))
+                       .alias("cms_ok")))
 
 
 @register("rolling_distinct_users_audit", oracle="""
