@@ -231,6 +231,40 @@ def test_extract_features_codec_seam_swaps_decoder(spark):
     assert dflt[2]["n_tokens"] == 3 and dflt[3]["frame_count"] is None
 
 
+def test_pillow_decoder_fallback_without_pil(spark):
+    """pillow_image_decoder degrades to byte features per row when PIL
+    is absent OR the payload is not a decodable image — identical
+    output to the default decoder on this corpus (text-byte blobs)."""
+    docs = spark.createDataFrame([(3, "a b c"), (4, "hello world")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in mm.extract_features(
+               mm.as_blobs(docs), decoder=mm.pillow_image_decoder).collect()}
+    dflt = {r["doc_id"]: r
+            for r in mm.extract_features(mm.as_blobs(docs)).collect()}
+    for k in got:
+        assert got[k]["n_tokens"] == dflt[k]["n_tokens"]
+        assert got[k]["frame_count"] == dflt[k]["frame_count"]
+
+
+def test_pillow_decoder_real_image_when_available(spark):
+    """When Pillow IS importable, a real PNG decodes and n_tokens is
+    the 16x16 patch count of the true pixel dimensions; skipped (not
+    silently passed) where the container has no codec."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    buf = io.BytesIO()
+    PIL.new("RGB", (33, 16)).save(buf, format="PNG")
+    png = buf.getvalue()
+    out = mm.pillow_image_decoder(png, "image")
+    assert out == {"n_tokens": 3 * 1, "frame_count": None}   # ceil(33/16)*1
+    # driven through the executor seam too
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [3], "modality": ["image"], "blob": [png]})
+    rows = list(mm._featurize_batches(mm.pillow_image_decoder)(iter([pdf])))
+    assert rows[0]["n_tokens"].iloc[0] == 3
+
+
 def test_codec_decoder_routes_through_stub(spark):
     # Selecting the production decoder in this container must fail
     # LOUDLY at execution time (NotImplementedError from decode_blob),
