@@ -965,6 +965,41 @@ _SQL_DEDUP_IVF_K = (f"(SELECT GREATEST({N_CENTROIDS}, "
 _SQL_DK_CTES, _SQL_DK_FINAL = _sql_kmeans(k=_SQL_DEDUP_IVF_K, prefix="dk")
 
 
+def _scaled_ivf_assign(spark: SparkSession,
+                       sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(normed vectors, pinned (vec_id, cid) assignment) under the
+    corpus-scaled quantizer — shared by the SemDedup pair generator and
+    the cluster-balanced sampler.
+
+    k scales with the corpus (one cheap count over the vec_id column;
+    the trained centroids memoize on (sf_dir, k), so repeated probes in
+    a session pay it once). The assignment is PINNED: it is corpus-keyed
+    but 2-column narrow, and downstream self-joins would otherwise
+    re-run the broadcast-NLJ + argmin window per consumer (measured
+    ~1.3 s per re-evaluation at sf0.1 — over half the dedup query).
+    """
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    k = dedup_ivf_k(v.count())
+    cents = train_ivf_centroids(spark, sf_dir, k=k)
+    cent_df = _with_norm(
+        spark.createDataFrame(cents, "cid long, cv array<double>"),
+        "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(),
+                                             F.col("cid").asc())
+    from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
+    assign = _pinned_frame(
+        spark, f"scaled_ivf_assign:{sf_dir}",
+        lambda: (v.join(F.broadcast(cent_df), F.lit(True))
+                  .select("vec_id", "cid", cos_c.alias("__c"))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1)
+                  .select("vec_id", "cid")))
+    return v, assign
+
+
+
 @register("dedup_embedding_ivf", oracle=f"""
 WITH v AS ({_SQL_VECTORS}),
 {_SQL_DK_CTES},
@@ -987,31 +1022,7 @@ WHERE ROUND({_SQL_COS}, 6) >= {COSINE_DUP_THRESHOLD}
 """)
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
-    # k scales with the corpus (one cheap count over the vec_id column;
-    # the trained centroids memoize on (sf_dir, k), so repeated probes
-    # in a session pay it once).
-    k = dedup_ivf_k(v.count())
-    cents = train_ivf_centroids(spark, sf_dir, k=k)
-    cent_df = _with_norm(
-        spark.createDataFrame(cents, "cid long, cv array<double>"),
-        "cv", "cnv")
-    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
-                    / (F.col("nv") * F.col("cnv")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(),
-                                             F.col("cid").asc())
-    # Pin the (vec_id, cid) assignment: it is corpus-keyed but 2-column
-    # narrow, and the pair self-join + verify would otherwise re-run
-    # the broadcast-NLJ + argmin window three times (measured ~1.3 s
-    # per re-evaluation at sf0.1 — over half the query).
-    from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
-    assign = _pinned_frame(
-        spark, f"dedup_embedding_ivf_assign:{sf_dir}",
-        lambda: (v.join(F.broadcast(cent_df), F.lit(True))
-                  .select("vec_id", "cid", cos_c.alias("__c"))
-                  .withColumn("__rn", F.row_number().over(w))
-                  .where(F.col("__rn") == 1)
-                  .select("vec_id", "cid")))
+    v, assign = _scaled_ivf_assign(spark, sf_dir)
     cand = (assign.alias("x")
                   .join(assign.alias("y"),
                         (F.col("x.cid") == F.col("y.cid"))
@@ -1456,3 +1467,119 @@ def ann_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.groupBy("query_id").applyInPandas(
         _greedy,
         "query_id long, position int, neighbor_id long, mmr_score double")
+
+
+# --------------------------------------------------------------------------
+# corpus_cluster_balanced_sample — cluster-quota (diversity-balanced)
+# sampling: assign every vector to the corpus-scaled trained quantizer
+# (the SemDedup clustering), then keep at most CLUSTER_SAMPLE_QUOTA
+# vectors per cluster, chosen by a content-stable hash order — the
+# density-equalizing selection a curation pipeline runs AFTER dedup so
+# over-represented semantic regions stop dominating the training mix
+# (the cluster-balanced sampling in SemDeDup §5 / DataComp baselines).
+#
+# Determinism: the per-cluster order is md5(vec_id) with vec_id as the
+# tiebreak — no RNG, partition-invariant, identical in both engines.
+# Scale: reuses the pinned (vec_id, cid) assignment (one broadcast-NLJ
+# + argmin over the corpus, amortized with dedup_embedding_ivf); the
+# quota pass is ONE window over the assignment keyed by cid. With
+# k = N/64 clusters the output is ~quota*k rows — a fixed fraction of
+# the corpus, never driver-sized.
+# --------------------------------------------------------------------------
+CLUSTER_SAMPLE_QUOTA = 32
+
+
+@register("corpus_cluster_balanced_sample", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_DK_CTES},
+cent AS (SELECT cid, cv FROM {_SQL_DK_FINAL}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY ROUND(list_dot_product(b.v, c.cv)
+                            / (sqrt(list_dot_product(b.v, b.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v b CROSS JOIN cent c) WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                     vec_id ASC) AS rn
+  FROM assign)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+       CAST(rn AS BIGINT) AS sample_rank
+FROM ranked WHERE rn <= {CLUSTER_SAMPLE_QUOTA}
+""")
+def corpus_cluster_balanced_sample(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    _, assign = _scaled_ivf_assign(spark, sf_dir)
+    wq = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(),
+        F.col("vec_id").asc())
+    return (assign.withColumn("rn", F.row_number().over(wq))
+                  .where(F.col("rn") <= CLUSTER_SAMPLE_QUOTA)
+                  .select("vec_id",
+                          F.col("cid").cast("long").alias("cid"),
+                          F.col("rn").cast("long").alias("sample_rank")))
+
+
+# --------------------------------------------------------------------------
+# eval_contamination_embedding — embedding-space decontamination audit,
+# the semantic companion of the n-gram corpus_decontaminate: for every
+# corpus vector, its closest EVAL vector (the benchmark set = the query
+# vectors, vec_id < N_QUERIES) and whether that cosine crosses the
+# contamination threshold. n-gram overlap catches verbatim leakage;
+# embedding proximity catches paraphrased leakage — a pipeline runs
+# both and unions the flags.
+#
+# Scale: the eval set is benchmark-sized -> broadcast; the corpus never
+# shuffles (map-side NLJ + per-row argmax window keyed by the corpus
+# id). ROUND(cos, 6) before ranking so engine last-ulp differences
+# can't flip the argmax; ties break on lowest eval id.
+# --------------------------------------------------------------------------
+EVAL_CONTAM_COS = 0.45
+
+
+@register("eval_contamination_embedding", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+e AS (SELECT vec_id AS eval_id, v AS ev FROM v WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, v FROM v WHERE vec_id >= {N_QUERIES}),
+s AS (
+  SELECT c.vec_id, e.eval_id,
+         ROUND(list_dot_product(c.v, e.ev)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cos_sim
+  FROM c CROSS JOIN e),
+r AS (SELECT vec_id, eval_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, eval_id ASC) AS rn
+      FROM s)
+SELECT vec_id, eval_id AS nearest_eval_id, cos_sim AS max_cos,
+       cos_sim >= {EVAL_CONTAM_COS} AS contaminated
+FROM r WHERE rn = 1
+""")
+def eval_contamination_embedding(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    ev = (v.where(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("eval_id"),
+                   F.col("v").alias("evec"), F.col("nv").alias("ne")))
+    corpus = v.where(F.col("vec_id") >= N_QUERIES)
+    cos = F.round(F.expr(_sql_dot_cols("v", "evec"))
+                  / (F.col("nv") * F.col("ne")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                             F.col("eval_id").asc())
+    return (corpus.join(F.broadcast(ev), F.lit(True))
+                  .select("vec_id", "eval_id", cos.alias("cos_sim"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("vec_id",
+                          F.col("eval_id").alias("nearest_eval_id"),
+                          F.col("cos_sim").alias("max_cos"),
+                          (F.col("cos_sim") >= EVAL_CONTAM_COS)
+                          .alias("contaminated")))

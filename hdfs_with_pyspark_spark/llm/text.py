@@ -1385,3 +1385,92 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "(1000000 * coalesce(removed_chars, 0)) "
                                "div n_chars ELSE 0L END").cast("long")
                          .alias("removed_ppm")))
+
+
+# --------------------------------------------------------------------------
+# text_dsir_weights — hashed-n-gram importance weights (the DSIR shape:
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every document by how much its hashed-bigram
+# feature mass looks like a TARGET distribution (here: the lang='en'
+# slice) relative to the RAW corpus. log w(x) = sum over feature
+# occurrences of log p_target(b)/p_raw(b), with add-one smoothing over
+# {DSIR_BUCKETS} hash buckets. Downstream, importance resampling keeps
+# documents proportionally to exp(log-weight) — the
+# corpus_weighted_sample machinery consumes exactly this column.
+#
+# Determinism: per-bucket log-ratios snap to integer micro-log units
+# (the corpus_bigram_logprob treatment) so the per-doc sum is an exact
+# integer in any partition order; the bucket table is vocabulary-sized
+# (<= DSIR_BUCKETS rows) and broadcasts. The display column rounds the
+# micro sum to SIX decimals — exactly the quotient's decimal width —
+# so the round never sits on a tie (a 4dp round would: any micro sum
+# ending in 50 is a .5 boundary, where Spark's decimal-string HALF_UP
+# and DuckDB's binary half-away disagree — observed on this corpus).
+#
+# Scale: ONE corpus-sized feature explode feeds (a) two bucket-sized
+# aggregates and (b) the per-doc re-agg — the bucket table is O(1)
+# regardless of corpus size, which is DSIR's whole point: the
+# target/raw models are hashed profiles, never vocabularies.
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+_SQL_BG_HASH = "CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT)"
+
+
+@register("text_dsir_weights", oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents),
+big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t),
+feat AS (SELECT doc_id, lang, {_SQL_BG_HASH} % {DSIR_BUCKETS} AS b FROM big),
+src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ns FROM feat GROUP BY b),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM feat WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s_tot,
+               CAST(COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS DOUBLE)
+                 AS t_tot
+        FROM feat),
+lr AS (
+  SELECT s.b,
+         CAST(ROUND((log10(COALESCE(t.nt, 0) + 1.0) - log10(s.ns + 1.0)
+                     + log10(s_tot + {DSIR_BUCKETS}.0)
+                     - log10(t_tot + {DSIR_BUCKETS}.0)) * 1000000) AS BIGINT)
+           AS lr_u
+  FROM src s LEFT JOIN tgt t USING (b) CROSS JOIN tot)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       ROUND(SUM(lr.lr_u) * 1.0 / 1000000, 6) AS dsir_logweight
+FROM feat f JOIN lr USING (b)
+GROUP BY f.doc_id
+""")
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    big = docs.select("doc_id", "lang",
+                      F.explode(shingles(tokens(F.col("text")), 2))
+                       .alias("bg"))
+    feat = big.select("doc_id", "lang",
+                      (hash64(F.col("bg")) % DSIR_BUCKETS).alias("b"))
+    src = feat.groupBy("b").agg(F.count("*").alias("ns"))
+    tgt = (feat.where(F.col("lang") == DSIR_TARGET_LANG)
+               .groupBy("b").agg(F.count("*").alias("nt")))
+    tot = feat.agg(
+        F.count("*").cast("double").alias("s_tot"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)))
+         .cast("double").alias("t_tot"))
+    lr_u = F.round((F.log10(F.coalesce(F.col("nt"), F.lit(0)) + 1.0)
+                    - F.log10(F.col("ns") + 1.0)
+                    + F.log10(F.col("s_tot") + float(DSIR_BUCKETS))
+                    - F.log10(F.col("t_tot") + float(DSIR_BUCKETS)))
+                   * 1e6).cast("long")
+    lr = (src.join(tgt, "b", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("b", lr_u.alias("lr_u")))
+    return (feat.join(F.broadcast(lr), "b")
+                .groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("n_features"),
+                     F.round(F.sum("lr_u") * 1.0 / 1000000, 6)
+                      .alias("dsir_logweight")))
