@@ -72,6 +72,10 @@ HEADLINE = [
     "order_value_drift",
     "ann_topk_mmr",
     "seasonal_naive_eval",
+    # round 4: new training-data operators
+    "text_dsir_weights",
+    "corpus_cluster_balanced_sample",
+    "eval_contamination_embedding",
 ]
 
 
