@@ -1536,10 +1536,13 @@ def corpus_cluster_balanced_sample(spark: SparkSession,
 # embedding proximity catches paraphrased leakage — a pipeline runs
 # both and unions the flags.
 #
-# Scale: the eval set is benchmark-sized -> broadcast; the corpus never
-# shuffles (map-side NLJ + per-row argmax window keyed by the corpus
-# id). ROUND(cos, 6) before ranking so engine last-ulp differences
-# can't flip the argmax; ties break on lowest eval id.
+# Scale: the eval set is benchmark-sized -> broadcast; the argmax is a
+# lexicographic max(struct(cos, -eval_id)) hash aggregate, so the
+# map-side combine reduces every task's fan-out to one row per corpus
+# id before the (narrow) exchange — a window would shuffle the full
+# |corpus| x |eval| expansion instead. ROUND(cos, 6) before ranking so
+# engine last-ulp differences can't flip the argmax; ties break on
+# lowest eval id (the negated-id struct field).
 # --------------------------------------------------------------------------
 EVAL_CONTAM_COS = 0.45
 
@@ -1572,14 +1575,14 @@ def eval_contamination_embedding(spark: SparkSession,
     corpus = v.where(F.col("vec_id") >= N_QUERIES)
     cos = F.round(F.expr(_sql_dot_cols("v", "evec"))
                   / (F.col("nv") * F.col("ne")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
-                                             F.col("eval_id").asc())
+    best = F.max(F.struct(F.col("cos_sim"),
+                          (-F.col("eval_id")).alias("neg_id"))).alias("b")
     return (corpus.join(F.broadcast(ev), F.lit(True))
                   .select("vec_id", "eval_id", cos.alias("cos_sim"))
-                  .withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") == 1)
+                  .groupBy("vec_id").agg(best)
                   .select("vec_id",
-                          F.col("eval_id").alias("nearest_eval_id"),
-                          F.col("cos_sim").alias("max_cos"),
-                          (F.col("cos_sim") >= EVAL_CONTAM_COS)
+                          (-F.col("b.neg_id")).cast("long")
+                          .alias("nearest_eval_id"),
+                          F.col("b.cos_sim").alias("max_cos"),
+                          (F.col("b.cos_sim") >= EVAL_CONTAM_COS)
                           .alias("contaminated")))
