@@ -92,7 +92,11 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=300_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/bench_vs_reference")
+    ap.add_argument("--marts", default="user,zone,friends",
+                    help="comma-set of marts to time (100M+ single-mart "
+                         "points stay affordable)")
     args = ap.parse_args()
+    marts = {m.strip() for m in args.marts.split(",") if m.strip()}
 
     if not os.path.isdir(REFERENCE_SCRIPTS):
         print(json.dumps({"skipped": "reference tree not found"}))
@@ -174,18 +178,15 @@ def main() -> None:
             .write.mode("overwrite").parquet(os.path.join(args.workdir, "my_friends"))
         spark.catalog.clearCache()
 
-    result = {
-        "n_events": args.events,
-        "runs_per_side": args.runs,
-        "user_mart": {"reference_sec": timed(ref_user_mart, args.runs),
-                      "engine_sec": timed(my_user_mart, args.runs)},
-        "zone_mart": {"reference_sec": timed(ref_zone_mart, args.runs),
-                      "engine_sec": timed(my_zone_mart, args.runs)},
-        "friend_recommendations": {
-            "reference_sec": timed(ref_friends, args.runs),
-            "engine_sec": timed(my_friends, args.runs)},
-    }
-    for k in ("user_mart", "zone_mart", "friend_recommendations"):
+    pairs = {"user": ("user_mart", ref_user_mart, my_user_mart),
+             "zone": ("zone_mart", ref_zone_mart, my_zone_mart),
+             "friends": ("friend_recommendations", ref_friends, my_friends)}
+    result = {"n_events": args.events, "runs_per_side": args.runs}
+    for short, (k, ref_fn, my_fn) in pairs.items():
+        if short not in marts:
+            continue
+        result[k] = {"reference_sec": timed(ref_fn, args.runs),
+                     "engine_sec": timed(my_fn, args.runs)}
         r, m = result[k]["reference_sec"], result[k]["engine_sec"]
         result[k]["speedup"] = round(r / m, 2) if m else None
     print(json.dumps(result))

@@ -810,3 +810,35 @@ def test_snapshot_diff_is_one_full_outer_join(spark, sf_dir):
     joins = re.findall(r"^\(\d+\) (\w*Join\w*)", plan, flags=re.M)
     assert len(joins) == 1, joins
     assert "FullOuter" in plan
+
+
+def test_eval_contamination_no_window_no_cartesian(spark, sf_dir):
+    # round 4: the argmax must be a max(struct) hash aggregate (map-side
+    # partial combine), NOT a row_number window — a window would shuffle
+    # the full corpus x eval expansion; and the eval side must broadcast.
+    plan = explain(spark, "eval_contamination_embedding", sf_dir)
+    assert n_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_cluster_balanced_sample_single_window(spark, sf_dir):
+    # one quota window over the pinned narrow assignment — nothing else.
+    # (formatted explain prints the cached assignment's own plan inside
+    # InMemoryRelation, argmin window included; count the query's own
+    # section only.)
+    plan = explain(spark, "corpus_cluster_balanced_sample", sf_dir)
+    own = plan.split("InMemoryRelation")[0]
+    assert own.count("Window (") + own.count("Window(") >= 1
+    assert "InMemoryTableScan" in plan   # reuses the pinned assignment
+    assert "Scan parquet" not in own     # corpus is not re-scanned
+
+
+def test_dsir_weights_bucket_table_broadcasts(spark, sf_dir):
+    # the <=1024-row log-ratio table must broadcast back onto the
+    # feature stream — a sort-merge join would shuffle the corpus-sized
+    # explode on the hash bucket
+    plan = explain(spark, "text_dsir_weights", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
