@@ -62,13 +62,21 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                                                    "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument("--master", default="local[8]",
+                    help="e.g. local[5] for the partition-invariance sweep")
+    ap.add_argument("--shuffle-partitions", default=None,
+                    help="override spark.sql.shuffle.partitions (invariance "
+                         "sweeps run the suite under e.g. 7)")
     args = ap.parse_args()
 
     import duckdb
     import __spark_entry__ as e
     from hdfs_with_pyspark_spark.session import get_spark
 
-    spark = get_spark("oracle-parity", master="local[8]")
+    spark = get_spark("oracle-parity", master=args.master)
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       args.shuffle_partitions)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
