@@ -143,6 +143,27 @@ def geo_city_event_counts_gridded(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.count("*").alias("n_events")))
 
 
+# Same mart through the round-4 strategy DISPATCHER: nearest_city_auto
+# routes map-side vs gridded on |cities| (measured 512-city threshold,
+# operators/spatial.py). Registering it makes the dispatch itself
+# parity-proven — whichever side of the threshold the dimension lands
+# on, the result must hash-match the same oracle.
+@register("geo_city_event_counts_auto", oracle=f"""
+WITH {_SQL_ASSIGNED}
+SELECT city, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM assigned
+GROUP BY city, event_type
+""")
+def geo_city_event_counts_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.operators.spatial import nearest_city_auto
+    ev = _positioned_events(spark, sf_dir)
+    cities = synth_cities(read_table(spark, sf_dir, "nation"))
+    return (nearest_city_auto(ev, cities)
+            .groupBy("city", "event_type")
+            .agg(F.count("*").alias("n_events")))
+
+
 # ---------------------------------------------------------------------------
 # D4 — act_city: each user's latest positioned event -> city + local time.
 # Reference keeps ALL max-ts ties then first() (project_step_1.py:42-51);
