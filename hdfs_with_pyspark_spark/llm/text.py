@@ -25,6 +25,7 @@ from hdfs_with_pyspark_spark.llm.textops import (
     hash31,
     hash64,
     shingles,
+    spread,
     tokens,
 )
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
@@ -1263,7 +1264,7 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars")
-    grams = (docs.where(F.col("n_chars") >= SPAN_L)
+    grams = (spread(docs.where(F.col("n_chars") >= SPAN_L))
                  .select("doc_id",
                          F.explode(F.sequence(
                              F.lit(1),
@@ -1351,7 +1352,7 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars")
-    grams = (docs.where(F.col("n_chars") >= SPAN_L)
+    grams = (spread(docs.where(F.col("n_chars") >= SPAN_L))
                  .select("doc_id",
                          F.explode(F.sequence(
                              F.lit(1),
@@ -1407,10 +1408,14 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ending in 50 is a .5 boundary, where Spark's decimal-string HALF_UP
 # and DuckDB's binary half-away disagree — observed on this corpus).
 #
-# Scale: ONE corpus-sized feature explode feeds (a) two bucket-sized
-# aggregates and (b) the per-doc re-agg — the bucket table is O(1)
-# regardless of corpus size, which is DSIR's whole point: the
-# target/raw models are hashed profiles, never vocabularies.
+# Scale: the corpus-sized feature explode runs exactly TWICE — once
+# into a single conditional aggregate producing BOTH profiles (raw
+# count + target count per bucket; the totals then derive from the
+# 1024-row bucket table, never from a third corpus pass), and once for
+# the per-doc scoring join against the broadcast log-ratio table. The
+# bucket table is O(1) regardless of corpus size, which is DSIR's
+# whole point: the target/raw models are hashed profiles, never
+# vocabularies.
 # --------------------------------------------------------------------------
 DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
@@ -1449,26 +1454,26 @@ GROUP BY f.doc_id
 def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     docs = read_table(spark, sf_dir, "documents")
-    big = docs.select("doc_id", "lang",
-                      F.explode(shingles(tokens(F.col("text")), 2))
-                       .alias("bg"))
+    big = spread(docs).select("doc_id", "lang",
+                              F.explode(shingles(tokens(F.col("text")), 2))
+                               .alias("bg"))
     feat = big.select("doc_id", "lang",
                       (hash64(F.col("bg")) % DSIR_BUCKETS).alias("b"))
-    src = feat.groupBy("b").agg(F.count("*").alias("ns"))
-    tgt = (feat.where(F.col("lang") == DSIR_TARGET_LANG)
-               .groupBy("b").agg(F.count("*").alias("nt")))
-    tot = feat.agg(
-        F.count("*").cast("double").alias("s_tot"),
+    # ONE conditional aggregate yields both profiles; the totals fold
+    # from the <=1024-row bucket table instead of a second corpus pass.
+    buckets = feat.groupBy("b").agg(
+        F.count("*").alias("ns"),
         F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)))
-         .cast("double").alias("t_tot"))
+         .alias("nt"))
+    tot = buckets.agg(F.sum("ns").cast("double").alias("s_tot"),
+                      F.sum("nt").cast("double").alias("t_tot"))
     lr_u = F.round((F.log10(F.coalesce(F.col("nt"), F.lit(0)) + 1.0)
                     - F.log10(F.col("ns") + 1.0)
                     + F.log10(F.col("s_tot") + float(DSIR_BUCKETS))
                     - F.log10(F.col("t_tot") + float(DSIR_BUCKETS)))
                    * 1e6).cast("long")
-    lr = (src.join(tgt, "b", "left")
-             .crossJoin(F.broadcast(tot))
-             .select("b", lr_u.alias("lr_u")))
+    lr = (buckets.crossJoin(F.broadcast(tot))
+                 .select("b", lr_u.alias("lr_u")))
     return (feat.join(F.broadcast(lr), "b")
                 .groupBy("doc_id")
                 .agg(F.count("*").cast("long").alias("n_features"),

@@ -90,3 +90,23 @@ BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 def bpe_token_count(text: Column | str) -> Column:
     """Count of BPE-ish pre-tokenizer matches."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), 0))
+
+
+def spread(df, min_factor: int = 1):
+    """Re-spread a scan-thin frame across the cluster BEFORE a
+    CPU-heavy per-row map (gram explodes, shingling, hashing).
+
+    Spark sizes scan tasks by INPUT bytes (maxPartitionBytes), so a
+    small-on-disk corpus that fans out 50-500x per row (per-char grams,
+    bigram shingles) under-parallelizes: one ~2 MB parquet file becomes
+    ONE task doing all the downstream CPU (measured: the sf0.1
+    documents scan runs every gram explode single-threaded, ~2.4 s per
+    pass on 1 of 32 cores). Conditional: only repartitions when the
+    frame has fewer partitions than the session's parallelism, so at
+    real scale — where the scan already yields thousands of splits —
+    this is a NO-OP and never adds a corpus shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
