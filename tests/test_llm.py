@@ -730,3 +730,16 @@ def test_span_dedup_empty_doc_ansi_safe(spark, tmp_path):
     # removed from the later one only (keep-first semantics)
     assert sig[1]["covered_chars"] > 0 and sig[2]["covered_chars"] > 0
     assert ded[1]["removed_chars"] == 0 and ded[2]["removed_chars"] > 0
+
+
+def test_spread_conditional_noop(spark):
+    """spread() must fan a scan-thin frame out to the session
+    parallelism, and be a NO-OP (same plan object) when the input is
+    already at least that parallel — the guard that keeps it from ever
+    adding a corpus shuffle at real scale."""
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    par = spark.sparkContext.defaultParallelism
+    thin = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    assert spread(thin).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par * 2)
+    assert spread(wide) is wide
