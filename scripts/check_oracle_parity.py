@@ -67,6 +67,10 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", default=None,
                     help="override spark.sql.shuffle.partitions (invariance "
                          "sweeps run the suite under e.g. 7)")
+    ap.add_argument("--ansi", action="store_true",
+                    help="run the Spark side under spark.sql.ansi.enabled="
+                         "true — flushes silent-overflow / divide-by-zero "
+                         "hazards the default mode swallows")
     args = ap.parse_args()
 
     import duckdb
@@ -77,6 +81,8 @@ def main() -> int:
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions",
                        args.shuffle_partitions)
+    if args.ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
