@@ -937,3 +937,55 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_deferred_oracle("dedup_lsh_recall_eval", _dedup_recall_oracle)
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_histogram — the dedup REPORT: distribution of near-dup
+# cluster sizes (how many pairs/triples/large templated families the
+# corpus carries), singletons included. This is the number a data lead
+# reads to decide whether near-dup removal is worth a full pass — and
+# the regression signal when a pipeline change suddenly merges half the
+# corpus into one cluster. Composes the registered dedup_components
+# (its oracle SQL is reused verbatim, so the histogram itself is
+# oracle-checked end to end).
+#
+# Scale: the component frame is |clustered docs| rows (already the
+# output of the bounded label propagation); the histogram is two
+# tiny aggregates over it plus one corpus COUNT for the singleton row.
+# --------------------------------------------------------------------------
+def _cluster_histogram_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH comp AS ({ORACLES["dedup_components"]}),
+agg AS (
+  SELECT cluster_size,
+         CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY cluster_size)
+SELECT cluster_size, n_clusters, n_docs FROM agg
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM documents)
+            - (SELECT COUNT(*) FROM comp) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM documents)
+            - (SELECT COUNT(*) FROM comp) AS BIGINT)
+"""
+
+
+@register("dedup_cluster_histogram", oracle=None)  # composed below
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    comp = dedup_components(spark, sf_dir)
+    agg = (comp.groupBy("cluster_size")
+               .agg(F.count_distinct("component_id").cast("long")
+                     .alias("n_clusters"),
+                    F.count("*").cast("long").alias("n_docs")))
+    n_total = read_table(spark, sf_dir, "documents").count()
+    n_clustered = comp.count()
+    singles = spark.createDataFrame(
+        [(1, n_total - n_clustered, n_total - n_clustered)],
+        "cluster_size long, n_clusters long, n_docs long")
+    return agg.unionByName(singles)
+
+
+register_deferred_oracle("dedup_cluster_histogram", _cluster_histogram_oracle)

@@ -1592,3 +1592,53 @@ def eval_contamination_embedding(spark: SparkSession,
                           F.col("b.cos_sim").alias("max_cos"),
                           (F.col("b.cos_sim") >= EVAL_CONTAM_COS)
                           .alias("contaminated")))
+
+
+# --------------------------------------------------------------------------
+# embedding_coverage_audit — cross-modality referential integrity: per
+# document source, how many docs carry an embedding (vec_id == doc_id
+# in this corpus), plus the orphan-vector row (embeddings whose doc is
+# gone — the stale-store signal after a dedup/curation pass deletes
+# documents without re-embedding). The first audit a multi-store
+# training pipeline runs before a join-heavy build: silent coverage
+# gaps here become silently missing training rows downstream.
+#
+# Scale: one shuffle equi-join on the id (both sides corpus-keyed —
+# nothing broadcasts by design) with partial-agg counts, plus one anti
+# join for the orphan row. ppm is exact integer division.
+# --------------------------------------------------------------------------
+@register("embedding_coverage_audit", oracle="""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS n_embedded,
+       CAST((1000000 * COUNT(e.vec_id)) // COUNT(*) AS BIGINT)
+         AS coverage_ppm
+FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.source
+UNION ALL
+SELECT '__orphan_vectors__',
+       CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+""")
+def embedding_coverage_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    per_source = (docs.join(emb, docs["doc_id"] == emb["vec_id"], "left")
+                      .groupBy("source")
+                      .agg(F.count("*").cast("long").alias("n_docs"),
+                           F.count("vec_id").cast("long")
+                            .alias("n_embedded")))
+    per_source = per_source.select(
+        "source", "n_docs", "n_embedded",
+        F.expr("(1000000 * n_embedded) div n_docs").cast("long")
+         .alias("coverage_ppm"))
+    orphans = (emb.join(docs, docs["doc_id"] == emb["vec_id"], "left_anti")
+                  .agg(F.count("*").cast("long").alias("n_docs"))
+                  .select(F.lit("__orphan_vectors__").alias("source"),
+                          "n_docs",
+                          F.lit(0).cast("long").alias("n_embedded"),
+                          F.lit(0).cast("long").alias("coverage_ppm")))
+    return per_source.unionByName(orphans)
