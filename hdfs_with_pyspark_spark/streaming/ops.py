@@ -469,3 +469,125 @@ def stream_synthetic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n_events"),
                 F.round(F.sum("value"), 1).alias("total_value")))
     return run_to_table(agg, "complete")
+
+
+# --------------------------------------------------------------------------
+# stream_incremental_dedup — the STREAMING ingest path for near-dup
+# detection: documents arrive in micro-batches; each batch probes the
+# persisted MinHash band store built from every EARLIER batch, emits
+# verified (new_doc, corpus_doc, jaccard) matches, then appends its own
+# bands to the store — the llm.dedup.dedup_incremental contract driven
+# by foreachBatch instead of a nightly job. State per doc is 8 bands
+# (32 longs); per-batch cost is O(|batch| + candidates); the corpus is
+# never re-shingled.
+#
+# Determinism: the corpus splits into STREAM_DEDUP_BATCHES files by
+# doc_id modulo, each file's mtime forced so the file source replays
+# them in batch order on every run. A pair is emitted exactly when its
+# two docs land in DIFFERENT batches (same-batch dups are the ingest
+# job's intra-batch pass, exercised by dedup_minhash_lsh); the oracle
+# composes dedup_minhash_lsh's SQL restricted to cross-batch pairs,
+# oriented so the later-arriving doc is the new side — so the
+# micro-batch order, the store round-trips, and the probe joins are
+# all proven against the batch truth.
+# --------------------------------------------------------------------------
+STREAM_DEDUP_BATCHES = 4
+
+
+def _stream_incremental_dedup_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    k = STREAM_DEDUP_BATCHES
+    return f"""
+WITH mh AS ({ORACLES["dedup_minhash_lsh"]})
+SELECT CASE WHEN doc_b % {k} > doc_a % {k} THEN doc_b ELSE doc_a END
+         AS new_doc_id,
+       CASE WHEN doc_b % {k} > doc_a % {k} THEN doc_a ELSE doc_b END
+         AS corpus_doc_id,
+       jaccard
+FROM mh WHERE doc_a % {k} <> doc_b % {k}
+"""
+
+
+@register("stream_incremental_dedup", oracle=None)  # composed below
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from hdfs_with_pyspark_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        _shingle_hashes,
+        _verified_jaccard,
+        dedup_incremental,
+        minhash_band_store,
+    )
+    from hdfs_with_pyspark_spark.session import scratch_dir
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ensure_session(spark)
+    import hashlib
+    sf_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = scratch_dir(spark, f"stream_incr_dedup_{sf_key}")
+    in_dir, store, out = (os.path.join(root, d)
+                          for d in ("in", "store", "matches"))
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    docs = read_table(spark, sf_dir, "documents")
+    base_t = 1_700_000_000  # fixed epoch: mtimes must only be ORDERED
+    for k in range(STREAM_DEDUP_BATCHES):
+        stage = os.path.join(root, f"stage{k}")
+        (docs.where(F.col("doc_id") % STREAM_DEDUP_BATCHES == k)
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+        shutil.rmtree(stage)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_local = batch_df.persist()
+        if os.path.exists(store):
+            cand = dedup_incremental(batch_local, sp.read.parquet(store))
+            touched = (cand.select(F.col("new_doc_id").alias("doc_id"))
+                           .unionByName(cand.select(F.col("corpus_doc_id")
+                                                     .alias("doc_id")))
+                           .distinct())
+            needed = (read_table(sp, sf_dir, "documents")
+                      .join(touched, "doc_id", "left_semi"))
+            shh = _shingle_hashes(needed, spread_input=False).persist()
+            verified = _verified_jaccard(
+                cand.select(F.col("new_doc_id").alias("doc_a"),
+                            F.col("corpus_doc_id").alias("doc_b")), shh)
+            (verified.where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+                     .select(F.col("doc_a").alias("new_doc_id"),
+                             F.col("doc_b").alias("corpus_doc_id"),
+                             "jaccard")
+                     .write.mode("append").parquet(out))
+            shh.unpersist()
+        (minhash_band_store(batch_local)
+            .write.mode("append").parquet(store))
+        batch_local.unpersist()
+
+    (spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in_dir)
+          .writeStream
+          .foreachBatch(ingest)
+          .trigger(availableNow=True)
+          .start()
+          .awaitTermination())
+
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [], "new_doc_id long, corpus_doc_id long, jaccard double")
+    return spark.read.parquet(out)
+
+
+from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
+    register_deferred_oracle,
+)
+
+register_deferred_oracle("stream_incremental_dedup",
+                         _stream_incremental_dedup_oracle)
