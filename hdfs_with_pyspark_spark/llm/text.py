@@ -1479,3 +1479,59 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("n_features"),
                      F.round(F.sum("lr_u") * 1.0 / 1000000, 6)
                       .alias("dsir_logweight")))
+
+
+# --------------------------------------------------------------------------
+# corpus_perplexity_buckets — CCNet-style quality bucketing (Wenzek et
+# al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+# Web Crawl Data"): rank every document by its LM score and cut the
+# corpus into head / middle / tail terciles — the standard coarse
+# quality partition a pretraining mix samples from at different rates.
+# Scoring composes the registered corpus_unigram_logprob (the
+# perplexity proxy with integer micro-log determinism); the tercile
+# cutpoints are exact PERCENTILE_DISC values (discrete — real data
+# values, engine-identical on the 4-dp scores), applied via one
+# broadcast 1-row cutpoint frame. Higher avg logprob = lower
+# perplexity = head.
+#
+# Scale: the score frame is |docs| rows; two discrete percentiles over
+# it (one pass) and a broadcast join — nothing corpus-sized shuffles
+# beyond what the score query already does.
+# --------------------------------------------------------------------------
+def _perplexity_buckets_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH score AS ({ORACLES["corpus_unigram_logprob"]}),
+cuts AS (
+  SELECT PERCENTILE_DISC(1.0/3) WITHIN GROUP (ORDER BY avg_logprob) AS c33,
+         PERCENTILE_DISC(2.0/3) WITHIN GROUP (ORDER BY avg_logprob) AS c67
+  FROM score)
+SELECT s.doc_id, s.avg_logprob,
+       CASE WHEN s.avg_logprob >= c.c67 THEN 'head'
+            WHEN s.avg_logprob >= c.c33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM score s CROSS JOIN cuts c
+"""
+
+
+@register("corpus_perplexity_buckets", oracle=None)  # composed below
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    score = corpus_unigram_logprob(spark, sf_dir)
+    cuts = score.agg(
+        F.expr("percentile_disc(1.0/3) WITHIN GROUP (ORDER BY avg_logprob)")
+         .alias("c33"),
+        F.expr("percentile_disc(2.0/3) WITHIN GROUP (ORDER BY avg_logprob)")
+         .alias("c67"))
+    bucket = (F.when(F.col("avg_logprob") >= F.col("c67"), "head")
+               .when(F.col("avg_logprob") >= F.col("c33"), "middle")
+               .otherwise("tail"))
+    return (score.crossJoin(F.broadcast(cuts))
+                 .select("doc_id", "avg_logprob", bucket.alias("bucket")))
+
+
+from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
+    register_deferred_oracle as _reg_deferred,
+)
+
+_reg_deferred("corpus_perplexity_buckets", _perplexity_buckets_oracle)
