@@ -285,3 +285,69 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("*").alias("n_rows"),
                   F.sum("delta_cents").cast("long")
                    .alias("total_delta_cents")))
+
+
+# --------------------------------------------------------------------------
+# revenue_by_nation_ivm — INCREMENTAL VIEW MAINTENANCE: the aggregate a
+# nightly pipeline should NOT recompute from scratch. The orders fact
+# splits at a date cutoff into the BASE (the materialized aggregate a
+# previous run persisted) and the DELTA (rows that arrived since); the
+# refreshed view is the per-key merge base ⊕ delta — a full-outer join
+# on the group key with coalesced partial sums. Revenue is kept in
+# exact integer cents precisely so the merge is associative: a rounded
+# double sum would NOT satisfy base ⊕ delta == full recompute, cents
+# do, bit for bit. The oracle IS the full recompute, so the driver gate
+# proves the IVM identity itself.
+#
+# Scale: at refresh only the delta scans (partition-pruned on the
+# cutoff); the base side is |nations| rows. This is the pattern that
+# turns a daily 100 TB re-aggregation into an O(day's data) job.
+# --------------------------------------------------------------------------
+IVM_CUTOFF = "2000-01-01"
+
+
+@register("revenue_by_nation_ivm", oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""")
+def revenue_by_nation_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    customer = (read_table(spark, sf_dir, "customer")
+                .select("c_custkey", "c_nationkey"))
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey",
+                                                        "n_name")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+
+    def agg(orders_part: DataFrame) -> DataFrame:
+        return (orders_part
+                .join(F.broadcast(customer),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .groupBy(F.col("n_name").alias("nation"))
+                .agg(F.sum(cents).alias("revenue_cents"),
+                     F.count("*").alias("n_orders")))
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = agg(orders.where(F.col("o_orderdate") < IVM_CUTOFF))
+    delta = agg(orders.where(F.col("o_orderdate") >= IVM_CUTOFF))
+    b = base.select(F.col("nation"),
+                    F.col("revenue_cents").alias("b_rev"),
+                    F.col("n_orders").alias("b_n"))
+    d = delta.select(F.col("nation"),
+                     F.col("revenue_cents").alias("d_rev"),
+                     F.col("n_orders").alias("d_n"))
+    return (b.join(d, "nation", "full_outer")
+             .select("nation",
+                     (F.coalesce("b_rev", F.lit(0))
+                      + F.coalesce("d_rev", F.lit(0))).cast("long")
+                     .alias("revenue_cents"),
+                     (F.coalesce("b_n", F.lit(0))
+                      + F.coalesce("d_n", F.lit(0))).cast("long")
+                     .alias("n_orders")))
