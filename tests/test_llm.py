@@ -743,3 +743,32 @@ def test_spread_conditional_noop(spark):
     assert spread(thin).rdd.getNumPartitions() == par
     wide = spark.range(1000).repartition(par * 2)
     assert spread(wide) is wide
+
+
+def test_cluster_histogram_partitions_the_corpus(spark, sf_dir):
+    """Accounting identities: every doc lands in exactly one histogram
+    cell (sum of n_docs == corpus size) and each cell is internally
+    consistent (cluster_size * n_clusters == n_docs)."""
+    from hdfs_with_pyspark_spark.llm.dedup import dedup_cluster_histogram
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    rows = dedup_cluster_histogram(spark, sf_dir).collect()
+    n_total = read_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert r["cluster_size"] * r["n_clusters"] == r["n_docs"], r
+
+
+def test_embedding_coverage_accounts_for_every_vector(spark, sf_dir):
+    """sum(per-source n_embedded) + orphan vectors == |embeddings|, and
+    coverage_ppm is the exact integer ratio."""
+    from hdfs_with_pyspark_spark.llm.similarity import (
+        embedding_coverage_audit)
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    rows = {r["source"]: r
+            for r in embedding_coverage_audit(spark, sf_dir).collect()}
+    n_vec = read_table(spark, sf_dir, "embeddings").count()
+    orphans = rows.pop("__orphan_vectors__")
+    assert sum(r["n_embedded"] for r in rows.values()) \
+        + orphans["n_docs"] == n_vec
+    for r in rows.values():
+        assert r["coverage_ppm"] == (1_000_000 * r["n_embedded"]) // r["n_docs"]
