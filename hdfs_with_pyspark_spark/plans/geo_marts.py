@@ -70,8 +70,14 @@ SYDNEY_OFFSET_HOURS = 11
 
 
 def _positioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events with synth coords, positioned rows only (D3 input shape)."""
-    ev = read_table(spark, sf_dir, "events")
+    """Events with synth coords, positioned rows only (D3 input shape).
+
+    spread: everything downstream (synth-coord hashing, the per-row
+    C-fold nearest-city argmin) is per-row CPU that would otherwise run
+    on the scan's single local split; no-op when the scan is already
+    parallel (llm/textops.spread)."""
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    ev = spread(read_table(spark, sf_dir, "events"))
     return with_synth_event_coords(ev).where(F.col("lat").isNotNull())
 
 

@@ -412,9 +412,13 @@ def test_funnel_single_shuffle(spark, sf_dir):
 
 def test_zorder_cells_map_plus_one_agg(spark, sf_dir):
     # The Morton cell id is a pure bit-arithmetic projection; the only
-    # exchange is the per-cell count.
+    # KEYED exchange is the per-cell count. (The conditional local
+    # spread of the scan-thin events file adds a round-robin exchange
+    # on local[n] — a no-op at real scale — so the assertion pins hash
+    # exchanges, not total exchanges.)
     plan = explain(spark, "events_zorder_cells", sf_dir)
-    assert n_nodes(plan, "Exchange") == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert n_nodes(plan, "Exchange") <= 2
     assert "partial_count" in plan
 
 
