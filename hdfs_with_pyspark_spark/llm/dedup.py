@@ -989,3 +989,77 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_deferred_oracle("dedup_cluster_histogram", _cluster_histogram_oracle)
+
+
+# --------------------------------------------------------------------------
+# contrastive_negatives — near-dup-SAFE negative sampling for
+# contrastive / embedding training: every document draws K
+# content-stable pseudo-random partners (md5(doc_id:i) mod corpus
+# size — no RNG, partition-invariant, resumable), and a draw is kept
+# only if the partner is neither the doc itself nor a member of the
+# SAME near-dup cluster (dedup_components) — the false-negative guard:
+# training against your own near-duplicate as a "negative" actively
+# corrupts a contrastive objective. Downstream collators consume
+# (doc_id, neg_rank, neg_doc_id) directly.
+#
+# Scale: the draw is a K-struct explode (map-side); the cluster guard
+# is two equi-joins against the component table, which holds only
+# CLUSTERED docs (a small fraction of the corpus). The oracle composes
+# dedup_components' SQL, so the guard itself is oracle-proven.
+# --------------------------------------------------------------------------
+CONTRASTIVE_K = 4
+
+
+def _contrastive_negatives_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH comp AS ({ORACLES["dedup_components"]}),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+draws AS (
+  SELECT d.doc_id, i.i AS neg_rank,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                  || CAST(i.i AS VARCHAR)), 1, 15))
+              AS BIGINT) % (SELECT n_docs FROM n) AS neg_doc_id
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {CONTRASTIVE_K})) AS i) i)
+SELECT dr.doc_id, CAST(dr.neg_rank AS BIGINT) AS neg_rank, dr.neg_doc_id
+FROM draws dr
+LEFT JOIN comp ca ON ca.doc_id = dr.doc_id
+LEFT JOIN comp cb ON cb.doc_id = dr.neg_doc_id
+WHERE dr.neg_doc_id <> dr.doc_id
+  AND (ca.component_id IS NULL OR cb.component_id IS NULL
+       OR ca.component_id <> cb.component_id)
+"""
+
+
+@register("contrastive_negatives", oracle=None)  # composed below
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    from hdfs_with_pyspark_spark.llm.textops import hash64
+    draws = []
+    for i in range(1, CONTRASTIVE_K + 1):
+        neg = (hash64(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":"), F.lit(str(i))))
+               % F.col("n_docs"))
+        draws.append(F.struct(F.lit(i).cast("long").alias("neg_rank"),
+                              neg.alias("neg_doc_id")))
+    exploded = (docs.crossJoin(F.broadcast(n))
+                    .select("doc_id", F.explode(F.array(*draws)).alias("x"))
+                    .select("doc_id", "x.neg_rank", "x.neg_doc_id"))
+    ca = comp.select(F.col("doc_id"),
+                     F.col("component_id").alias("__ca"))
+    cb = comp.select(F.col("doc_id").alias("neg_doc_id"),
+                     F.col("component_id").alias("__cb"))
+    return (exploded.where(F.col("neg_doc_id") != F.col("doc_id"))
+                    .join(ca, "doc_id", "left")
+                    .join(cb, "neg_doc_id", "left")
+                    .where(F.col("__ca").isNull() | F.col("__cb").isNull()
+                           | (F.col("__ca") != F.col("__cb")))
+                    .select("doc_id", "neg_rank", "neg_doc_id"))
+
+
+register_deferred_oracle("contrastive_negatives",
+                         _contrastive_negatives_oracle)
