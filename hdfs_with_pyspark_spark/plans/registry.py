@@ -53,6 +53,10 @@ def ensure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                    "false")
+    # UDTFs evaluate Arrow-batched (ArrowEvalPythonUDTF), never
+    # row-at-a-time — same policy as every other Python boundary in the
+    # repo (the global plan audit enforces it).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     return spark
 
 

@@ -71,14 +71,20 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     # Deliberate half-matrix/self-pair shapes are allowlisted; everything
-    # else must plan without a cartesian product.
+    # else must plan without a cartesian product. The same sweep asserts
+    # NO query ever plans a row-at-a-time Python UDF (BatchEvalPython) —
+    # Python boundaries must be Arrow-batched (ArrowEvalPython /
+    # FlatMapGroupsInPandas / MapInPandas / MapInArrow only).
     allow = {"dedup_embedding_cosine"}
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:
-        if name in allow | streaming:
+        if name in streaming:
             continue
         plan = explain(spark, name, sf_dir)
-        assert "CartesianProduct" not in plan, f"cartesian in {name}"
+        if name not in allow:
+            assert "CartesianProduct" not in plan, f"cartesian in {name}"
+        assert "BatchEvalPython" not in plan, \
+            f"row-at-a-time Python UDF in {name}"
 
 
 @pytest.mark.parametrize("name", ["revenue_by_nation", "user_mart"])
