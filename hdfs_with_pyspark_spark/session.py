@@ -35,6 +35,9 @@ _DEFAULTS = {
     # long; sources.io converts to TimestampType (lossless: the generator
     # emits whole microseconds).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow-batched UDTF evaluation — the repo-wide no-row-at-a-time
+    # Python policy (plan-audited in tests/test_plans.py).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
     "spark.ui.enabled": "false",
     # Keep the default warehouse out of the launch cwd: no query writes
