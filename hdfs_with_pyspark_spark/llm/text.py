@@ -1535,3 +1535,55 @@ from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
 )
 
 _reg_deferred("corpus_perplexity_buckets", _perplexity_buckets_oracle)
+
+
+# --------------------------------------------------------------------------
+# doc_chunk_dedup — chunk-level exact dedup over the context-window
+# chunking (the RAG/embedding-ingest signal): a chunk is a duplicate
+# when its text already appeared as an EARLIER chunk anywhere in the
+# corpus (keep-first by (doc_id, chunk_id) order — the same
+# deterministic policy as corpus_span_dedup). Per doc: chunk counts,
+# duplicate-chunk count, and dup ppm — the number that decides whether
+# a vector store ingests 30% redundant chunks. Composes the registered
+# doc_chunks, so the chunking itself stays oracle-proven.
+#
+# Scale: one window over the chunk-hash partition (the span-dedup
+# shuffle shape — no groupBy + join-back) then a per-doc re-agg.
+# --------------------------------------------------------------------------
+def _doc_chunk_dedup_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH ch AS ({ORACLES["doc_chunks"]}),
+flagged AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_id) > 1 AS is_dup
+  FROM ch)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST((1000000 * SUM(CASE WHEN is_dup THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_ppm
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register("doc_chunk_dedup", oracle=None)  # composed below
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ch = doc_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("h"))
+    wh = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    flagged = ch.select(
+        "doc_id", (F.row_number().over(wh) > 1).alias("is_dup"))
+    return (flagged.groupBy("doc_id")
+                   .agg(F.count("*").cast("long").alias("n_chunks"),
+                        F.sum(F.col("is_dup").cast("long")).cast("long")
+                         .alias("n_dup_chunks"))
+                   .select("doc_id", "n_chunks", "n_dup_chunks",
+                           F.expr("(1000000 * n_dup_chunks) div n_chunks")
+                            .cast("long").alias("dup_ppm")))
+
+
+_reg_deferred("doc_chunk_dedup", _doc_chunk_dedup_oracle)
