@@ -152,8 +152,14 @@ DRIVER_PRIORITY = [
     "multimodal_features", "multimodal_frame_sample",
     "multimodal_byte_entropy",
     # streaming family (sliding is the tumbling twin; demoted)
+    # (round 4: stream_incremental_dedup replaces stream_dedup — the
+    # dropDuplicates-into-agg chain is basic stateful plumbing, while
+    # the foreachBatch band-store ingest is the production streaming
+    # shape the window otherwise lacks: micro-batches probing and
+    # extending persisted dedup state, proven against the batch truth.
+    # stream_dedup stays registered below the window.)
     "stream_windowed_counts", "stream_session_stats", "stream_user_state",
-    "stream_dedup", "stream_click_after_signup",
+    "stream_incremental_dedup", "stream_click_after_signup",
     # pluggable-format surface: the custom Python DataSource, itself
     # oracle-checked (rows regenerate from range())
     "synthetic_source_stats",
