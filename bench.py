@@ -76,6 +76,9 @@ HEADLINE = [
     "text_dsir_weights",
     "corpus_cluster_balanced_sample",
     "eval_contamination_embedding",
+    "corpus_perplexity_buckets",
+    "doc_chunk_dedup",
+    "revenue_by_nation_ivm",
 ]
 
 
