@@ -534,6 +534,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(in_dir)
 
     docs = read_table(spark, sf_dir, "documents")
+    # The os-level staging below (glob/move/utime) SIMULATES ordered
+    # file arrivals for the deterministic replay — it is the test
+    # harness side of the query, inherently local. The ingest operator
+    # itself (store probe + appends) stays FS-agnostic.
     base_t = 1_700_000_000  # fixed epoch: mtimes must only be ORDERED
     for k in range(STREAM_DEDUP_BATCHES):
         stage = os.path.join(root, f"stage{k}")
@@ -545,11 +549,24 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
         shutil.rmtree(stage)
 
+    def _read_if_exists(sp, path):
+        """FS-agnostic existence probe: attempt the read and treat the
+        analyzer's path-not-found as absence — works identically on
+        local paths and DFS scratch dirs (os.path.exists would not),
+        and stays inside the public API (no py4j Hadoop FS bridge)."""
+        try:
+            df = sp.read.parquet(path)
+            df.schema  # force analysis
+            return df
+        except Exception:
+            return None
+
     def ingest(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession
         batch_local = batch_df.persist()
-        if os.path.exists(store):
-            cand = dedup_incremental(batch_local, sp.read.parquet(store))
+        store_df = _read_if_exists(sp, store)
+        if store_df is not None:
+            cand = dedup_incremental(batch_local, store_df)
             touched = (cand.select(F.col("new_doc_id").alias("doc_id"))
                            .unionByName(cand.select(F.col("corpus_doc_id")
                                                      .alias("doc_id")))
@@ -579,10 +596,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           .start()
           .awaitTermination())
 
-    if not os.path.exists(out):
+    result = _read_if_exists(spark, out)
+    if result is None:
         return spark.createDataFrame(
             [], "new_doc_id long, corpus_doc_id long, jaccard double")
-    return spark.read.parquet(out)
+    return result
 
 
 from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
