@@ -106,6 +106,9 @@ def spread(df, min_factor: int = 1):
     real scale — where the scan already yields thousands of splits —
     this is a NO-OP and never adds a corpus shuffle.
     """
+    # NOTE: the partition probe (.rdd.getNumPartitions) plans the frame
+    # once — call spread() on scan-level inputs (all current call
+    # sites), not on frames with expensive lineage.
     par = df.sparkSession.sparkContext.defaultParallelism * min_factor
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
