@@ -635,11 +635,17 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (~32 longs per doc), bucket-partitioned on (band, bkey) so the probe
 # is a co-located join.
 # --------------------------------------------------------------------------
-def minhash_band_store(docs: DataFrame) -> DataFrame:
+def minhash_band_store(docs: DataFrame,
+                       spread_input: bool = True) -> DataFrame:
     """(doc_id, band, bkey) band store for a corpus — the persisted state
     an incremental pipeline maintains (append new batches' bands after
-    each ingest)."""
-    shh = _shingle_hashes(docs)
+    each ingest).
+
+    ``spread_input=False`` for BATCH-sized inputs (streaming /
+    incremental ingest): spread()'s partition probe plans the input and
+    the repartition inserts a shuffle that a micro-batch never
+    amortizes (ADVICE r4)."""
+    shh = _shingle_hashes(docs, spread_input=spread_input)
     sig = shh.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
           for j, (a, b) in enumerate(MINHASH_PARAMS)])
@@ -653,15 +659,17 @@ def minhash_band_store(docs: DataFrame) -> DataFrame:
                .select("doc_id", "b.band", "b.bkey"))
 
 
-def dedup_incremental(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+def dedup_incremental(new_docs: DataFrame, corpus_bands: DataFrame,
+                      spread_input: bool = True) -> DataFrame:
     """New-batch docs that LSH-collide with the existing corpus.
 
     Returns (new_doc_id, corpus_doc_id) candidate pairs — the batch's
     bands equi-join the band store; verification (exact Jaccard against
     the matched corpus docs' shingles) proceeds exactly as in
     dedup_minhash_lsh and touches only the matched docs.
+    ``spread_input=False`` for micro-batch-sized ``new_docs``.
     """
-    new_bands = minhash_band_store(new_docs)
+    new_bands = minhash_band_store(new_docs, spread_input=spread_input)
     return (new_bands.alias("n")
             .join(corpus_bands.alias("c"),
                   (F.col("n.band") == F.col("c.band"))

@@ -141,3 +141,27 @@ def test_stream_upsert_sink_recovers_retired_dim(spark, tmp_path):
                       .collect())}
     assert got == want
     assert not os.path.exists(dim + "__old")
+
+
+def test_read_parquet_if_absent_distinguishes_corruption(spark, tmp_path):
+    """VERDICT r4 item 5: the band-store existence probe must read ONLY
+    path-not-found as 'store absent' (first-batch behavior); a corrupted
+    store must raise loudly instead of silently resetting dedup state."""
+    import pytest
+
+    from hdfs_with_pyspark_spark.streaming.ops import _read_parquet_if_absent
+
+    # absent path -> None (first batch)
+    assert _read_parquet_if_absent(spark, str(tmp_path / "nope")) is None
+
+    # corrupted store (garbage bytes, no parquet footer) -> loud failure
+    corrupt = tmp_path / "store"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    def probe_and_read():
+        df = _read_parquet_if_absent(spark, str(corrupt))
+        if df is not None:  # schema may lazily analyze; force a read
+            df.collect()
+
+    with pytest.raises(Exception):
+        probe_and_read()
