@@ -772,3 +772,63 @@ def test_embedding_coverage_accounts_for_every_vector(spark, sf_dir):
         + orphans["n_docs"] == n_vec
     for r in rows.values():
         assert r["coverage_ppm"] == (1_000_000 * r["n_embedded"]) // r["n_docs"]
+
+
+def test_av_decoder_fallback_without_codecs(spark):
+    """soundfile/ffprobe seams degrade to byte features per row when the
+    codec is absent OR the payload is not decodable media — identical
+    output to the default decoder on this corpus (text-byte blobs).
+    Always runs: text bytes are never valid audio/video."""
+    docs = spark.createDataFrame([(1, "a b c"), (2, "hello world")],
+                                 "doc_id long, text string")
+    for dec in (mm.soundfile_audio_decoder, mm.ffprobe_video_decoder,
+                mm.media_decoder):
+        got = {r["doc_id"]: r
+               for r in mm.extract_features(
+                   mm.as_blobs(docs), decoder=dec).collect()}
+        dflt = {r["doc_id"]: r
+                for r in mm.extract_features(mm.as_blobs(docs)).collect()}
+        for k in got:
+            assert got[k]["n_tokens"] == dflt[k]["n_tokens"], dec.__name__
+            assert got[k]["frame_count"] == dflt[k]["frame_count"]
+
+
+def test_soundfile_decoder_real_audio_when_available(spark):
+    """When soundfile IS importable, a real WAV decodes and n_tokens is
+    the Whisper-style 50-per-second count of the true duration; skipped
+    (not silently passed) where the container has no codec."""
+    pytest.importorskip("soundfile")
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:       # 0.5 s of silence @ 8 kHz mono
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 4000)
+    wav = buf.getvalue()
+    out = mm.soundfile_audio_decoder(wav, "audio")
+    assert out == {"n_tokens": 4000 * 50 // 8000, "frame_count": None}
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [7], "modality": ["audio"], "blob": [wav]})
+    rows = list(mm._featurize_batches(mm.soundfile_audio_decoder)(iter([pdf])))
+    assert rows[0]["n_tokens"].iloc[0] == 25
+
+
+def test_ffprobe_decoder_real_video_when_available(spark, tmp_path):
+    """When ffprobe IS on PATH (and ffmpeg can synthesize a clip), a
+    real video probes its true frame count; skipped otherwise."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffprobe") is None or shutil.which("ffmpeg") is None:
+        pytest.skip("ffprobe/ffmpeg not on PATH in this container")
+    clip = tmp_path / "clip.ts"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "testsrc=duration=0.5:size=64x64:rate=10",
+         "-f", "mpegts", str(clip)], check=True)
+    out = mm.ffprobe_video_decoder(clip.read_bytes(), "video")
+    assert out["frame_count"] == 5
+    assert out["n_tokens"] == 5 * mm.VIDEO_TOKENS_PER_FRAME
