@@ -98,8 +98,16 @@ DRIVER_PRIORITY = [
     # dedup family (capped-jaccard and simhash-signature twins are
     # demoted below the window: oracle-identical on unskewed sf0.01,
     # equivalence-tested in tests/test_llm.py)
+    # (round 5: dedup_simhash demoted for text_dsir_weights — the window
+    # carried four signature-based near-dup entries (exact, ngram,
+    # minhash-LSH, simhash) and simhash's banded-Hamming join shares its
+    # candidate-join shape with the in-window minhash path, while DSIR
+    # importance weighting — distribution-matched data SELECTION, two
+    # corpus passes against a broadcast hashed profile — is a
+    # training-data capability family the window lacked entirely.
+    # dedup_simhash stays registered and parity-checked below.)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_components", "corpus_curation",
+    "text_dsir_weights", "dedup_components", "corpus_curation",
     "dedup_incremental", "corpus_decontaminate",
     # similarity / embeddings family (all-pairs dedup_embedding_cosine
     # and int8 embedding_quantize are demoted: the LSH path and outlier
@@ -168,7 +176,14 @@ DRIVER_PRIORITY = [
     # demoted: basic SQL breadth, still parity-checked locally; the
     # banded range join, iterative PageRank, and MERGE upsert are
     # distinct scale-pattern capabilities and belong in the window)
-    "pricing_summary", "pricing_totals_exact",
+    # (round 5: pricing_totals_exact demoted for revenue_by_nation_ivm —
+    # the exact-DECIMAL aggregation it demonstrated is carried
+    # in-window by the IVM's cents-exact base⊕delta merge, which ALSO
+    # brings incremental view maintenance — a maintenance family the
+    # window otherwise lacked, and whose oracle (the full recompute)
+    # proves the IVM identity itself. pricing_totals_exact stays
+    # registered and parity-checked below.)
+    "pricing_summary", "revenue_by_nation_ivm",
     "asof_last_order_before_event", "rolling_daily_revenue",
     "user_activity_cogroup", "events_time_proximity",
     "channel_pagerank", "customers_upsert",
