@@ -1071,3 +1071,60 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_deferred_oracle("contrastive_negatives",
                          _contrastive_negatives_oracle)
+
+
+# --------------------------------------------------------------------------
+# dedup_canonical_docs — the KEEP decision a dedup pipeline actually
+# ships: within every near-dup cluster (dedup_components), the survivor
+# is the HIGHEST-QUALITY member (text_quality_score; doc_id breaks
+# exact ties), not the arbitrary min-id — discarding a clean page in
+# favor of its boilerplate-ridden twin is the classic naive-dedup
+# regression. One row per cluster: the canonical doc, its quality, and
+# the cluster size.
+#
+# Scale: the component frame holds only CLUSTERED docs (a small
+# fraction of the corpus), so the per-doc quality stream broadcast-
+# joins against it and the argmax window runs over |clustered| rows —
+# the corpus itself contributes one map-side quality projection and
+# never shuffles. The oracle composes both queries' SQL, so the
+# survivor rule itself is oracle-proven.
+# --------------------------------------------------------------------------
+def _canonical_docs_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH comp AS ({ORACLES["dedup_components"]}),
+q AS ({ORACLES["text_quality_score"]}),
+ranked AS (
+  SELECT c.component_id, c.doc_id, c.cluster_size, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC)
+           AS rn
+  FROM comp c JOIN q ON q.doc_id = c.doc_id)
+SELECT component_id,
+       doc_id AS canonical_doc_id,
+       quality_score AS canonical_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_docs", oracle=None)  # composed below
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import text_quality_score
+
+    comp = dedup_components(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = (Window.partitionBy("component_id")
+               .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc()))
+    return (comp.join(q, "doc_id")
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("component_id",
+                        F.col("doc_id").alias("canonical_doc_id"),
+                        F.col("quality_score").alias("canonical_quality"),
+                        F.col("cluster_size").cast("long")
+                         .alias("cluster_size")))
+
+
+register_deferred_oracle("dedup_canonical_docs", _canonical_docs_oracle)

@@ -1587,3 +1587,165 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("doc_chunk_dedup", _doc_chunk_dedup_oracle)
+
+
+# --------------------------------------------------------------------------
+# bm25_topk — ranked retrieval over the corpus: BM25 (Robertson/Okapi,
+# k1 = 1.2, b = 0.75) for a fixed query-term set, top-K documents. The
+# IR capability a curation stack uses to pull topic slices out of a web
+# corpus (and the lexical half of hybrid search next to ann_topk_*).
+#
+# Determinism across engines (the corpus_unigram_logprob discipline):
+# idf is snapped to integer MICRO-units (round(ln(.)*1e6) as BIGINT)
+# and each (doc, term) contribution likewise rounds to an integer
+# BEFORE the per-doc sum, so Spark's partial-agg order vs DuckDB's
+# serial order cannot flip a bit; ranking compares the exact integer
+# score. avgdl enters as the exact integer pair (sum_dl, n_docs) —
+# b*dl*N/sum_dl in identical op order — rather than a pre-divided
+# float.
+#
+# Scale: tf is a map-side projection (terms are a tiny literal array);
+# df is a 3-row aggregate that broadcasts back; the only corpus shuffle
+# is the per-doc score re-aggregation, partial-combined map-side. The
+# top-K is a single total-order window — at real scale swap for
+# ORDER BY ... LIMIT K (TakeOrdered) to avoid the single-partition
+# window; K=20 keeps both forms identical here.
+# --------------------------------------------------------------------------
+BM25_TERMS = ("spark", "hash", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+_SQL_BM25_TERMS = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+
+
+@register("bm25_topk", oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_sql_tokens()} AS toks,
+         len({_sql_tokens()}) AS dl
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+tf AS (
+  SELECT doc_id, dl, term,
+         len(list_filter(toks, x -> x = term)) AS tf
+  FROM d, (SELECT UNNEST({_SQL_BM25_TERMS}) AS term) q),
+tf2 AS (SELECT * FROM tf WHERE tf > 0),
+df AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(ROUND(ln((s.n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+                       + 1.0::DOUBLE) * 1000000) AS BIGINT) AS idf_u
+  FROM df, stats s),
+contrib AS (
+  SELECT f.doc_id,
+         CAST(ROUND(i.idf_u * (f.tf /
+              (f.tf + {BM25_K1}::DOUBLE * (1.0::DOUBLE - {BM25_B}::DOUBLE
+               + {BM25_B}::DOUBLE * f.dl * s.n_docs / s.sum_dl))))
+              AS BIGINT) AS c_u
+  FROM tf2 f JOIN idf i USING (term), stats s),
+scores AS (SELECT doc_id, SUM(c_u) AS score_u FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score_u,
+         ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id ASC) AS rank
+  FROM scores)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(score_u / 1000000.0::DOUBLE, 4) AS bm25
+FROM ranked WHERE rank <= {BM25_TOPK}
+""")
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks"),
+                    F.size(toks).cast("long").alias("dl"))
+    stats = d.agg(F.count("*").alias("n_docs"),
+                  F.sum("dl").alias("sum_dl"))
+    def _tf(t: str):
+        # closure, not a default-arg lambda: a 2-parameter lambda would
+        # be read by Spark as the (element, index) signature
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t)))
+
+    term_structs = [
+        F.struct(F.lit(t).alias("term"),
+                 _tf(t).cast("long").alias("tf"))
+        for t in BM25_TERMS]
+    tf2 = (d.select("doc_id", "dl",
+                    F.explode(F.array(*term_structs)).alias("s"))
+            .select("doc_id", "dl", "s.term", "s.tf")
+            .where(F.col("tf") > 0))
+    df_tbl = tf2.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (df_tbl.crossJoin(F.broadcast(stats))
+                 .select("term",
+                         F.round(F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                                       / (F.col("df") + F.lit(0.5))
+                                       + F.lit(1.0)) * 1e6)
+                          .cast("long").alias("idf_u")))
+    denom = (F.col("tf")
+             + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B)
+                                 + F.lit(BM25_B) * F.col("dl")
+                                   * F.col("n_docs") / F.col("sum_dl")))
+    contrib = (tf2.join(F.broadcast(idf), "term")
+                  .crossJoin(F.broadcast(stats))
+                  .select("doc_id",
+                          F.round(F.col("idf_u") * (F.col("tf") / denom))
+                           .cast("long").alias("c_u")))
+    scores = contrib.groupBy("doc_id").agg(F.sum("c_u").alias("score_u"))
+    w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    return (scores.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= BM25_TOPK)
+                  .select("doc_id", "rank",
+                          F.round(F.col("score_u") / F.lit(1e6), 4)
+                           .alias("bm25")))
+
+
+# --------------------------------------------------------------------------
+# quality_score_calibrated — per-SOURCE percentile calibration of the
+# quality score: a raw threshold applied corpus-wide systematically
+# over-drops whole domains whose score distribution sits lower (the
+# known C4-blocklist failure mode); calibrating to the within-source
+# percent_rank makes the keep decision source-fair. The keep flag uses
+# the calibrated value, so each source retains its own top
+# (1 - QUALITY_CAL_DROP) fraction.
+#
+# Determinism: percent_rank is (rank-1)/(n-1) over integer counts with
+# ties sharing a rank — identical in both engines, no float-order
+# hazard. Scale: one shuffle on source (low cardinality -> AQE skew
+# splitting applies); the quality signals themselves are map-side.
+# --------------------------------------------------------------------------
+QUALITY_CAL_DROP = 0.2
+
+
+def _quality_calibrated_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT q.doc_id, d.source, q.quality_score
+  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+r AS (
+  SELECT doc_id, source, quality_score,
+         ROUND(percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality_score), 4)
+           AS calibrated
+  FROM j)
+SELECT doc_id, source, quality_score, calibrated,
+       CAST(calibrated >= {QUALITY_CAL_DROP} AS INT) AS keep
+FROM r
+"""
+
+
+@register("quality_score_calibrated", oracle=None)  # composed below
+def quality_score_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    return (q.join(src, "doc_id")
+             .withColumn("calibrated",
+                         F.round(F.percent_rank().over(w), 4))
+             .select("doc_id", "source", "quality_score", "calibrated",
+                     (F.col("calibrated") >= F.lit(QUALITY_CAL_DROP))
+                      .cast("int").alias("keep")))
+
+
+_reg_deferred("quality_score_calibrated", _quality_calibrated_oracle)
