@@ -1154,6 +1154,90 @@ def emb_lsh_rand_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding_top_pc — distributed power iteration for the corpus's top
+# principal direction (of the uncentered second-moment matrix X^T X):
+# the spectral primitive under PCA whitening, spectral ANN partitioners,
+# and embedding-drift monitoring. v_{k+1} = normalize(X^T (X v_k)),
+# unrolled PC_ITERS times from the deterministic all-0.125 start vector.
+#
+# The 100 TB shape: each iteration is ONE map-side partial aggregate —
+# every task folds its rows into 64 longs, the final merge is a 1-row
+# agg, and only 64 doubles ever reach the driver (the
+# ivf_kmeans_centroids discipline); the corpus never shuffles.
+#
+# Determinism across engines (the corpus_unigram_logprob discipline,
+# applied to VECTOR accumulation): each row's contribution x_d * s is
+# snapped to integer NANO-units before summing, so Spark's partial-agg
+# order vs DuckDB's serial order cannot flip a bit; the per-row dot
+# x·v, the norm, and the renormalization are fixed-order IEEE double
+# chains emitted identically in both engines (Spark inlines the
+# driver-collected v as shortest-roundtrip literals; the oracle carries
+# v as computed columns — same doubles either way).
+# --------------------------------------------------------------------------
+PC_ITERS = 3
+_PC_Q = "1000000000.0"  # nano-unit quantizer (exactly representable)
+
+
+def _top_pc_oracle() -> str:
+    dims = range(1, EMBED_DIM + 1)
+    v0_dot = "(0.0::DOUBLE + " + " + ".join(
+        f"COALESCE(x[{d}], 0.0::DOUBLE) * (0.125::DOUBLE)" for d in dims) + ")"
+    ctes = [f"e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+            f"s1 AS (SELECT x, {v0_dot} AS s FROM e)"]
+    for k in range(1, PC_ITERS + 1):
+        sums = ", ".join(
+            f"SUM(CAST(ROUND(COALESCE(x[{d}], 0.0::DOUBLE) * s "
+            f"* {_PC_Q}::DOUBLE) AS BIGINT)) AS w{d}" for d in dims)
+        ctes.append(f"w{k} AS (SELECT {sums} FROM s{k})")
+        sq = " + ".join(f"(w{d} / {_PC_Q}::DOUBLE) * (w{d} / {_PC_Q}::DOUBLE)"
+                        for d in dims)
+        ctes.append(f"n{k} AS (SELECT *, sqrt(0.0::DOUBLE + {sq}) AS nrm "
+                    f"FROM w{k})")
+        vs = ", ".join(f"(w{d} / {_PC_Q}::DOUBLE) / nrm AS v{d}" for d in dims)
+        ctes.append(f"v{k} AS (SELECT {vs} FROM n{k})")
+        if k < PC_ITERS:
+            dot = "(0.0::DOUBLE + " + " + ".join(
+                f"COALESCE(e.x[{d}], 0.0::DOUBLE) * c.v{d}" for d in dims) + ")"
+            ctes.append(f"s{k + 1} AS (SELECT e.x, {dot} AS s FROM e, v{k} c)")
+    weights = ", ".join(f"ROUND(v{d}, 6)" for d in dims)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT UNNEST(generate_series(1, {EMBED_DIM})) AS dim,
+       UNNEST([{weights}]) AS weight
+FROM v{PC_ITERS}""")
+
+
+@register("embedding_top_pc", oracle=_top_pc_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ensure_session(spark)
+    vecs = _vectors(spark, sf_dir).select(F.col("v").alias("x")).persist()
+    dims = range(1, EMBED_DIM + 1)
+    v = [0.125] * EMBED_DIM
+    for _ in range(PC_ITERS):
+        dot_text = "(0.0D + " + " + ".join(
+            f"coalesce(try_element_at(x, {d}), 0.0D) * ({val!r}D)"
+            for d, val in zip(dims, v)) + ")"
+        scored = vecs.withColumn("s", F.expr(dot_text))
+        sums = scored.agg(*[
+            F.sum(F.round(F.coalesce(F.try_element_at("x", F.lit(d)),
+                                     F.lit(0.0))
+                          * F.col("s") * F.lit(1e9)).cast("long"))
+             .alias(f"w{d}") for d in dims]).first()
+        acc, ts = 0.0, []
+        for d in dims:
+            t = sums[f"w{d}"] / 1e9
+            ts.append(t)
+            acc = acc + t * t
+        nrm = math.sqrt(acc)
+        v = [t / nrm for t in ts]
+    vecs.unpersist()
+    out = spark.createDataFrame(
+        [(d, val) for d, val in zip(dims, v)], "dim long, weight double")
+    return out.select("dim", F.round("weight", 6).alias("weight"))
+
+
+# --------------------------------------------------------------------------
 # dedup_embedding_ivf — SemDedup-shape semantic dedup (Abbas et al. 2023,
 # "SemDeDup: Data-efficient learning at web-scale through semantic
 # deduplication"): cluster the corpus with the TRAINED k-means quantizer
