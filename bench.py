@@ -79,6 +79,16 @@ HEADLINE = [
     "corpus_perplexity_buckets",
     "doc_chunk_dedup",
     "revenue_by_nation_ivm",
+    # round 5: retrieval, spectral, calibrated-curation, rand-LSH
+    "bm25_topk",
+    "embedding_top_pc",
+    "dedup_canonical_docs",
+    "quality_score_calibrated",
+    "dedup_embedding_lsh_rand",
+    "emb_lsh_rand_recall",
+    "corpus_ngram_novelty",
+    "leakage_safe_splits",
+    "events_user_retention",
 ]
 
 

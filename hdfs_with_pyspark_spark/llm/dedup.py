@@ -1128,3 +1128,99 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_deferred_oracle("dedup_canonical_docs", _canonical_docs_oracle)
+
+
+# --------------------------------------------------------------------------
+# corpus_ngram_novelty — per-document novelty: the fraction of a doc's
+# distinct word-3-grams whose FIRST corpus occurrence (min doc_id) is
+# this doc. The corpus-saturation curve data teams watch while scaling
+# a crawl: novelty collapsing toward 0 means new data is re-treading
+# old shingles and the marginal epoch is mostly duplicate n-grams.
+#
+# Scale: reuses the dedup shingle spine (distinct (doc_id, h), one
+# shuffle); first-seen is a min-over-h aggregate whose partial combines
+# map-side; the novelty ratio re-aggregates per doc. Two shuffles
+# total, both on narrow (id, hash) pairs.
+# --------------------------------------------------------------------------
+@register("corpus_ngram_novelty", oracle=f"""
+WITH {_sql_shingles()},
+first_seen AS (SELECT h, MIN(doc_id) AS first_doc FROM shh GROUP BY h)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS novelty_frac
+FROM shh s JOIN first_seen f USING (h)
+GROUP BY s.doc_id
+""")
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    first_seen = shh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (shh.join(first_seen, "h")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_shingles"),
+                    F.sum(novel).cast("long").alias("n_novel"),
+                    F.round(F.sum(novel) / F.count("*"), 4)
+                     .alias("novelty_frac")))
+
+
+# --------------------------------------------------------------------------
+# leakage_safe_splits — train/val/test assignment that cannot leak
+# near-duplicates across splits: the hash bucket is keyed on the
+# near-dup CLUSTER id (dedup_components; unclustered docs key on their
+# own doc_id), so every member of a cluster co-travels into the same
+# split. Hash-splitting on raw doc_id (corpus_splits) is stable but
+# leaks: a train doc's near-twin lands in test with probability
+# ~(1 - split_frac), silently inflating eval numbers — the known
+# contamination-via-dedup-miss failure mode.
+#
+# Scale: the component frame holds only clustered docs, so the corpus
+# left-joins a small broadcast side; the split expression is map-side.
+# The oracle composes dedup_components' SQL, so the co-travel guarantee
+# is itself oracle-proven.
+# --------------------------------------------------------------------------
+def _leakage_safe_splits_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    from hdfs_with_pyspark_spark.llm.text import SPLIT_TRAIN, SPLIT_VAL
+    return f"""
+WITH comp AS ({ORACLES["dedup_components"]}),
+b AS (
+  SELECT d.doc_id,
+         COALESCE(c.component_id, d.doc_id) AS split_key,
+         CASE WHEN c.component_id IS NULL THEN 0 ELSE 1 END AS is_clustered,
+         ('0x' || substr(md5(CAST(COALESCE(c.component_id, d.doc_id)
+                                  AS VARCHAR)), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id,
+       CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(is_clustered AS INT) AS is_clustered
+FROM b
+"""
+
+
+@register("leakage_safe_splits", oracle=None)  # composed below
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import SPLIT_TRAIN, SPLIT_VAL
+    from hdfs_with_pyspark_spark.llm.textops import hash64
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    key = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    bucket = hash64(key.cast("string")) % 100
+    split = (F.when(bucket < SPLIT_TRAIN, "train")
+              .when(bucket < SPLIT_VAL, "val")
+              .otherwise("test"))
+    return (docs.join(comp, "doc_id", "left")
+                .select("doc_id", split.alias("split"),
+                        F.when(F.col("component_id").isNull(), 0)
+                         .otherwise(1).cast("int").alias("is_clustered")))
+
+
+register_deferred_oracle("leakage_safe_splits", _leakage_safe_splits_oracle)

@@ -1134,3 +1134,46 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count("*").cast("long").alias("k"),
                    F.count_distinct("user_id").cast("long").alias("l"))
               .where(F.col("l") < L_DIV_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
+# events_user_retention — classic cohort retention triangle: users
+# grouped by first-active week (the cohort), each later week's distinct
+# active users counted at their week offset. The growth-analytics
+# staple every event warehouse serves, and a shape the engine otherwise
+# lacks: a per-entity MIN baseline joined back onto the entity's own
+# activity stream.
+#
+# Scale: distinct (user, week) first (the big reduction, one shuffle
+# partial-combined map-side); cohorts are a per-user MIN over that
+# already-reduced frame; the join back is user-keyed on the reduced
+# frame, never on raw events. Weeks are Monday-truncated in both
+# engines, so offsets are exact multiples of 7 days.
+# --------------------------------------------------------------------------
+@register("events_user_retention", oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST(datediff('day', c.cohort_week, u.week) / 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+FROM uw u JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""")
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    uw = (ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+            .select("user_id",
+                    F.date_trunc("week", "ts").cast("date").alias("week"))
+            .distinct())
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (uw.join(cohort, "user_id")
+              .groupBy("cohort_week",
+                       (F.datediff("week", "cohort_week") / 7).cast("long")
+                        .alias("week_offset"))
+              .agg(F.count_distinct("user_id").cast("long")
+                    .alias("n_users")))
