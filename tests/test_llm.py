@@ -832,3 +832,67 @@ def test_ffprobe_decoder_real_video_when_available(spark, tmp_path):
     out = mm.ffprobe_video_decoder(clip.read_bytes(), "video")
     assert out["frame_count"] == 5
     assert out["n_tokens"] == 5 * mm.VIDEO_TOKENS_PER_FRAME
+
+
+def test_leakage_safe_splits_clusters_cotravel(spark, sf_dir):
+    """The operator's whole point: no near-dup cluster may span two
+    splits (the contamination leak corpus_splits permits)."""
+    from hdfs_with_pyspark_spark.llm.dedup import (
+        dedup_components,
+        leakage_safe_splits,
+    )
+    from pyspark.sql import functions as F
+
+    splits = leakage_safe_splits(spark, sf_dir)
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    spanning = (splits.join(comp, "doc_id")
+                      .groupBy("component_id")
+                      .agg(F.count_distinct("split").alias("k"))
+                      .where(F.col("k") > 1)
+                      .count())
+    assert spanning == 0
+    # and every doc got exactly one assignment
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    assert splits.count() == read_table(spark, sf_dir, "documents").count()
+
+
+def test_events_user_retention_offset_zero_covers_all_users(spark, sf_dir):
+    """Every user is active in their own cohort week by construction, so
+    the offset-0 diagonal must sum to the distinct-user count."""
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans.temporal import events_user_retention
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ret = events_user_retention(spark, sf_dir)
+    diag = (ret.where(F.col("week_offset") == 0)
+               .agg(F.sum("n_users")).first()[0])
+    n_users = (read_table(spark, sf_dir, "events")
+               .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+               .select("user_id").distinct().count())
+    assert diag == n_users
+    # offsets are non-negative and cohort weeks are Mondays
+    assert ret.where(F.col("week_offset") < 0).count() == 0
+
+
+def test_bm25_ranks_are_dense_and_terms_present(spark, sf_dir):
+    """Top-k ranks are exactly 1..k and every ranked doc contains at
+    least one query term (BM25 of a term-free doc is no rows)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.llm.text import BM25_TERMS, BM25_TOPK, bm25_topk
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    out = bm25_topk(spark, sf_dir).collect()
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(ranks) + 1))
+    assert len(ranks) <= BM25_TOPK
+    docs = {r["doc_id"]: r["text"]
+            for r in read_table(spark, sf_dir, "documents")
+            .join(spark.createDataFrame([(r["doc_id"],) for r in out],
+                                        "doc_id long"), "doc_id")
+            .collect()}
+    for r in out:
+        toks = set(docs[r["doc_id"]].split(" "))
+        assert toks & set(BM25_TERMS), r
+        assert r["bm25"] > 0
