@@ -89,6 +89,8 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "leakage_safe_splits",
     "events_user_retention",
+    "corpus_zipf_fit",
+    "events_funnel_conversion",
 ]
 
 

@@ -1749,3 +1749,110 @@ def quality_score_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("quality_score_calibrated", _quality_calibrated_oracle)
+
+
+# --------------------------------------------------------------------------
+# corpus_zipf_fit — distributed OLS fit of Zipf's law over the corpus's
+# token-frequency distribution: ln(count) regressed on ln(rank) for the
+# top-K ranks, reporting slope (the Zipf exponent, ~ -1 for natural
+# language), intercept, and r^2. The slope is the single most-quoted
+# corpus health statistic — a synthetic / template-generated corpus
+# shows up immediately as a flat or kinked rank-frequency curve
+# (slope far from -1, low r^2). No reference counterpart (the reference
+# has no text surface); the regression itself is new capability: the
+# repo's first closed-form distributed OLS.
+#
+# Scale shape: one shuffle builds the vocabulary (token -> count);
+# the top-K ranks come from orderBy(...).limit(K), which Spark plans as
+# TakeOrderedAndProject — per-partition top-K then a single K-row merge,
+# never a global sort of the vocabulary. Everything after operates on a
+# K-row frame (K = ZIPF_TOP_RANKS), so the window rank and the
+# sufficient-statistic aggregate are bounded regardless of corpus size.
+# At 100 TB only the vocab agg grows, and it's a plain partial-combined
+# groupBy.
+#
+# Determinism across engines: ln(rank) and ln(count) are snapped to
+# integer MICRO-log units (round(ln * 1e6) as BIGINT) per rank; the
+# sufficient statistics (sum x, sum y, sum xy, sum x^2, sum y^2) are
+# integer sums — associative, so aggregation order can't flip a bit.
+# The final slope/intercept/r^2 combine those exact integers with one
+# fixed-order scalar expression per engine. Cross products like
+# n * sum(xy) reach ~2e20, past int64: Spark computes them in
+# decimal(38,0) (exact), DuckDB's SUM already yields HUGEINT (exact);
+# r^2's squared covariance would overflow even int128, so covariance and
+# the two variances convert to double first (identical exact-integer
+# inputs on both engines -> identical doubles). Ties in count rank
+# deterministically by token text. Degenerate inputs (a single rank, or
+# every top-K count identical) have zero x- or y-variance: slope,
+# intercept and r^2 are NULL then, guarded on both engines so ANSI mode
+# can't raise DIVIDE_BY_ZERO.
+# --------------------------------------------------------------------------
+ZIPF_TOP_RANKS = 1000
+
+
+@register("corpus_zipf_fit", oracle=f"""
+WITH tok AS (
+  SELECT unnest({_sql_tokens()}) AS token FROM documents),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+top AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM vocab ORDER BY cnt DESC, token ASC LIMIT {ZIPF_TOP_RANKS}),
+u AS (
+  SELECT CAST(ROUND(ln(rank) * 1000000) AS BIGINT) AS xu,
+         CAST(ROUND(ln(cnt)  * 1000000) AS BIGINT) AS yu
+  FROM top),
+s AS (
+  SELECT COUNT(*) AS n, SUM(xu) AS sx, SUM(yu) AS sy,
+         SUM(xu * yu) AS sxy, SUM(xu * xu) AS sxx, SUM(yu * yu) AS syy
+  FROM u)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS zipf_slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         ROUND((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000, 4) END AS zipf_intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 4) END AS r2
+FROM s
+""")
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # TakeOrderedAndProject: per-partition top-K, single K-row merge.
+    top = vocab.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_TOP_RANKS)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    u = (top.withColumn("rank", F.row_number().over(w))
+            .select(F.round(F.log("rank") * 1e6).cast("long").alias("xu"),
+                    F.round(F.log("cnt") * 1e6).cast("long").alias("yu")))
+    dec = "decimal(38,0)"
+    s = u.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("xu").cast(dec).alias("sx"),
+        F.sum("yu").cast(dec).alias("sy"),
+        F.sum(F.col("xu") * F.col("yu")).cast(dec).alias("sxy"),
+        F.sum(F.col("xu") * F.col("xu")).cast(dec).alias("sxx"),
+        F.sum(F.col("yu") * F.col("yu")).cast(dec).alias("syy"))
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.when(varx > 0, F.round(slope, 4)).alias("zipf_slope"),
+        F.when(varx > 0,
+               F.round((F.col("sy").cast("double")
+                        - slope * F.col("sx").cast("double"))
+                       / F.col("n").cast("double") / 1e6, 4))
+         .alias("zipf_intercept"),
+        F.when((varx > 0) & (vary > 0), F.round(cov * cov / (varx * vary), 4))
+         .alias("r2"))

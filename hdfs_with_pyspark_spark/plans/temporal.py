@@ -1177,3 +1177,97 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("week_offset"))
               .agg(F.count_distinct("user_id").cast("long")
                     .alias("n_users")))
+
+
+# --------------------------------------------------------------------------
+# events_funnel_conversion — the aggregate funnel report on top of
+# user_funnel's ordered-step semantics (signup -> click -> purchase,
+# each step's timestamp being the first qualifying event at-or-after
+# the previous step): one row per step with the user count, the
+# step-over-step conversion rate, and the conversion from the funnel
+# top. This is the report a growth dashboard renders; user_funnel is
+# its per-user detail.
+#
+# Scale shape: the per-user staging is the same single user_id Exchange
+# as user_funnel (three conditional-min windows over one partitioning);
+# the funnel rollup is a one-row global aggregate (partial-combined),
+# and the 3-step unpivot runs on that single row. Nothing beyond the
+# one per-user shuffle grows with the corpus.
+#
+# Determinism: counts are exact integers; rates divide two exact
+# integers once, ROUND(..., 4) on both engines.
+# --------------------------------------------------------------------------
+@register("events_funnel_conversion", oracle="""
+WITH s AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id),
+f AS (
+  SELECT COUNT(s.t_signup)   AS n1,
+         COUNT(c.t_click)    AS n2,
+         COUNT(p.t_purchase) AS n3
+  FROM s LEFT JOIN c ON c.user_id = s.user_id
+         LEFT JOIN p ON p.user_id = s.user_id)
+SELECT 1 AS step_idx, 'signup' AS step, CAST(n1 AS BIGINT) AS n_users,
+       CASE WHEN n1 > 0 THEN ROUND(1.0, 4) END AS conv_from_prev,
+       CASE WHEN n1 > 0 THEN ROUND(1.0, 4) END AS conv_from_first
+FROM f
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CASE WHEN n1 > 0 THEN ROUND(n2 * 1.0 / n1, 4) END,
+       CASE WHEN n1 > 0 THEN ROUND(n2 * 1.0 / n1, 4) END
+FROM f
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CASE WHEN n2 > 0 THEN ROUND(n3 * 1.0 / n2, 4) END,
+       CASE WHEN n1 > 0 THEN ROUND(n3 * 1.0 / n1, 4) END
+FROM f
+""")
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_signup = F.min(F.when(F.col("event_type") == "signup",
+                            F.col("ts"))).over(w)
+    staged = ev.withColumn("t_signup", t_signup)
+    t_click = F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") >= F.col("t_signup")),
+                           F.col("ts"))).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(F.when((F.col("event_type") == "purchase")
+                              & (F.col("ts") >= F.col("t_click")),
+                              F.col("ts"))).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = (staged
+                .select("user_id", "t_signup", "t_click", "t_purchase")
+                .distinct())
+    f = per_user.agg(
+        F.count("t_signup").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"))
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    rate = lambda num, den: F.when(den > 0, F.round(num * 1.0 / den, 4))
+    steps = f.select(F.explode(F.array(
+        F.struct(F.lit(1).alias("step_idx"), F.lit("signup").alias("step"),
+                 n1.cast("long").alias("n_users"),
+                 rate(n1, n1).alias("conv_from_prev"),
+                 rate(n1, n1).alias("conv_from_first")),
+        F.struct(F.lit(2).alias("step_idx"), F.lit("click").alias("step"),
+                 n2.cast("long").alias("n_users"),
+                 rate(n2, n1).alias("conv_from_prev"),
+                 rate(n2, n1).alias("conv_from_first")),
+        F.struct(F.lit(3).alias("step_idx"), F.lit("purchase").alias("step"),
+                 n3.cast("long").alias("n_users"),
+                 rate(n3, n2).alias("conv_from_prev"),
+                 rate(n3, n1).alias("conv_from_first")),
+    )).alias("r")).select("r.*")
+    return steps

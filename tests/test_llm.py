@@ -896,3 +896,67 @@ def test_bm25_ranks_are_dense_and_terms_present(spark, sf_dir):
         toks = set(docs[r["doc_id"]].split(" "))
         assert toks & set(BM25_TERMS), r
         assert r["bm25"] > 0
+
+
+def test_zipf_fit_matches_closed_form_ols(spark, monkeypatch):
+    # A corpus with an exact power-law vocabulary: token w_r appears
+    # floor(1000 / r) times. The distributed micro-log OLS must agree
+    # with a driver-side numpy polyfit on the same snapped integers to
+    # the printed 4 decimals, and r^2 must be near 1 for a power law.
+    import numpy as np
+
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    words = []
+    for r in range(1, 26):
+        words += [f"w{r:02d}"] * (1000 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "synth", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    row = tx.corpus_zipf_fit(spark, "x").first()
+
+    cnts = sorted((1000 // r for r in range(1, 26)), reverse=True)
+    xu = np.array([round(math.log(i + 1) * 1e6) for i in range(len(cnts))])
+    yu = np.array([round(math.log(c) * 1e6) for c in cnts])
+    slope, intercept_u = np.polyfit(xu.astype(float), yu.astype(float), 1)
+    assert row["n_ranks"] == 25
+    assert abs(row["zipf_slope"] - round(slope, 4)) <= 1e-4
+    assert abs(row["zipf_intercept"] - round(intercept_u / 1e6, 4)) <= 1e-4
+    assert 0.99 <= row["r2"] <= 1.0
+    assert abs(row["zipf_slope"] - (-1.0)) < 0.05  # the planted exponent
+
+
+def test_zipf_top_ranks_cap(spark, monkeypatch):
+    # More distinct tokens than ZIPF_TOP_RANKS: the fit must use exactly
+    # the cap, proving the TakeOrderedAndProject path bounds the frame.
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    monkeypatch.setattr(tx, "ZIPF_TOP_RANKS", 7)
+    words = " ".join(f"t{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, words, "en", "synth", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    assert tx.corpus_zipf_fit(spark, "x").first()["n_ranks"] == 7
+
+
+def test_zipf_degenerate_variance_yields_null(spark, monkeypatch):
+    # Every token appears exactly once: ln(cnt) has zero variance, so
+    # r^2 is NULL (not a DIVIDE_BY_ZERO, even under ANSI).
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    words = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words, "en", "synth", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = tx.corpus_zipf_fit(spark, "x").first()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert row["n_ranks"] == 10
+    assert row["zipf_slope"] is not None  # x-variance > 0 (ranks differ)
+    assert row["r2"] is None

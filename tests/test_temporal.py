@@ -135,3 +135,24 @@ def test_daily_anomalies_zero_stddev_yields_null(spark, monkeypatch):
                    for r in out)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_funnel_conversion_consistent_with_user_funnel(spark, sf_dir):
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+
+    detail = tp.user_funnel(spark, sf_dir)
+    agg = {r["step"]: r for r in
+           tp.events_funnel_conversion(spark, sf_dir).collect()}
+    truth = detail.agg(
+        F.sum(F.col("did_signup").cast("long")).alias("n1"),
+        F.sum(F.col("did_click").cast("long")).alias("n2"),
+        F.sum(F.col("did_purchase").cast("long")).alias("n3")).first()
+    assert agg["signup"]["n_users"] == truth["n1"]
+    assert agg["click"]["n_users"] == truth["n2"]
+    assert agg["purchase"]["n_users"] == truth["n3"]
+    # Ordered-funnel counts are monotone non-increasing, rates in [0, 1].
+    assert truth["n1"] >= truth["n2"] >= truth["n3"]
+    for r in agg.values():
+        assert r["conv_from_prev"] is None or 0.0 <= r["conv_from_prev"] <= 1.0
+        assert r["conv_from_first"] is None or 0.0 <= r["conv_from_first"] <= 1.0
+    assert agg["purchase"]["conv_from_first"] <= agg["click"]["conv_from_first"]
