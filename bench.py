@@ -91,6 +91,7 @@ HEADLINE = [
     "events_user_retention",
     "corpus_zipf_fit",
     "events_funnel_conversion",
+    "hybrid_retrieval_rrf",
 ]
 
 

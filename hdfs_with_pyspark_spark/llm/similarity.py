@@ -1946,3 +1946,107 @@ def embedding_coverage_audit(spark: SparkSession,
                           F.lit(0).cast("long").alias("n_embedded"),
                           F.lit(0).cast("long").alias("coverage_ppm")))
     return per_source.unionByName(orphans)
+
+
+# --------------------------------------------------------------------------
+# hybrid_retrieval_rrf — reciprocal-rank fusion (Cormack & Clarke,
+# SIGIR'09: score(d) = sum over sources of 1/(K + rank_s(d)), K = 60) of
+# the two retrieval halves the repo already ships: BM25 lexical top-20
+# (llm/text.py bm25_topk) and embedding-cosine semantic top-20 against a
+# fixed query vector (vec_id = HYBRID_QUERY_VEC, the "encoded query").
+# This is the production hybrid-search shape: fuse a keyword ranker and
+# a vector ranker without score calibration, since RRF only consumes
+# RANKS. No reference counterpart (the reference has no IR surface).
+#
+# Scale shape: each side's candidate generation is its own
+# already-audited ranker (BM25: map-side tf + one per-doc agg; semantic:
+# broadcast 1-row query vector over the corpus scan, then
+# TakeOrderedAndProject for the top-N — the corpus never shuffles).
+# Fusion itself touches 2 x 20 rows; its windows are bounded by
+# construction.
+#
+# Determinism: RRF contributions are exact integer floor-divisions
+# (1e9 div (K + rank)) summed as BIGINTs — no float-order hazard; ranks
+# tie-break on doc_id; the displayed score divides the exact integer
+# once.
+# --------------------------------------------------------------------------
+RRF_K = 60
+HYBRID_TOPN = 20          # per-side candidate depth (= BM25_TOPK)
+HYBRID_QUERY_VEC = 0      # the corpus vector standing in for the query
+
+
+def _hybrid_rrf_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH v AS ({_SQL_VECTORS}),
+qv AS (SELECT v FROM v WHERE vec_id = {HYBRID_QUERY_VEC}),
+sem AS (
+  SELECT b.vec_id AS doc_id,
+         ROUND(list_dot_product(q.v, b.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM qv q, v b),
+semtop AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS sem_rank
+  FROM sem ORDER BY cos_sim DESC, doc_id ASC LIMIT {HYBRID_TOPN}),
+lex AS (SELECT doc_id, rank AS lex_rank FROM ({ORACLES["bm25_topk"]})),
+f AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
+         + COALESCE(1000000000 // ({RRF_K} + s.sem_rank), 0) AS rrf_u
+  FROM lex l FULL JOIN semtop s ON s.doc_id = l.doc_id)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id ASC) AS BIGINT)
+         AS hybrid_rank,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       ROUND(rrf_u / 1000000000.0, 6) AS rrf_score
+FROM f
+"""
+
+
+@register("hybrid_retrieval_rrf", oracle=None)  # composed below
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import bm25_topk
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank"))
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    q = (v.where(F.col("vec_id") == HYBRID_QUERY_VEC)
+          .select(F.col("v").alias("qv"), F.col("nv").alias("qnv")))
+    sem = (v.crossJoin(F.broadcast(q))
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.round(F.expr(_sql_dot_cols("qv", "v"))
+                            / (F.col("qnv") * F.col("nv")), 6)
+                     .alias("cos_sim")))
+    # TakeOrderedAndProject bounds the frame; the rank window then runs
+    # on HYBRID_TOPN rows.
+    semtop = (sem.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+                 .limit(HYBRID_TOPN)
+                 .withColumn("sem_rank",
+                             F.row_number().over(
+                                 Window.orderBy(F.col("cos_sim").desc(),
+                                                F.col("doc_id").asc())))
+                 .select("doc_id", "sem_rank"))
+    fused = (lex.join(semtop, "doc_id", "full")
+                .withColumn(
+                    "rrf_u",
+                    F.coalesce(F.expr(f"1000000000L div ({RRF_K} + lex_rank)"),
+                               F.lit(0).cast("long"))
+                    + F.coalesce(F.expr(f"1000000000L div ({RRF_K} + sem_rank)"),
+                                 F.lit(0).cast("long"))))
+    wf = Window.orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
+    return fused.select(
+        "doc_id",
+        F.row_number().over(wf).cast("long").alias("hybrid_rank"),
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("sem_rank").cast("long").alias("sem_rank"),
+        F.round(F.col("rrf_u") / F.lit(1e9), 6).alias("rrf_score"))
+
+
+from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
+    register_deferred_oracle as _reg_def_hybrid,
+)
+
+_reg_def_hybrid("hybrid_retrieval_rrf", _hybrid_rrf_oracle)

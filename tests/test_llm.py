@@ -960,3 +960,23 @@ def test_zipf_degenerate_variance_yields_null(spark, monkeypatch):
     assert row["n_ranks"] == 10
     assert row["zipf_slope"] is not None  # x-variance > 0 (ranks differ)
     assert row["r2"] is None
+
+
+def test_hybrid_rrf_scores_follow_from_ranks(spark, sf_dir):
+    rows = sim.hybrid_retrieval_rrf(spark, sf_dir).collect()
+    assert rows, "fusion returned nothing"
+    prev = None
+    for r in sorted(rows, key=lambda r: r["hybrid_rank"]):
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        expect_u = 0
+        if r["lex_rank"] is not None:
+            expect_u += 1_000_000_000 // (sim.RRF_K + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect_u += 1_000_000_000 // (sim.RRF_K + r["sem_rank"])
+        assert r["rrf_score"] == round(expect_u / 1e9, 6)
+        if prev is not None:  # rank order is score order (ties by doc_id)
+            assert prev >= expect_u
+        prev = expect_u
+    # The semantic query doc itself is on the fused list (cos = 1 top).
+    assert any(r["doc_id"] == sim.HYBRID_QUERY_VEC and r["sem_rank"] == 1
+               for r in rows)
