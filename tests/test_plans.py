@@ -852,3 +852,22 @@ def test_dsir_weights_bucket_table_broadcasts(spark, sf_dir):
     plan = explain(spark, "text_dsir_weights", sf_dir)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_zipf_bounds_fit_frame_with_takeordered(spark, sf_dir):
+    # The top-K rank selection must be per-partition heaps over the
+    # vocabulary (TakeOrderedAndProject), never a global vocab Sort; the
+    # only exchange is the vocabulary groupBy.
+    plan = explain(spark, "corpus_zipf_fit", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_rrf_broadcasts_query_vector(spark, sf_dir):
+    # The semantic side scores against a broadcast 1-row query vector —
+    # the corpus embedding scan must not shuffle for the scoring, and
+    # the semantic top-N must be TakeOrderedAndProject.
+    plan = explain(spark, "hybrid_retrieval_rrf", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
