@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "events_funnel_conversion",
     "hybrid_retrieval_rrf",
+    "orders_pit_features",
 ]
 
 

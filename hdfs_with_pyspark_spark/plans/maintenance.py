@@ -351,3 +351,87 @@ def revenue_by_nation_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.coalesce("b_n", F.lit(0))
                       + F.coalesce("d_n", F.lit(0))).cast("long")
                      .alias("n_orders")))
+
+
+# --------------------------------------------------------------------------
+# orders_pit_features — POINT-IN-TIME-correct feature join (the
+# feature-store primitive): each order picks the feature value that was
+# valid AS OF its order date from an effective-dated (SCD2-with-dates)
+# dimension, never a later one — the join shape that prevents feature
+# leakage when assembling training data. The dimension here is built
+# deterministically in-query: every customer's balance carries version 1
+# from the epoch; customers with c_custkey % 7 = 0 get a +100 version 2
+# effective PIT_CHANGE_DATE, closing version 1 at that instant
+# (valid_from inclusive, valid_to exclusive — the standard convention).
+#
+# Scale shape: the dimension is |customer| + |changed| rows and
+# broadcast-joins onto the orders fact on the equi-key (custkey) with
+# the validity range as a join filter — the fact table never shuffles.
+# At 100 TB the dim side of a feature join is the small side by
+# construction; were it not, the same semantics fall back to the
+# repo's asof_join (sort-merge on key, last-value-before per row).
+#
+# Determinism: the version pick is structural (ranges partition the
+# timeline per key, so exactly one row matches — asserted by the
+# one-row-per-order invariant test), balances round to cents, dates
+# compare exactly.
+# --------------------------------------------------------------------------
+PIT_CHANGE_DATE = "1995-06-17"
+
+
+@register("orders_pit_features", oracle=f"""
+WITH c AS (
+  SELECT c_custkey,
+         ROUND(c_acctbal, 2) AS bal0,
+         ROUND(c_acctbal + 100, 2) AS bal1,
+         c_custkey % 7 = 0 AS chg
+  FROM customer),
+dim AS (
+  SELECT c_custkey, bal0 AS acctbal, 1 AS feature_version,
+         DATE '1000-01-01' AS valid_from,
+         CASE WHEN chg THEN DATE '{PIT_CHANGE_DATE}'
+              ELSE DATE '9999-12-31' END AS valid_to
+  FROM c
+  UNION ALL
+  SELECT c_custkey, bal1, 2, DATE '{PIT_CHANGE_DATE}', DATE '9999-12-31'
+  FROM c WHERE chg)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       d.acctbal AS acctbal_asof,
+       CAST(d.feature_version AS BIGINT) AS feature_version
+FROM orders o JOIN dim d
+  ON d.c_custkey = o.o_custkey
+ AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+ AND CAST(o.o_orderdate AS DATE) <  d.valid_to
+""")
+def orders_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    chg = F.col("c_custkey") % 7 == 0
+    cust = (read_table(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    F.round("c_acctbal", 2).alias("bal0"),
+                    F.round(F.col("c_acctbal") + 100, 2).alias("bal1"),
+                    chg.alias("chg")))
+    epoch = F.to_date(F.lit("1000-01-01"))
+    change = F.to_date(F.lit(PIT_CHANGE_DATE))
+    forever = F.to_date(F.lit("9999-12-31"))
+    v1 = cust.select(
+        "c_custkey", F.col("bal0").alias("acctbal"),
+        F.lit(1).cast("long").alias("feature_version"),
+        epoch.alias("valid_from"),
+        F.when(F.col("chg"), change).otherwise(forever).alias("valid_to"))
+    v2 = cust.where("chg").select(
+        "c_custkey", F.col("bal1").alias("acctbal"),
+        F.lit(2).cast("long").alias("feature_version"),
+        change.alias("valid_from"), forever.alias("valid_to"))
+    dim = v1.unionByName(v2)
+    orders = (read_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.col("o_orderdate").cast("date").alias("o_orderdate")))
+    return (orders.join(
+                F.broadcast(dim),
+                (F.col("c_custkey") == F.col("o_custkey"))
+                & (F.col("o_orderdate") >= F.col("valid_from"))
+                & (F.col("o_orderdate") < F.col("valid_to")))
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+                    F.col("acctbal").alias("acctbal_asof"),
+                    "feature_version"))

@@ -871,3 +871,34 @@ def test_hybrid_rrf_broadcasts_query_vector(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_join_covers_every_order_exactly_once(spark, sf_dir):
+    # Point-in-time correctness: validity ranges partition the timeline
+    # per key, so every order matches exactly ONE dimension version.
+    from hdfs_with_pyspark_spark.plans.maintenance import orders_pit_features
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    from pyspark.sql import functions as F
+
+    out = orders_pit_features(spark, sf_dir)
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    assert out.count() == n_orders
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    # No order dated at/after the change may still see version 1 of a
+    # changed key (the leakage the PIT join exists to prevent — in both
+    # directions: stale features are version-1-after-change; future
+    # leakage would be version-2-before-change).
+    from hdfs_with_pyspark_spark.plans.maintenance import PIT_CHANGE_DATE
+    bad = out.where((F.col("o_custkey") % 7 == 0)
+                    & ((F.col("o_orderdate") >= F.lit(PIT_CHANGE_DATE))
+                       != (F.col("feature_version") == 2))).count()
+    assert bad == 0
+
+
+def test_pit_join_broadcasts_dimension(spark, sf_dir):
+    # The effective-dated dim must broadcast; the orders fact never
+    # shuffles for the feature join.
+    plan = explain(spark, "orders_pit_features", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert n_nodes(plan, "Exchange hashpartitioning") == 0
