@@ -93,6 +93,7 @@ HEADLINE = [
     "events_funnel_conversion",
     "hybrid_retrieval_rrf",
     "orders_pit_features",
+    "graph_random_walks",
 ]
 
 

@@ -465,3 +465,125 @@ def channel_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("x").alias("user_id"),
                     F.col("d").cast("long").alias("core_degree"),
                     F.lit(bool(converged)).alias("converged")))
+
+
+# --------------------------------------------------------------------------
+# graph_random_walks — deterministic hash-seeded random-walk sampling
+# over the capped co-membership graph: the neighbor-sampling primitive
+# under GraphSAGE / node2vec / DeepWalk training-data generation. Each
+# node launches WALKS_PER_NODE walks of WALK_LEN steps; at every step
+# the walk moves to the neighbor minimizing a cross-engine md5 hash of
+# (start, walk_no, step, current, candidate) — pseudo-random transition
+# choice with ZERO RNG state, exactly reproducible in any engine and at
+# any parallelism (the corpus_weighted_sample discipline applied to
+# graph transitions). Sinks (capped-out isolated members) stall in
+# place, so every walk has a fixed length and the output schema is flat.
+#
+# Scale shape: the frontier is |V| x WALKS_PER_NODE rows; each step is
+# ONE equi-join of the frontier against the persisted edge list keyed on
+# the current node plus ONE argmin aggregate on the walk id — the same
+# statically-unrolled BSP schedule as channel_pagerank, with per-step
+# fan-out bounded by the channel cap. At 100 TB this is the shape GNN
+# samplers run: walks never materialize more than frontier x avg-degree
+# candidate rows per step.
+# --------------------------------------------------------------------------
+WALK_LEN = 3
+WALKS_PER_NODE = 2
+
+
+def _sql_walk_ctes() -> str:
+    ctes = [f"""subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id <> b.user_id),
+s0 AS (
+  SELECT n.u AS start_u, w.w, n.u AS cur
+  FROM (SELECT DISTINCT user_id AS u FROM subs) n,
+       (SELECT UNNEST(range({WALKS_PER_NODE})) AS w) w)"""]
+    for k in range(1, WALK_LEN + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT s.start_u, s.w, e.v,
+         ('0x' || substr(md5(CAST(s.start_u AS VARCHAR) || ':' ||
+                             CAST(s.w AS VARCHAR) || ':{k}:' ||
+                             CAST(s.cur AS VARCHAR) || ':' ||
+                             CAST(e.v AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM s{k - 1} s JOIN edges e ON e.u = s.cur),
+p{k} AS (
+  SELECT start_u, w, v FROM (
+    SELECT start_u, w, v,
+           ROW_NUMBER() OVER (PARTITION BY start_u, w
+                              ORDER BY h ASC, v ASC) AS rn
+    FROM c{k})
+  WHERE rn = 1),
+s{k} AS (
+  SELECT s.start_u, s.w, COALESCE(p.v, s.cur) AS cur
+  FROM s{k - 1} s LEFT JOIN p{k} p USING (start_u, w))""")
+    return ",\n".join(ctes)
+
+
+@register("graph_random_walks", oracle=f"""
+WITH {_sql_walk_ctes()}
+SELECT s1.start_u AS user_id, CAST(s1.w AS BIGINT) AS walk_no,
+       {", ".join(f"s{k}.cur AS step_{k}" for k in range(1, WALK_LEN + 1))}
+FROM s1 {" ".join(f"JOIN s{k} USING (start_u, w)"
+                  for k in range(2, WALK_LEN + 1))}
+""")
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+    capped = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                  .where(F.col("__rn") <= PR_CHANNEL_CAP)
+                  .drop("__rn"))
+    edges = (capped.alias("a")
+             .join(capped.alias("b"), "channel")
+             .where(F.col("a.user_id") != F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct()
+             .persist())   # every step re-reads the edge list
+    nodes = subs.select(F.col("user_id").alias("start_u")).distinct()
+    frontier = (nodes.crossJoin(
+                    F.broadcast(spark.range(WALKS_PER_NODE)
+                                     .select(F.col("id").alias("w"))))
+                     .withColumn("cur", F.col("start_u")))
+    for k in range(1, WALK_LEN + 1):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("start_u"), F.col("w"), F.lit(k),
+                F.col("cur"), F.col("v"))), 1, 15), 16, 10).cast("long")
+        pick = (frontier.join(edges, frontier["cur"] == edges["u"])
+                        .select("start_u", "w", "v", h.alias("h"))
+                        .groupBy("start_u", "w")
+                        .agg(F.min(F.struct("h", "v")).alias("m"))
+                        .select("start_u", "w", F.col("m.v").alias("nxt")))
+        frontier = (frontier.join(pick, ["start_u", "w"], "left")
+                            .withColumn(f"step_{k}",
+                                        F.coalesce("nxt", "cur"))
+                            .drop("nxt")
+                            .withColumn("cur", F.col(f"step_{k}")))
+    result = (frontier.select(
+                  F.col("start_u").alias("user_id"),
+                  F.col("w").cast("long").alias("walk_no"),
+                  *[F.col(f"step_{k}") for k in range(1, WALK_LEN + 1)])
+              .persist())
+    result.count()
+    edges.unpersist()
+    _pin_result(spark, "graph_random_walks", result)
+    return result

@@ -902,3 +902,43 @@ def test_pit_join_broadcasts_dimension(spark, sf_dir):
     plan = explain(spark, "orders_pit_features", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert n_nodes(plan, "Exchange hashpartitioning") == 0
+
+
+def test_random_walks_follow_real_edges(spark, sf_dir):
+    # Every non-stalled transition must traverse an actual edge of the
+    # capped co-membership graph, and each (node, walk_no) appears once.
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans.graph import (
+        PR_CHANNEL_CAP, WALK_LEN, WALKS_PER_NODE, graph_random_walks)
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    out = graph_random_walks(spark, sf_dir).persist()
+    n_nodes_total = out.select("user_id").distinct().count()
+    assert out.count() == n_nodes_total * WALKS_PER_NODE
+
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .select("user_id", channel.alias("channel")).distinct())
+    from pyspark.sql import Window as W
+    capped = (subs.withColumn(
+                  "rn", F.row_number().over(
+                      W.partitionBy("channel").orderBy("user_id")))
+                  .where(F.col("rn") <= PR_CHANNEL_CAP).drop("rn"))
+    edges = (capped.alias("a").join(capped.alias("b"), "channel")
+             .where(F.col("a.user_id") != F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v")).distinct())
+    hops = None
+    prev = "user_id"
+    for k in range(1, WALK_LEN + 1):
+        hop = out.select(F.col(prev).alias("s"),
+                         F.col(f"step_{k}").alias("t"))
+        hops = hop if hops is None else hops.unionByName(hop)
+        prev = f"step_{k}"
+    moved = hops.where(F.col("s") != F.col("t"))
+    bad = (moved.join(edges, (moved["s"] == edges["u"])
+                      & (moved["t"] == edges["v"]), "left_anti").count())
+    assert bad == 0
+    out.unpersist()
