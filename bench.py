@@ -94,6 +94,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "orders_pit_features",
     "graph_random_walks",
+    "ego_subgraph_sample",
 ]
 
 

@@ -587,3 +587,116 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     _pin_result(spark, "graph_random_walks", result)
     return result
+
+
+# --------------------------------------------------------------------------
+# ego_subgraph_sample — capped k-hop ego-network extraction: for every
+# seed node, sample at most EGO_FANOUT neighbors per visited node per
+# hop, EGO_HOPS hops deep — the GNN minibatch loader (GraphSAGE's
+# neighborhood sampler) as a batch query. Selection is the same
+# RNG-free discipline as graph_random_walks: a node's sampled neighbors
+# are the EGO_FANOUT smallest by md5(seed, hop, src, dst), so the
+# subgraph is bit-reproducible at any parallelism and the oracle
+# unrolls the identical choice.
+#
+# Scale shape: hop k's frontier is bounded by |seeds| x EGO_FANOUT^k by
+# construction (the cap IS the algorithm), so each hop is one bounded
+# equi-join of the frontier against the persisted edge list plus one
+# per-(seed, src) window over at most node-degree rows. Output is the
+# sampled edge list (seed, hop, src, dst) — what a GNN trainer feeds
+# per minibatch.
+# --------------------------------------------------------------------------
+EGO_SEED_MOD = 17
+EGO_FANOUT = 4
+EGO_HOPS = 2
+
+
+def _sql_ego_ctes() -> str:
+    ctes = [f"""subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id <> b.user_id),
+f0 AS (
+  SELECT DISTINCT user_id AS seed, user_id AS node
+  FROM subs WHERE user_id % {EGO_SEED_MOD} = 0)"""]
+    for k in range(1, EGO_HOPS + 1):
+        ctes.append(f"""h{k} AS (
+  SELECT seed, src, dst FROM (
+    SELECT f.seed, f.node AS src, e.v AS dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.seed, f.node
+             ORDER BY ('0x' || substr(md5(CAST(f.seed AS VARCHAR) || ':{k}:' ||
+                                          CAST(f.node AS VARCHAR) || ':' ||
+                                          CAST(e.v AS VARCHAR)), 1, 15))::BIGINT
+                      ASC, e.v ASC) AS rn
+    FROM f{k - 1} f JOIN edges e ON e.u = f.node)
+  WHERE rn <= {EGO_FANOUT}),
+f{k} AS (SELECT DISTINCT seed, dst AS node FROM h{k})""")
+    return ",\n".join(ctes)
+
+
+@register("ego_subgraph_sample", oracle=f"""
+WITH {_sql_ego_ctes()}
+{" UNION ALL ".join(f"SELECT seed, CAST({k} AS BIGINT) AS hop, src, dst FROM h{k}"
+                    for k in range(1, EGO_HOPS + 1))}
+""")
+def ego_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+    capped = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                  .where(F.col("__rn") <= PR_CHANNEL_CAP)
+                  .drop("__rn"))
+    edges = (capped.alias("a")
+             .join(capped.alias("b"), "channel")
+             .where(F.col("a.user_id") != F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct()
+             .persist())
+    frontier = (subs.select("user_id").distinct()
+                    .where(F.col("user_id") % EGO_SEED_MOD == 0)
+                    .select(F.col("user_id").alias("seed"),
+                            F.col("user_id").alias("node")))
+    hops = []
+    for k in range(1, EGO_HOPS + 1):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("seed"), F.lit(k), F.col("node"),
+                F.col("v"))), 1, 15), 16, 10).cast("long")
+        w_sel = (Window.partitionBy("seed", "node")
+                       .orderBy(F.col("__h").asc(), F.col("v").asc()))
+        hop = (frontier.join(edges, frontier["node"] == edges["u"])
+                       .withColumn("__h", h)
+                       .withColumn("__rn", F.row_number().over(w_sel))
+                       .where(F.col("__rn") <= EGO_FANOUT)
+                       .select("seed",
+                               F.lit(k).cast("long").alias("hop"),
+                               F.col("node").alias("src"),
+                               F.col("v").alias("dst")))
+        hops.append(hop)
+        frontier = hop.select("seed", F.col("dst").alias("node")).distinct()
+    result = hops[0]
+    for hop in hops[1:]:
+        result = result.unionByName(hop)
+    result = result.persist()
+    result.count()
+    edges.unpersist()
+    _pin_result(spark, "ego_subgraph_sample", result)
+    return result

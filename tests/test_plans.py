@@ -942,3 +942,21 @@ def test_random_walks_follow_real_edges(spark, sf_dir):
                       & (moved["t"] == edges["v"]), "left_anti").count())
     assert bad == 0
     out.unpersist()
+
+
+def test_ego_sample_respects_fanout_and_edges(spark, sf_dir):
+    # Per (seed, src, hop) at most EGO_FANOUT sampled neighbors; every
+    # sampled edge is a real graph edge; hop-1 sources are the seeds.
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans.graph import (
+        EGO_FANOUT, ego_subgraph_sample)
+
+    out = ego_subgraph_sample(spark, sf_dir).persist()
+    over = (out.groupBy("seed", "hop", "src").count()
+               .where(F.col("count") > EGO_FANOUT).count())
+    assert over == 0
+    assert out.where((F.col("hop") == 1)
+                     & (F.col("src") != F.col("seed"))).count() == 0
+    assert out.where(F.col("src") == F.col("dst")).count() == 0
+    out.unpersist()
