@@ -95,6 +95,8 @@ HEADLINE = [
     "orders_pit_features",
     "graph_random_walks",
     "ego_subgraph_sample",
+    "score_label_auc",
+    "source_target_encoding",
 ]
 
 

@@ -2077,3 +2077,136 @@ from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
 )
 
 _reg_def_hybrid("hybrid_retrieval_rrf", _hybrid_rrf_oracle)
+
+
+# --------------------------------------------------------------------------
+# score_label_auc — exact ROC-AUC of the text quality score as a
+# predictor of a binary label (label 0 vs rest on the embeddings
+# table): the model-evaluation metric a filter-training loop reports.
+# Computed via the Mann-Whitney rank identity WITH ties handled by
+# average ranks — and, crucially for scale, from SCORE GROUPS, not
+# rows: scores are grouped (the 4-dp quality score has bounded distinct
+# values), the rank window runs over the tiny group frame ordered by
+# score, and each group contributes n_pos * (2*cum_before + n + 1)
+# half-rank units. The corpus pays one aggregation; no global
+# row-ordering window ever exists.
+#
+# Determinism: all terms are exact integers (half-rank doubling removes
+# the /2); the single final division is ROUND(..., 6) on both engines.
+# --------------------------------------------------------------------------
+AUC_POS_LABEL = 0
+
+
+def _auc_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT q.quality_score AS s,
+         CAST(e.label = {AUC_POS_LABEL} AS INT) AS y
+  FROM q JOIN embeddings e ON e.vec_id = q.doc_id),
+g AS (
+  SELECT s, COUNT(*) AS n, SUM(y) AS n_pos
+  FROM j GROUP BY s),
+c AS (
+  SELECT n, n_pos,
+         COALESCE(SUM(n) OVER (ORDER BY s ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS before
+  FROM g),
+t AS (
+  SELECT SUM(n_pos * (2 * before + n + 1)) AS r1_2,
+         SUM(n_pos) AS n1, SUM(n - n_pos) AS n0
+  FROM c)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       ROUND(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE), 6) AS auc
+FROM t
+"""
+
+
+@register("score_label_auc", oracle=None)  # composed below
+def score_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import text_quality_score
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("int").alias("y"))
+    j = q.join(lab, q["doc_id"] == lab["vec_id"]).select(
+        F.col("quality_score").alias("s"), "y")
+    g = j.groupBy("s").agg(F.count("*").alias("n"), F.sum("y").alias("n_pos"))
+    w = (Window.orderBy(F.col("s").asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    c = g.select("n", "n_pos",
+                 F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before"))
+    t = c.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("before") + F.col("n") + 1))
+         .alias("r1_2"),
+        F.sum("n_pos").alias("n1"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("n0"))
+    return t.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round((F.col("r1_2") - F.col("n1") * (F.col("n1") + 1))
+                .cast("double")
+                / (2 * F.col("n1") * F.col("n0")).cast("double"), 6)
+         .alias("auc"))
+
+
+_reg_def_hybrid("score_label_auc", _auc_oracle)
+
+
+# --------------------------------------------------------------------------
+# source_target_encoding — smoothed target encoding + leave-one-out
+# encoding of the documents' source column against the binary label:
+# the standard high-cardinality-categorical feature-engineering pair
+# for tabular ML, built leakage-aware (LOO excludes the row's own
+# label; the smoothed form shrinks small sources toward the global
+# rate, m = TE_SMOOTHING pseudo-counts).
+#
+# Determinism: encodings are integer ppm via integer division on exact
+# counts — enc = 1e6 * (sum_y * g_n + m * g_sum) div ((n + m) * g_n),
+# loo = 1e6 * (sum_y - y) div (n - 1) — no float summation anywhere.
+# Scale: one groupBy on source (low cardinality, AQE-skew-safe), the
+# 1-row global aggregate broadcast-crossed, then a broadcast join back
+# onto the per-doc stream; the corpus shuffles once.
+# --------------------------------------------------------------------------
+TE_SMOOTHING = 10
+
+
+@register("source_target_encoding", oracle=f"""
+WITH j AS (
+  SELECT d.doc_id, d.source, CAST(e.label = {AUC_POS_LABEL} AS INT) AS y
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+s AS (SELECT source, COUNT(*) AS n, SUM(y) AS sum_y FROM j GROUP BY source),
+g AS (SELECT SUM(n) AS g_n, SUM(sum_y) AS g_sum FROM s)
+SELECT j.doc_id, j.source, CAST(j.y AS BIGINT) AS y,
+       CAST((1000000 * (s.sum_y * g.g_n + {TE_SMOOTHING} * g.g_sum))
+            // ((s.n + {TE_SMOOTHING}) * g.g_n) AS BIGINT) AS te_ppm,
+       CASE WHEN s.n > 1
+            THEN CAST((1000000 * (s.sum_y - j.y)) // (s.n - 1) AS BIGINT)
+       END AS loo_ppm
+FROM j JOIN s USING (source), g
+""")
+def source_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("int").alias("y"))
+    j = docs.join(lab, docs["doc_id"] == lab["vec_id"]).select(
+        "doc_id", "source", "y")
+    s = j.groupBy("source").agg(F.count("*").alias("n"),
+                                F.sum("y").alias("sum_y"))
+    g = s.agg(F.sum("n").alias("g_n"), F.sum("sum_y").alias("g_sum"))
+    enc = (s.crossJoin(F.broadcast(g))
+            .select("source", "n", "sum_y",
+                    F.expr(f"(1000000 * (sum_y * g_n + {TE_SMOOTHING} * g_sum))"
+                           f" div ((n + {TE_SMOOTHING}) * g_n)")
+                     .cast("long").alias("te_ppm")))
+    return (j.join(F.broadcast(enc), "source")
+             .select("doc_id", "source", F.col("y").cast("long").alias("y"),
+                     "te_ppm",
+                     F.when(F.col("n") > 1,
+                            F.expr("(1000000 * (sum_y - y)) div (n - 1)")
+                             .cast("long"))
+                      .alias("loo_ppm")))

@@ -980,3 +980,45 @@ def test_hybrid_rrf_scores_follow_from_ranks(spark, sf_dir):
     # The semantic query doc itself is on the fused list (cos = 1 top).
     assert any(r["doc_id"] == sim.HYBRID_QUERY_VEC and r["sem_rank"] == 1
                for r in rows)
+
+
+def test_auc_matches_bruteforce_pair_count(spark, sf_dir):
+    # Exact AUC semantics: P(score_pos > score_neg) + 0.5*P(equal),
+    # verified against the O(n_pos * n_neg) brute-force pair count on
+    # the real corpus slice.
+    row = sim.score_label_auc(spark, sf_dir).first()
+    from hdfs_with_pyspark_spark.llm.text import text_quality_score
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == sim.AUC_POS_LABEL).cast("int").alias("y"))
+    rows = (q.join(lab, q["doc_id"] == lab["vec_id"])
+             .select("quality_score", "y").collect())
+    pos = [r["quality_score"] for r in rows if r["y"] == 1]
+    neg = [r["quality_score"] for r in rows if r["y"] == 0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row["auc"] - round(expect, 6)) <= 1e-6
+
+
+def test_target_encoding_loo_excludes_own_label(spark, sf_dir):
+    # For every doc, loo_ppm recomputed from (source sum - own y) must
+    # match, and the smoothed encoding shrinks toward the global rate.
+    out = sim.source_target_encoding(spark, sf_dir).collect()
+    import collections
+    per_src = collections.defaultdict(lambda: [0, 0])
+    for r in out:
+        per_src[r["source"]][0] += 1
+        per_src[r["source"]][1] += r["y"]
+    g_n = sum(v[0] for v in per_src.values())
+    g_sum = sum(v[1] for v in per_src.values())
+    for r in out:
+        n, sum_y = per_src[r["source"]]
+        if n > 1:
+            assert r["loo_ppm"] == (1_000_000 * (sum_y - r["y"])) // (n - 1)
+        te = (1_000_000 * (sum_y * g_n + sim.TE_SMOOTHING * g_sum)) \
+            // ((n + sim.TE_SMOOTHING) * g_n)
+        assert r["te_ppm"] == te
