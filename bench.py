@@ -97,6 +97,7 @@ HEADLINE = [
     "ego_subgraph_sample",
     "score_label_auc",
     "source_target_encoding",
+    "score_label_pr_auc",
 ]
 
 

@@ -2210,3 +2210,74 @@ def source_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.expr("(1000000 * (sum_y - y)) div (n - 1)")
                              .cast("long"))
                       .alias("loo_ppm")))
+
+
+# --------------------------------------------------------------------------
+# score_label_pr_auc — average precision (the PR-AUC companion to
+# score_label_auc, the metric that matters under class imbalance):
+# AP = sum over descending score thresholds of delta-recall * precision.
+# Same grouped-threshold shape as the ROC computation — thresholds are
+# the DISTINCT scores, cumulative TP/PP come from one window over the
+# group frame, never a global row ordering.
+#
+# Determinism: each group's term snaps to integer NANO-units before the
+# final sum (round(1e9 * n_pos_g * TP_g / PP_g) — identical scalar ops
+# on exact integers in both engines), so summation order can't flip a
+# bit; the result divides the exact integer sum once.
+# --------------------------------------------------------------------------
+def _pr_auc_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT q.quality_score AS s,
+         CAST(e.label = {AUC_POS_LABEL} AS INT) AS y
+  FROM q JOIN embeddings e ON e.vec_id = q.doc_id),
+g AS (
+  SELECT s, COUNT(*) AS n, SUM(y) AS n_pos
+  FROM j GROUP BY s),
+c AS (
+  SELECT n_pos,
+         SUM(n_pos) OVER (ORDER BY s DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tp,
+         SUM(n) OVER (ORDER BY s DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pp
+  FROM g),
+t AS (
+  SELECT SUM(CAST(ROUND(1000000000.0 * n_pos * tp / pp) AS BIGINT)) AS ap_u,
+         SUM(n_pos) AS n1
+  FROM c)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       ROUND(CAST(ap_u AS DOUBLE) / (1000000000.0 * n1), 6) AS avg_precision
+FROM t
+"""
+
+
+@register("score_label_pr_auc", oracle=None)  # composed below
+def score_label_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import text_quality_score
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("int").alias("y"))
+    j = q.join(lab, q["doc_id"] == lab["vec_id"]).select(
+        F.col("quality_score").alias("s"), "y")
+    g = j.groupBy("s").agg(F.count("*").alias("n"), F.sum("y").alias("n_pos"))
+    w = (Window.orderBy(F.col("s").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = g.select("n_pos",
+                 F.sum("n_pos").over(w).alias("tp"),
+                 F.sum("n").over(w).alias("pp"))
+    t = c.agg(
+        F.sum(F.round(F.lit(1e9) * F.col("n_pos") * F.col("tp") / F.col("pp"))
+               .cast("long")).alias("ap_u"),
+        F.sum("n_pos").alias("n1"))
+    return t.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.round(F.col("ap_u").cast("double")
+                / (F.lit(1e9) * F.col("n1")), 6).alias("avg_precision"))
+
+
+_reg_def_hybrid("score_label_pr_auc", _pr_auc_oracle)

@@ -1022,3 +1022,34 @@ def test_target_encoding_loo_excludes_own_label(spark, sf_dir):
         te = (1_000_000 * (sum_y * g_n + sim.TE_SMOOTHING * g_sum)) \
             // ((n + sim.TE_SMOOTHING) * g_n)
         assert r["te_ppm"] == te
+
+
+def test_pr_auc_matches_bruteforce_thresholds(spark, sf_dir):
+    # AP must equal the step-interpolated sum over descending distinct
+    # score thresholds (sklearn's average_precision semantics with
+    # threshold groups), recomputed driver-side.
+    row = sim.score_label_pr_auc(spark, sf_dir).first()
+    from hdfs_with_pyspark_spark.llm.text import text_quality_score
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == sim.AUC_POS_LABEL).cast("int").alias("y"))
+    rows = (q.join(lab, q["doc_id"] == lab["vec_id"])
+             .select("quality_score", "y").collect())
+    import collections
+    groups = collections.Counter()
+    pos = collections.Counter()
+    for r in rows:
+        groups[r["quality_score"]] += 1
+        pos[r["quality_score"]] += r["y"]
+    tp = pp = 0
+    ap_u = 0
+    n1 = sum(pos.values())
+    for s in sorted(groups, reverse=True):
+        tp += pos[s]
+        pp += groups[s]
+        ap_u += round(1e9 * pos[s] * tp / pp)
+    assert row["n_pos"] == n1
+    assert abs(row["avg_precision"] - round(ap_u / (1e9 * n1), 6)) <= 1e-6
+    assert 0.0 <= row["avg_precision"] <= 1.0
