@@ -98,6 +98,8 @@ HEADLINE = [
     "score_label_auc",
     "source_target_encoding",
     "score_label_pr_auc",
+    "score_calibration_bins",
+    "walk_skipgram_pairs",
 ]
 
 

@@ -2281,3 +2281,61 @@ def score_label_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_def_hybrid("score_label_pr_auc", _pr_auc_oracle)
+
+
+# --------------------------------------------------------------------------
+# score_calibration_bins — the reliability diagram behind the AUC/AP
+# metrics: fixed-width score bins (CAL_BINS over [0, 1]) with observed
+# positive rate vs mean score per bin, plus the absolute gap — the
+# table a calibration plot renders, and the evidence for/against
+# temperature-scaling a quality classifier before thresholding it.
+#
+# Determinism: bin ids are integer floor(score * bins) (capped at
+# bins-1); rates and mean scores are integer-ppm divisions of exact
+# sums (scores enter as round(score * 1e6) integers). Scale: one
+# groupBy on <= CAL_BINS keys after the map-side label join.
+# --------------------------------------------------------------------------
+CAL_BINS = 10
+
+
+def _calibration_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT LEAST(CAST(FLOOR(q.quality_score * {CAL_BINS}) AS BIGINT),
+               {CAL_BINS - 1}) AS bin_id,
+         CAST(ROUND(q.quality_score * 1000000) AS BIGINT) AS s_u,
+         CAST(e.label = {AUC_POS_LABEL} AS INT) AS y
+  FROM q JOIN embeddings e ON e.vec_id = q.doc_id)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s_u) // COUNT(*) AS BIGINT) AS avg_score_ppm,
+       CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(ABS(SUM(s_u) // COUNT(*)
+                - (1000000 * SUM(y)) // COUNT(*)) AS BIGINT) AS abs_gap_ppm
+FROM j GROUP BY bin_id
+"""
+
+
+@register("score_calibration_bins", oracle=None)  # composed below
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.text import text_quality_score
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("int").alias("y"))
+    j = (q.join(lab, q["doc_id"] == lab["vec_id"])
+          .select(F.least(F.floor(F.col("quality_score") * CAL_BINS)
+                           .cast("long"), F.lit(CAL_BINS - 1)).alias("bin_id"),
+                  F.round(F.col("quality_score") * 1e6).cast("long")
+                   .alias("s_u"), "y"))
+    avg_s = F.expr("sum(s_u) div count(*)").cast("long")
+    pos = F.expr("(1000000 * sum(y)) div count(*)").cast("long")
+    return (j.groupBy("bin_id")
+             .agg(F.count("*").cast("long").alias("n"),
+                  avg_s.alias("avg_score_ppm"),
+                  pos.alias("pos_rate_ppm"),
+                  F.abs(avg_s - pos).cast("long").alias("abs_gap_ppm")))
+
+
+_reg_def_hybrid("score_calibration_bins", _calibration_oracle)

@@ -700,3 +700,65 @@ def ego_subgraph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     _pin_result(spark, "ego_subgraph_sample", result)
     return result
+
+
+# --------------------------------------------------------------------------
+# walk_skipgram_pairs — (center, context) co-occurrence pairs within a
+# +-SKIPGRAM_WINDOW window over every random-walk sequence: the
+# DeepWalk/node2vec training-data generator (walks play the role of
+# sentences, nodes of tokens; the pair counts feed a word2vec-style
+# embedding trainer or a direct PMI factorization). Self-pairs from
+# stalled walks are excluded.
+#
+# Scale shape: a literal 10-struct position-pair explode over the walk
+# frame (map-side, |walks| x 10 rows) followed by ONE count aggregate on
+# (center, context) — the only shuffle. Composes graph_random_walks, so
+# the pairs inherit its RNG-free bit-reproducibility.
+# --------------------------------------------------------------------------
+SKIPGRAM_WINDOW = 2
+
+
+def _skipgram_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH walks AS ({ORACLES["graph_random_walks"]}),
+seq AS (
+  SELECT [user_id, {", ".join(f"step_{k}" for k in range(1, WALK_LEN + 1))}]
+           AS s
+  FROM walks),
+pairs AS (
+  SELECT s[i.i + 1] AS center, s[j.j + 1] AS context
+  FROM seq,
+       (SELECT UNNEST(range({WALK_LEN + 1})) AS i) i,
+       (SELECT UNNEST(range({WALK_LEN + 1})) AS j) j
+  WHERE i.i <> j.j AND ABS(i.i - j.j) <= {SKIPGRAM_WINDOW})
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE center <> context
+GROUP BY center, context
+"""
+
+
+@register("walk_skipgram_pairs", oracle=None)  # composed below
+def walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    walks = graph_random_walks(spark, sf_dir)
+    seq = walks.select(F.array(
+        "user_id", *[f"step_{k}" for k in range(1, WALK_LEN + 1)]).alias("s"))
+    L = WALK_LEN + 1
+    ij = [(i, j) for i in range(L) for j in range(L)
+          if i != j and abs(i - j) <= SKIPGRAM_WINDOW]
+    structs = [F.struct(F.col("s").getItem(i).alias("center"),
+                        F.col("s").getItem(j).alias("context"))
+               for i, j in ij]
+    return (seq.select(F.explode(F.array(*structs)).alias("p"))
+               .select("p.*")
+               .where(F.col("center") != F.col("context"))
+               .groupBy("center", "context")
+               .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
+    register_deferred_oracle as _reg_def_graph,
+)
+
+_reg_def_graph("walk_skipgram_pairs", _skipgram_oracle)

