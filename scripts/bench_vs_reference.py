@@ -95,8 +95,14 @@ def main() -> None:
     ap.add_argument("--marts", default="user,zone,friends",
                     help="comma-set of marts to time (100M+ single-mart "
                          "points stay affordable)")
+    ap.add_argument("--sides", default="ref,mine",
+                    help="comma-set of sides to time: engine-only scale "
+                         "probes (--sides mine) skip the reference at "
+                         "sizes where its superlinear crossJoin would "
+                         "run for hours")
     args = ap.parse_args()
     marts = {m.strip() for m in args.marts.split(",") if m.strip()}
+    sides = {s.strip() for s in args.sides.split(",") if s.strip()}
 
     if not os.path.isdir(REFERENCE_SCRIPTS):
         print(json.dumps({"skipped": "reference tree not found"}))
@@ -185,10 +191,15 @@ def main() -> None:
     for short, (k, ref_fn, my_fn) in pairs.items():
         if short not in marts:
             continue
-        result[k] = {"reference_sec": timed(ref_fn, args.runs),
-                     "engine_sec": timed(my_fn, args.runs)}
-        r, m = result[k]["reference_sec"], result[k]["engine_sec"]
-        result[k]["speedup"] = round(r / m, 2) if m else None
+        result[k] = {}
+        if "ref" in sides:
+            result[k]["reference_sec"] = timed(ref_fn, args.runs)
+        if "mine" in sides:
+            result[k]["engine_sec"] = timed(my_fn, args.runs)
+        r = result[k].get("reference_sec")
+        m = result[k].get("engine_sec")
+        if r is not None and m:
+            result[k]["speedup"] = round(r / m, 2)
     print(json.dumps(result))
 
 
