@@ -34,13 +34,14 @@ REFERENCE_SCRIPTS = os.path.join(
     os.environ.get("REFERENCE_DIR", "/root/reference"), "src", "scripts")
 
 
-def gen_data(spark, out_events: str, out_cities: str, n_events: int) -> None:
+def gen_data(spark, out_events: str, out_cities: str, n_events: int,
+             n_users: int = 2000) -> None:
     """Reference-layout synthetic data, built with Spark expressions (no
     driver-side row list): ~n_events 'message' rows across 2000 users x
     60 days with deterministic coords, plus the 25-city dimension."""
     from pyspark.sql import functions as F
 
-    users = 2000
+    users = n_users
     days = 60
     base = spark.range(n_events).select(
         (F.col("id") % users).alias("u"),
@@ -95,6 +96,13 @@ def main() -> None:
     ap.add_argument("--marts", default="user,zone,friends",
                     help="comma-set of marts to time (100M+ single-mart "
                          "points stay affordable)")
+    ap.add_argument("--users", type=int, default=2000,
+                    help="synthetic user cardinality (default matches the "
+                         "recorded 1M/10M/100M points; scale it with "
+                         "--events for realistic per-user volume — 2000 "
+                         "users at 1B events means 500k events/user, "
+                         "which blows up per-user window state in ANY "
+                         "engine)")
     ap.add_argument("--sides", default="ref,mine",
                     help="comma-set of sides to time: engine-only scale "
                          "probes (--sides mine) skip the reference at "
@@ -118,7 +126,7 @@ def main() -> None:
     shutil.rmtree(args.workdir, ignore_errors=True)
     ev_path = os.path.join(args.workdir, "events")
     city_path = os.path.join(args.workdir, "cities")
-    gen_data(spark, ev_path, city_path, args.events)
+    gen_data(spark, ev_path, city_path, args.events, args.users)
 
     def ref_user_mart():
         ev = ref1.read_events_geo(ev_path, spark)
@@ -187,7 +195,8 @@ def main() -> None:
     pairs = {"user": ("user_mart", ref_user_mart, my_user_mart),
              "zone": ("zone_mart", ref_zone_mart, my_zone_mart),
              "friends": ("friend_recommendations", ref_friends, my_friends)}
-    result = {"n_events": args.events, "runs_per_side": args.runs}
+    result = {"n_events": args.events, "n_users": args.users,
+              "runs_per_side": args.runs}
     for short, (k, ref_fn, my_fn) in pairs.items():
         if short not in marts:
             continue
