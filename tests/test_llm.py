@@ -1053,3 +1053,15 @@ def test_pr_auc_matches_bruteforce_thresholds(spark, sf_dir):
     assert row["n_pos"] == n1
     assert abs(row["avg_precision"] - round(ap_u / (1e9 * n1), 6)) <= 1e-6
     assert 0.0 <= row["avg_precision"] <= 1.0
+
+
+def test_calibration_bins_tie_out_with_auc_counts(spark, sf_dir):
+    # Bin counts must partition the joined corpus (sum n == n_pos+n_neg
+    # from the AUC query); rates and gaps are consistent ppm integers.
+    bins = sim.score_calibration_bins(spark, sf_dir).collect()
+    auc = sim.score_label_auc(spark, sf_dir).first()
+    assert sum(r["n"] for r in bins) == auc["n_pos"] + auc["n_neg"]
+    for r in bins:
+        assert 0 <= r["bin_id"] < sim.CAL_BINS
+        assert 0 <= r["pos_rate_ppm"] <= 1_000_000
+        assert r["abs_gap_ppm"] == abs(r["avg_score_ppm"] - r["pos_rate_ppm"])
