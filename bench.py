@@ -100,6 +100,7 @@ HEADLINE = [
     "score_label_pr_auc",
     "score_calibration_bins",
     "walk_skipgram_pairs",
+    "events_t_closeness",
 ]
 
 

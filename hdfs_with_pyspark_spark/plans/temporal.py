@@ -1271,3 +1271,85 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rate(n3, n1).alias("conv_from_first")),
     )).alias("r")).select("r.*")
     return steps
+
+
+# --------------------------------------------------------------------------
+# events_t_closeness — completes the classic privacy-audit triad
+# (k-anonymity, l-diversity, t-closeness; Li et al., ICDE 2007): a
+# bucket can be large (k passes) AND identity-diverse (l passes) yet
+# still leak if its SENSITIVE-VALUE distribution diverges from the
+# corpus — membership alone then predicts the sensitive attribute.
+# QI here is (event_type, hour_of_day); the sensitive attribute is the
+# ordered value decade; t is the Earth Mover's Distance between each
+# bucket's decade distribution and the global one, which for ordered
+# categories is the mean absolute CUMULATIVE difference. Every bucket
+# is reported with its t (the full audit table, not just the at-risk
+# slice — thresholds are a policy choice).
+#
+# Determinism: per-decade cumulative differences use the common
+# denominator n_b * g, so every term is the exact integer
+# n_bd * g - g_d * n_b; the final EMD is one integer division to ppm,
+# with the 1e6 scale-up computed in decimal(38,0) / HUGEINT so large
+# corpora can't overflow int64. Scale: one shuffle builds the
+# (QI, decade) counts; everything after runs on the |QI| x |decades|
+# frame (the window orders DECADES within a bucket, never rows).
+# --------------------------------------------------------------------------
+@register("events_t_closeness", oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+         CAST(FLOOR(value / 10) AS BIGINT) AS dec,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3),
+qi AS (SELECT event_type, hour_of_day, SUM(n) AS n_b FROM b GROUP BY 1, 2),
+g AS (SELECT dec, SUM(n) AS g_d FROM b GROUP BY dec),
+tot AS (SELECT SUM(g_d) AS g, COUNT(*) AS m FROM g),
+dense AS (
+  SELECT q.event_type, q.hour_of_day, q.n_b, g.dec, g.g_d,
+         COALESCE(b.n, 0) AS n_bd
+  FROM qi q CROSS JOIN g
+  LEFT JOIN b ON b.event_type = q.event_type
+             AND b.hour_of_day = q.hour_of_day AND b.dec = g.dec),
+cum AS (
+  SELECT d.event_type, d.hour_of_day, d.n_b, t.g, t.m,
+         SUM(d.n_bd * t.g - d.g_d * d.n_b)
+           OVER (PARTITION BY d.event_type, d.hour_of_day
+                 ORDER BY d.dec ASC) AS cnum
+  FROM dense d, tot t)
+SELECT event_type, hour_of_day, CAST(MAX(n_b) AS BIGINT) AS k,
+       CAST((1000000 * SUM(ABS(cnum)))
+            // ((MAX(m) - 1) * MAX(n_b) * MAX(g)) AS BIGINT) AS t_ppm
+FROM cum GROUP BY event_type, hour_of_day
+""")
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    b = (ev.groupBy("event_type",
+                    F.hour("ts").cast("long").alias("hour_of_day"),
+                    F.floor(F.col("value") / 10).cast("long").alias("dec"))
+           .agg(F.count("*").cast("long").alias("n")))
+    qi = b.groupBy("event_type", "hour_of_day").agg(F.sum("n").alias("n_b"))
+    g = b.groupBy("dec").agg(F.sum("n").alias("g_d"))
+    tot = g.agg(F.sum("g_d").alias("g"), F.count("*").alias("m"))
+    dense = (qi.crossJoin(F.broadcast(g))
+               .join(b, ["event_type", "hour_of_day", "dec"], "left")
+               .withColumn("n_bd", F.coalesce("n", F.lit(0)))
+               .crossJoin(F.broadcast(tot)))
+    w = (Window.partitionBy("event_type", "hour_of_day")
+               .orderBy(F.col("dec").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dense.withColumn(
+        "cnum", F.sum(F.col("n_bd") * F.col("g")
+                      - F.col("g_d") * F.col("n_b")).over(w))
+    dec38 = "decimal(38,0)"
+    return (cum.groupBy("event_type", "hour_of_day")
+               .agg(F.max("n_b").alias("n_b"), F.max("g").alias("gt"),
+                    F.max("m").alias("m"),
+                    F.sum(F.abs("cnum")).alias("sum_abs"))
+               .select("event_type", "hour_of_day",
+                       F.col("n_b").cast("long").alias("k"),
+                       (F.lit(1000000).cast(dec38) * F.col("sum_abs").cast(dec38)
+                        / ((F.col("m") - 1).cast(dec38)
+                           * F.col("n_b").cast(dec38)
+                           * F.col("gt").cast(dec38)))
+                        .cast("long").alias("t_ppm")))

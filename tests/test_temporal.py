@@ -156,3 +156,53 @@ def test_funnel_conversion_consistent_with_user_funnel(spark, sf_dir):
         assert r["conv_from_prev"] is None or 0.0 <= r["conv_from_prev"] <= 1.0
         assert r["conv_from_first"] is None or 0.0 <= r["conv_from_first"] <= 1.0
     assert agg["purchase"]["conv_from_first"] <= agg["click"]["conv_from_first"]
+
+
+def test_t_closeness_bounds_and_uniform_case(spark, monkeypatch):
+    # EMD is within [0, 1e6] ppm on real data; a bucket whose decade
+    # distribution EQUALS the global distribution has t = 0 (hand
+    # dataset: both hours see the same value mix).
+    import datetime as dt
+
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+
+    rows = []
+    i = 0
+    for hour in (2, 3):
+        for dec_val, cnt in ((5.0, 2), (15.0, 2)):
+            for _ in range(cnt):
+                rows.append((i, dt.datetime(2024, 1, 1, hour, 0, 0), 1,
+                             "click", dec_val, None))
+                i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(tp, "read_table", lambda s, d, n: ev)
+    out = {(r["event_type"], r["hour_of_day"]): r
+           for r in tp.events_t_closeness(spark, "x").collect()}
+    assert all(r["t_ppm"] == 0 for r in out.values())
+    assert all(r["k"] == 4 for r in out.values())
+
+
+def test_t_closeness_disjoint_distributions_max_out(spark, monkeypatch):
+    # Two buckets with DISJOINT sensitive values at opposite ends of the
+    # order: each bucket's EMD from the 50/50 global mix is the maximal
+    # single-step mass move = 0.5 (500000 ppm) with m=2 decades.
+    import datetime as dt
+
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+
+    rows = []
+    i = 0
+    for hour, dec_val in ((2, 5.0), (3, 15.0)):
+        for _ in range(3):
+            rows.append((i, dt.datetime(2024, 1, 1, hour, 0, 0), 1,
+                         "click", dec_val, None))
+            i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(tp, "read_table", lambda s, d, n: ev)
+    out = {r["hour_of_day"]: r["t_ppm"]
+           for r in tp.events_t_closeness(spark, "x").collect()}
+    assert out == {2: 500000, 3: 500000}
