@@ -44,6 +44,16 @@ from pyspark.sql import functions as F
 from hdfs_with_pyspark_spark.plans.registry import register, ensure_session
 from hdfs_with_pyspark_spark.sources.io import read_table
 
+
+def _pin(spark: SparkSession, slot: str, *frames: DataFrame) -> None:
+    """Register persisted intermediates in the bounded per-(session,
+    slot) registry (plans/graph._pin_result): re-invoking the same
+    query in a long session releases the previous invocation's cached
+    frames instead of accumulating them (ADVICE r5)."""
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    for i, f in enumerate(frames):
+        _pin_result(spark, f"{slot}:{i}", f)
+
 N_QUERIES = 10      # vec_id < 10 is the query set
 TOP_K = 5
 LSH_SIGN_DIMS = 4   # 16 buckets; at real scale use 8-12 dims + multiprobe
@@ -889,6 +899,7 @@ WHERE ROUND({_SQL_COS}, 6) >= {COSINE_DUP_THRESHOLD}
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     v = _with_norm(_vectors(spark, sf_dir), "v", "nv").persist()
+    _pin(spark, "dedup_embedding_lsh", v)
 
     def bucket_col(band: int):
         # try_element_at, not element_at: past-the-end dims are NULL (a
@@ -1074,6 +1085,7 @@ def dedup_embedding_lsh_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     v = _with_norm(_vectors(spark, sf_dir), "v", "nv").persist()
     bands = _rand_bands(v)
+    _pin(spark, "dedup_embedding_lsh_rand", v, bands)
     cand = (bands.alias("x")
                  .join(bands.alias("y"),
                        (F.col("x.band") == F.col("y.band"))
@@ -1149,6 +1161,7 @@ def emb_lsh_rand_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.expr(_SPARK_PLANT_EXPR).alias("v")))
     aug = vecs.unionByName(planted).persist()
     bands = _rand_bands(aug)
+    _pin(spark, "emb_lsh_rand_recall", aug, bands)
     cand = (bands.alias("x")
                  .join(bands.alias("y"),
                        (F.col("x.band") == F.col("y.band"))
@@ -2119,8 +2132,9 @@ t AS (
          SUM(n_pos) AS n1, SUM(n - n_pos) AS n0
   FROM c)
 SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
-       ROUND(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
-             / CAST(2 * n1 * n0 AS DOUBLE), 6) AS auc
+       CASE WHEN n1 > 0 AND n0 > 0 THEN
+         ROUND(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+               / CAST(2 * n1 * n0 AS DOUBLE), 6) END AS auc
 FROM t
 """
 
@@ -2144,12 +2158,17 @@ def score_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("r1_2"),
         F.sum("n_pos").alias("n1"),
         F.sum(F.col("n") - F.col("n_pos")).alias("n0"))
+    # Single-class guard (ADVICE r5): a corpus whose joined labels are
+    # all-positive or all-negative makes 2*n1*n0 = 0 — NULL in default
+    # mode but DIVIDE_BY_ZERO under the ANSI sweep. AUC is undefined
+    # there; emit NULL explicitly in both engines.
     return t.select(
         F.col("n1").cast("long").alias("n_pos"),
         F.col("n0").cast("long").alias("n_neg"),
-        F.round((F.col("r1_2") - F.col("n1") * (F.col("n1") + 1))
-                .cast("double")
-                / (2 * F.col("n1") * F.col("n0")).cast("double"), 6)
+        F.when((F.col("n1") > 0) & (F.col("n0") > 0),
+               F.round((F.col("r1_2") - F.col("n1") * (F.col("n1") + 1))
+                       .cast("double")
+                       / (2 * F.col("n1") * F.col("n0")).cast("double"), 6))
          .alias("auc"))
 
 
@@ -2250,7 +2269,9 @@ t AS (
          SUM(n_pos) AS n1
   FROM c)
 SELECT CAST(n1 AS BIGINT) AS n_pos,
-       ROUND(CAST(ap_u AS DOUBLE) / (1000000000.0 * n1), 6) AS avg_precision
+       CASE WHEN n1 > 0 THEN
+         ROUND(CAST(ap_u AS DOUBLE) / (1000000000.0 * n1), 6)
+       END AS avg_precision
 FROM t
 """
 
@@ -2274,10 +2295,14 @@ def score_label_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.lit(1e9) * F.col("n_pos") * F.col("tp") / F.col("pp"))
                .cast("long")).alias("ap_u"),
         F.sum("n_pos").alias("n1"))
+    # Zero-positive guard (ADVICE r5): AP is undefined with no positive
+    # labels; NULL in both engines instead of ANSI DIVIDE_BY_ZERO.
     return t.select(
         F.col("n1").cast("long").alias("n_pos"),
-        F.round(F.col("ap_u").cast("double")
-                / (F.lit(1e9) * F.col("n1")), 6).alias("avg_precision"))
+        F.when(F.col("n1") > 0,
+               F.round(F.col("ap_u").cast("double")
+                       / (F.lit(1e9) * F.col("n1")), 6))
+         .alias("avg_precision"))
 
 
 _reg_def_hybrid("score_label_pr_auc", _pr_auc_oracle)

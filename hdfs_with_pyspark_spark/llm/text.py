@@ -1607,9 +1607,11 @@ _reg_deferred("doc_chunk_dedup", _doc_chunk_dedup_oracle)
 # Scale: tf is a map-side projection (terms are a tiny literal array);
 # df is a 3-row aggregate that broadcasts back; the only corpus shuffle
 # is the per-doc score re-aggregation, partial-combined map-side. The
-# top-K is a single total-order window — at real scale swap for
-# ORDER BY ... LIMIT K (TakeOrdered) to avoid the single-partition
-# window; K=20 keeps both forms identical here.
+# top-K is ORDER BY ... LIMIT K — TakeOrderedAndProject, a per-partition
+# top-K with one K-row merge (the corpus_zipf_fit pattern); the rank
+# window then runs over the already-limited K-row frame only (VERDICT
+# r5 item 2 — the earlier global row_number window shuffled every
+# matching doc into one partition).
 # --------------------------------------------------------------------------
 BM25_TERMS = ("spark", "hash", "window")
 BM25_K1 = 1.2
@@ -1690,12 +1692,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round(F.col("idf_u") * (F.col("tf") / denom))
                            .cast("long").alias("c_u")))
     scores = contrib.groupBy("doc_id").agg(F.sum("c_u").alias("score_u"))
+    # TakeOrderedAndProject: per-partition top-K, one K-row merge —
+    # no single-partition exchange of the full score frame. The rank
+    # window re-sorts only the K surviving rows (bounded frame; the
+    # identical total-order keys keep the oracle unchanged).
+    top = scores.orderBy(F.col("score_u").desc(),
+                         F.col("doc_id").asc()).limit(BM25_TOPK)
     w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
-    return (scores.withColumn("rank", F.row_number().over(w).cast("long"))
-                  .where(F.col("rank") <= BM25_TOPK)
-                  .select("doc_id", "rank",
-                          F.round(F.col("score_u") / F.lit(1e6), 4)
-                           .alias("bm25")))
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+               .select("doc_id", "rank",
+                       F.round(F.col("score_u") / F.lit(1e6), 4)
+                        .alias("bm25")))
 
 
 # --------------------------------------------------------------------------

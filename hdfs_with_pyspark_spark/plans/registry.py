@@ -98,6 +98,13 @@ DRIVER_PRIORITY = [
     # dedup family (capped-jaccard and simhash-signature twins are
     # demoted below the window: oracle-identical on unskewed sf0.01,
     # equivalence-tested in tests/test_llm.py)
+    # (round 6: dedup_ngram_jaccard demoted for bm25_topk — the
+    # shingle-inverted-index candidate join it demonstrated is carried
+    # in-window by dedup_minhash_lsh (same banded/bucketed candidate
+    # shape, VERDICT r5 item 6), while ranked lexical retrieval — BM25
+    # scoring with broadcast idf and a TakeOrderedAndProject top-K, the
+    # r5-item-2 scale fix — is a family the window lacked entirely.
+    # dedup_ngram_jaccard stays registered and parity-checked below.)
     # (round 5: dedup_simhash demoted for text_dsir_weights — the window
     # carried four signature-based near-dup entries (exact, ngram,
     # minhash-LSH, simhash) and simhash's banded-Hamming join shares its
@@ -106,7 +113,7 @@ DRIVER_PRIORITY = [
     # corpus passes against a broadcast hashed profile — is a
     # training-data capability family the window lacked entirely.
     # dedup_simhash stays registered and parity-checked below.)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "bm25_topk", "dedup_minhash_lsh",
     "text_dsir_weights", "dedup_components", "corpus_curation",
     "dedup_incremental", "corpus_decontaminate",
     # similarity / embeddings family (all-pairs dedup_embedding_cosine
@@ -150,8 +157,15 @@ DRIVER_PRIORITY = [
     # in-window by multimodal_frame_sample, while the length-band
     # blocked edit-distance join is a family the window lacked
     # entirely: entity resolution over near-identical names.)
+    # (round 6: tfidf_top_terms demoted for score_label_auc — with
+    # bm25_topk now in-window, the broadcast document-frequency /
+    # term-weighting machinery tfidf demonstrated is carried by the
+    # strictly richer BM25 form, while classifier evaluation — exact
+    # Mann-Whitney ROC-AUC over score groups — is a score-eval family
+    # the window lacked entirely (VERDICT r5 item 6). tfidf_top_terms
+    # stays registered and parity-checked below.)
     "bpe_merges", "text_quality_score", "text_lang_id_ngram",
-    "doc_fingerprint", "knn_graph_lsh", "tfidf_top_terms",
+    "doc_fingerprint", "knn_graph_lsh", "score_label_auc",
     "corpus_sample_stratified", "part_name_fuzzy_pairs",
     "corpus_token_bins", "corpus_quality_filter",
     # multimodal family (multimodal_summary demoted: its blob-pruning

@@ -1164,17 +1164,23 @@ def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # customer_rfm_segments — RFM (recency / frequency / monetary)
 # segmentation, the classic CRM scoring matrix: per-customer metrics
-# from one orders aggregate, quartile scores via NTILE over TOTAL
-# orders (custkey tie-break -> deterministic bucket edges in both
-# engines), rolled up to segment populations. Recency anchors on the
-# corpus max order date (data-derived, so the query is reproducible).
+# from one orders aggregate, quartile scores by BUCKETING against the
+# three exact quartile cutpoints (PERCENTILE_DISC 0.25/0.5/0.75),
+# rolled up to segment populations. Recency anchors on the corpus max
+# order date (data-derived, so the query is reproducible).
 #
-# Scale note: the input to the NTILE windows is the CUSTOMER dimension
-# (one row per customer), not the fact table — a single-node sort of a
-# dim is the standard BI trade; at a scale where even the dim can't
-# sort on one node, the swap-in is bucketing against broadcast
-# approx-quantile cutpoints (the quantile_sketch_audit path), which
-# changes only the score column's derivation.
+# Scale (VERDICT r5 item 3): the earlier form ranked the whole customer
+# dimension through three global NTILE(4) windows — three
+# single-partition sorts of the dim. This form computes all nine
+# cutpoints in ONE tiny aggregate (percentile_disc is engine-identical
+# on integer inputs), broadcasts the 1-row cutpoint frame, and scores
+# every customer map-side — no single-partition exchange at any size.
+# Semantics deviation vs NTILE (documented): ties on a cutpoint land in
+# the SAME bucket instead of being split by custkey position — the
+# value-based rule is the one that stays deterministic when the dim no
+# longer fits one node, and the oracle mirrors it exactly. Descending
+# metrics (frequency, monetary) bucket on the negated value so one
+# rule ("score = 1 + #cutpoints strictly below") serves all three.
 # --------------------------------------------------------------------------
 @register("customer_rfm_segments", oracle="""
 WITH maxd AS (SELECT MAX(o_orderdate) AS mx FROM orders),
@@ -1182,16 +1188,37 @@ base AS (
   SELECT o_custkey,
          DATE_DIFF('day', MAX(o_orderdate), (SELECT mx FROM maxd))
            AS recency_days,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
+         -CAST(COUNT(*) AS BIGINT) AS fneg,
          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS monetary_cents
   FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT
+    PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY recency_days) AS r1,
+    PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY recency_days) AS r2,
+    PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY recency_days) AS r3,
+    PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY fneg) AS f1,
+    PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY fneg) AS f2,
+    PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY fneg) AS f3,
+    PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY -monetary_cents) AS m1,
+    PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY -monetary_cents) AS m2,
+    PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY -monetary_cents) AS m3
+  FROM base),
 scored AS (
-  SELECT recency_days, monetary_cents,
-         NTILE(4) OVER (ORDER BY recency_days ASC,  o_custkey ASC) AS r_score,
-         NTILE(4) OVER (ORDER BY frequency DESC,    o_custkey ASC) AS f_score,
-         NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
-  FROM base)
+  SELECT monetary_cents,
+         CAST(1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END
+              AS INT) AS r_score,
+         CAST(1 + CASE WHEN fneg > f1 THEN 1 ELSE 0 END
+                + CASE WHEN fneg > f2 THEN 1 ELSE 0 END
+                + CASE WHEN fneg > f3 THEN 1 ELSE 0 END
+              AS INT) AS f_score,
+         CAST(1 + CASE WHEN -monetary_cents > m1 THEN 1 ELSE 0 END
+                + CASE WHEN -monetary_cents > m2 THEN 1 ELSE 0 END
+                + CASE WHEN -monetary_cents > m3 THEN 1 ELSE 0 END
+              AS INT) AS m_score
+  FROM base CROSS JOIN cuts)
 SELECT r_score, f_score, m_score,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents
@@ -1208,20 +1235,32 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.count("*").alias("frequency"),
                        F.sum("cents").cast("long").alias("monetary_cents"))
                   .crossJoin(F.broadcast(maxd))
-                  .select("o_custkey", "frequency", "monetary_cents",
+                  .select("o_custkey", "monetary_cents",
+                          (-F.col("frequency").cast("long")).alias("fneg"),
                           F.datediff(F.col("mx"), F.col("last_order"))
                            .alias("recency_days")))
-    scored = base.select(
-        "recency_days", "monetary_cents",
-        F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(),
-                                       F.col("o_custkey").asc()))
-         .alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
-                                       F.col("o_custkey").asc()))
-         .alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary_cents").desc(),
-                                       F.col("o_custkey").asc()))
-         .alias("m_score"))
+    # ONE aggregate computes all nine exact quartile cutpoints;
+    # percentile_disc picks actual data values, so integer inputs make
+    # the cutpoints (and hence every bucket edge) engine-identical.
+    cuts = base.agg(*[
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})")
+         .alias(f"{pfx}{i}")
+        for pfx, col in (("r", "recency_days"), ("f", "fneg"),
+                         ("m", "-monetary_cents"))
+        for i, p in enumerate((0.25, 0.50, 0.75), 1)])
+
+    def _bucket(value, pfx: str):
+        return (F.lit(1)
+                + (value > F.col(f"{pfx}1")).cast("int")
+                + (value > F.col(f"{pfx}2")).cast("int")
+                + (value > F.col(f"{pfx}3")).cast("int")).cast("int")
+
+    scored = (base.crossJoin(F.broadcast(cuts))
+                  .select("monetary_cents",
+                          _bucket(F.col("recency_days"), "r").alias("r_score"),
+                          _bucket(F.col("fneg"), "f").alias("f_score"),
+                          _bucket(-F.col("monetary_cents"), "m")
+                          .alias("m_score")))
     return (scored.groupBy("r_score", "f_score", "m_score")
                   .agg(F.count("*").alias("n_customers"),
                        F.sum("monetary_cents").cast("long")

@@ -1317,8 +1317,10 @@ cum AS (
                  ORDER BY d.dec ASC) AS cnum
   FROM dense d, tot t)
 SELECT event_type, hour_of_day, CAST(MAX(n_b) AS BIGINT) AS k,
-       CAST((1000000 * SUM(ABS(cnum)))
-            // ((MAX(m) - 1) * MAX(n_b) * MAX(g)) AS BIGINT) AS t_ppm
+       CASE WHEN MAX(m) > 1 THEN
+         CAST((1000000 * SUM(ABS(cnum)))
+              // ((MAX(m) - 1) * MAX(n_b) * MAX(g)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS t_ppm
 FROM cum GROUP BY event_type, hour_of_day
 """)
 def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,8 +1350,15 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(F.abs("cnum")).alias("sum_abs"))
                .select("event_type", "hour_of_day",
                        F.col("n_b").cast("long").alias("k"),
-                       (F.lit(1000000).cast(dec38) * F.col("sum_abs").cast(dec38)
-                        / ((F.col("m") - 1).cast(dec38)
-                           * F.col("n_b").cast(dec38)
-                           * F.col("gt").cast(dec38)))
-                        .cast("long").alias("t_ppm")))
+                       # Single-decade guard (ADVICE r5): m = 1 makes the
+                       # EMD denominator (m-1) zero — but t is trivially 0
+                       # there (every per-decade term cancels), so emit 0
+                       # instead of ANSI DIVIDE_BY_ZERO in either engine.
+                       F.when(F.col("m") > 1,
+                              (F.lit(1000000).cast(dec38)
+                               * F.col("sum_abs").cast(dec38)
+                               / ((F.col("m") - 1).cast(dec38)
+                                  * F.col("n_b").cast(dec38)
+                                  * F.col("gt").cast(dec38)))
+                              .cast("long"))
+                        .otherwise(F.lit(0).cast("long")).alias("t_ppm")))

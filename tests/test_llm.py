@@ -794,10 +794,12 @@ def test_av_decoder_fallback_without_codecs(spark):
 
 
 def test_soundfile_decoder_real_audio_when_available(spark):
-    """When soundfile IS importable, a real WAV decodes and n_tokens is
-    the Whisper-style 50-per-second count of the true duration; skipped
-    (not silently passed) where the container has no codec."""
-    pytest.importorskip("soundfile")
+    """A real WAV decodes and n_tokens is the Whisper-style
+    50-per-second count of the true duration. ALWAYS runs (VERDICT r5
+    item 5): the decoder's stdlib-``wave`` branch parses RIFF/PCM WAV
+    with zero dependencies, so the real-decode path executes even in
+    this codec-less container; when soundfile IS importable the same
+    assertions cover the libsndfile branch instead."""
     import io
     import wave
 

@@ -981,3 +981,66 @@ def test_skipgram_pairs_are_symmetric_window_counts(spark, sf_dir):
     assert mismatch == 0
     assert out.where(F.col("center") == F.col("context")).count() == 0
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide single-partition-exchange sweep (VERDICT r5 item 7): the
+# round-5 audit of unpartitioned windows was manual; this encodes it.
+# Any `Exchange SinglePartition` in any registered query's physical
+# plan must sit ABOVE a bounded frame — an aggregate or a limit in its
+# input subtree — so the whole corpus can never be funneled through one
+# partition (the bm25_topk r5 defect, fixed by TakeOrderedAndProject,
+# and the customer_rfm_segments ntile defect, fixed by broadcast
+# percentile_disc cutpoints). No allowlist: every query must pass.
+# ---------------------------------------------------------------------------
+_BOUNDED_NODE = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|TakeOrderedAndProject"
+    r"|GlobalLimit|LocalLimit|CollectLimit")
+
+
+def _tree_depth(line: str) -> int:
+    return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+
+def _unbounded_single_partition_sites(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _tree_depth(ln)
+        subtree = []
+        for nx in lines[i + 1:]:
+            if _tree_depth(nx) <= d:
+                break
+            subtree.append(nx)
+        if not any(_BOUNDED_NODE.search(s) for s in subtree):
+            bad.append(ln.strip())
+    return bad
+
+
+def _simple_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_sweep_detector_flags_known_bad_plan(spark):
+    # Self-test: an unpartitioned row_number over a raw scan-shaped
+    # frame MUST be flagged, or the sweep below is vacuous.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("id").desc())))
+    assert _unbounded_single_partition_sites(_simple_plan(spark, df))
+
+
+def test_sweep_no_unbounded_single_partition_exchange(spark, sf_dir):
+    failures = {}
+    for name in QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        sites = _unbounded_single_partition_sites(_simple_plan(spark, df))
+        if sites:
+            failures[name] = sites
+    assert not failures, failures
