@@ -101,6 +101,13 @@ HEADLINE = [
     "score_calibration_bins",
     "walk_skipgram_pairs",
     "events_t_closeness",
+    # round 6: survival analysis, experimentation, link prediction,
+    # ranking eval, feature hashing
+    "orders_survival_km",
+    "events_ab_test_eval",
+    "channel_link_prediction",
+    "retrieval_eval_mrr",
+    "feature_hash_collision_audit",
 ]
 
 
@@ -120,9 +127,15 @@ def main() -> None:
     # judge time on co-tenant CPU noise in best-of-2 numbers; a third
     # run makes the per-query best materially more stable.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Optional subset (comma-separated names): A/B drift runs and quick
+    # local iteration without timing the whole headline list.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
+            continue
+        if only_set is not None and name not in only_set:
             continue
         best = None
         for _ in range(runs):

@@ -2364,3 +2364,133 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_def_hybrid("score_calibration_bins", _calibration_oracle)
+
+
+# --------------------------------------------------------------------------
+# retrieval_eval_mrr — ranking-metric evaluation of dense retrieval:
+# MRR@K, nDCG@K, and hit-rate@K of exact-cosine retrieval against the
+# planted near-dup twins (each query's single relevant document is its
+# twin at vec_id + EMB_PLANT_OFFSET). The companion to the recall
+# evals: recall measures CANDIDATE coverage; this measures RANKED
+# quality — the metric a RAG/retrieval deployment actually reports.
+# AUC/PR-AUC cover classifier scores; this covers ranking, the one
+# eval family the score suite lacked.
+#
+# The rank is computed WITHOUT any ranking window: rank(twin) = 1 +
+# count of other candidates scoring strictly better under the total
+# order (round(cos,6) DESC, vec_id ASC) — a count aggregate, so no
+# per-query sort and no single-partition exchange anywhere.
+#
+# Determinism: cosines round to 6 decimals before comparison (repo
+# discipline); per-query metric contributions snap to integer ppm
+# (ROUND(1e6/rank), ROUND(1e6/(ln(rank+1)/ln 2))) before the mean; the
+# means are integer floor divisions.
+#
+# 100 TB shape: the query side is a BOUNDED eval sample (vec_id <
+# RETR_EVAL_MAX_QID keeps it ~100 rows at any corpus size) broadcast
+# against one corpus scan; everything after the per-query count is
+# row-count O(|queries|).
+# --------------------------------------------------------------------------
+RETR_EVAL_K = 10
+RETR_EVAL_MAX_QID = 500
+
+
+@register("retrieval_eval_mrr", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+planted AS (
+  SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id, {_DUCK_PLANT_EXPR} AS v
+  FROM v WHERE vec_id % 5 = 0),
+aug AS (SELECT vec_id, v FROM v UNION ALL SELECT vec_id, v FROM planted),
+q AS (SELECT vec_id AS qid, v AS qv FROM v
+      WHERE vec_id % 5 = 0 AND vec_id < {RETR_EVAL_MAX_QID}),
+tcos AS (
+  SELECT q.qid,
+         ROUND(list_dot_product(q.qv, t.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(t.v, t.v))), 6) AS tc
+  FROM q JOIN planted t ON t.vec_id = q.qid + {EMB_PLANT_OFFSET}),
+scored AS (
+  SELECT q.qid, a.vec_id AS did,
+         ROUND(list_dot_product(q.qv, a.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS c
+  FROM aug a CROSS JOIN q WHERE a.vec_id <> q.qid),
+better AS (
+  SELECT s.qid, COUNT(*) AS nb
+  FROM scored s JOIN tcos t USING (qid)
+  WHERE s.did <> s.qid + {EMB_PLANT_OFFSET}
+    AND (s.c > t.tc OR (s.c = t.tc AND s.did < s.qid + {EMB_PLANT_OFFSET}))
+  GROUP BY s.qid),
+ranks AS (
+  SELECT t.qid, COALESCE(b.nb, 0) + 1 AS rnk
+  FROM tcos t LEFT JOIN better b ON b.qid = t.qid),
+per AS (
+  SELECT CASE WHEN rnk <= {RETR_EVAL_K}
+              THEN CAST(ROUND(1000000.0::DOUBLE / rnk) AS BIGINT)
+              ELSE 0 END AS mrr_u,
+         CASE WHEN rnk <= {RETR_EVAL_K}
+              THEN CAST(ROUND(1000000.0::DOUBLE
+                   / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0::DOUBLE)))
+                   AS BIGINT)
+              ELSE 0 END AS ndcg_u,
+         CASE WHEN rnk <= {RETR_EVAL_K} THEN 1 ELSE 0 END AS hit
+  FROM ranks)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(mrr_u) // COUNT(*) AS BIGINT) AS mrr_ppm,
+       CAST(SUM(ndcg_u) // COUNT(*) AS BIGINT) AS ndcg_ppm,
+       CAST((1000000 * SUM(hit)) // COUNT(*) AS BIGINT) AS hit_rate_ppm
+FROM per
+""")
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    planted = (vecs.where(F.col("vec_id") % 5 == 0)
+                   .select((F.col("vec_id") + EMB_PLANT_OFFSET)
+                           .alias("vec_id"),
+                           F.expr(_SPARK_PLANT_EXPR).alias("v")))
+    aug = _with_norm(vecs.unionByName(planted), "v", "nv")
+    q = _with_norm(
+        vecs.where((F.col("vec_id") % 5 == 0)
+                   & (F.col("vec_id") < RETR_EVAL_MAX_QID)),
+        "v", "nv").select(F.col("vec_id").alias("qid"),
+                          F.col("v").alias("qv"), F.col("nv").alias("qnv"))
+    twin = _with_norm(planted, "v", "nv").select(
+        F.col("vec_id").alias("tid"), F.col("v").alias("tv"),
+        F.col("nv").alias("tnv"))
+    tcos = (F.broadcast(q)
+            .join(twin, F.col("tid") == F.col("qid") + EMB_PLANT_OFFSET)
+            .select("qid",
+                    F.round(F.expr(_sql_dot_cols("qv", "tv"))
+                            / (F.col("qnv") * F.col("tnv")), 6).alias("tc")))
+    scored = (F.broadcast(q)
+              .join(aug, F.col("qid") != F.col("vec_id"))
+              .select("qid", F.col("vec_id").alias("did"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6).alias("c")))
+    better = (scored.join(F.broadcast(tcos), "qid")
+              .where(F.col("did") != F.col("qid") + EMB_PLANT_OFFSET)
+              .where((F.col("c") > F.col("tc"))
+                     | ((F.col("c") == F.col("tc"))
+                        & (F.col("did") < F.col("qid") + EMB_PLANT_OFFSET)))
+              .groupBy("qid").agg(F.count("*").alias("nb")))
+    ranks = (tcos.join(better, "qid", "left")
+                 .select("qid",
+                         (F.coalesce(F.col("nb"), F.lit(0)) + 1)
+                          .alias("rnk")))
+    k = F.lit(RETR_EVAL_K)
+    per = ranks.select(
+        F.when(F.col("rnk") <= k,
+               F.round(F.lit(1000000.0) / F.col("rnk")).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("mrr_u"),
+        F.when(F.col("rnk") <= k,
+               F.round(F.lit(1000000.0)
+                       / (F.log((F.col("rnk") + 1).cast("double"))
+                          / F.log(F.lit(2.0)))).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("ndcg_u"),
+        F.when(F.col("rnk") <= k, 1).otherwise(0).alias("hit"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.expr("sum(mrr_u) div count(*)").cast("long").alias("mrr_ppm"),
+        F.expr("sum(ndcg_u) div count(*)").cast("long").alias("ndcg_ppm"),
+        F.expr("(1000000 * sum(hit)) div count(*)").cast("long")
+         .alias("hit_rate_ppm"))

@@ -1863,3 +1863,69 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("zipf_intercept"),
         F.when((varx > 0) & (vary > 0), F.round(cov * cov / (varx * vary), 4))
          .alias("r2"))
+
+
+# --------------------------------------------------------------------------
+# feature_hash_collision_audit — the hashing-trick integrity audit: a
+# large-scale feature pipeline maps an unbounded vocabulary into D
+# hash buckets (Weinberger et al.'s feature hashing); before committing
+# to a D, you measure how much of the vocabulary actually collides at
+# each candidate width. For each D in FH_DIMS: distinct-token count,
+# buckets used, tokens sharing a bucket, and the collision rate in ppm
+# — the table that picks the embedding-matrix width for a 100 TB run.
+#
+# Determinism: bucket = 60-bit md5 bigint ('fh:' salt) mod D —
+# engine-identical by the textops.hash64 contract; every output is an
+# exact integer count or ppm floor division.
+#
+# 100 TB shape: ONE distinct-vocab aggregate over the corpus (the only
+# corpus-sized shuffle), then a 3x map-side fan-out of the VOCAB (not
+# the corpus) and two narrow groupBys on (dim, bucket) / (dim). The
+# audit never touches document rows after the vocab agg.
+# --------------------------------------------------------------------------
+FH_DIMS = (1024, 4096, 16384)
+
+_SQL_FH_DIMS = ", ".join(str(d) for d in FH_DIMS)
+
+
+@register("feature_hash_collision_audit", oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT UNNEST({_sql_tokens()}) AS token FROM documents),
+hashed AS (
+  SELECT d.dim,
+         ('0x' || substr(md5('fh:' || token), 1, 15))::BIGINT % d.dim
+           AS bucket
+  FROM vocab, (SELECT UNNEST([{_SQL_FH_DIMS}]) AS dim) d),
+per_bucket AS (
+  SELECT dim, bucket, COUNT(*) AS n FROM hashed GROUP BY dim, bucket)
+SELECT CAST(dim AS BIGINT) AS hash_dim,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+         AS collided_tokens,
+       CAST((1000000 * SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)) // SUM(n)
+            AS BIGINT) AS collision_ppm
+FROM per_bucket GROUP BY dim
+""")
+def feature_hash_collision_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+                 .distinct())
+    dims = F.array(*[F.lit(d) for d in FH_DIMS])
+    hashed = (vocab.select(hash64(F.concat(F.lit("fh:"), F.col("token")))
+                            .alias("h"),
+                           F.explode(dims).alias("dim"))
+                   .select("dim", (F.col("h") % F.col("dim")).alias("bucket")))
+    per_bucket = hashed.groupBy("dim", "bucket").agg(F.count("*").alias("n"))
+    return (per_bucket.groupBy("dim")
+            .agg(F.sum("n").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("buckets_used"),
+                 F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+                  .cast("long").alias("collided_tokens"),
+                 F.expr("(1000000 * sum(CASE WHEN n >= 2 THEN n ELSE 0 END))"
+                        " div sum(n)").cast("long").alias("collision_ppm"))
+            .select(F.col("dim").cast("long").alias("hash_dim"),
+                    "n_tokens", "buckets_used", "collided_tokens",
+                    "collision_ppm"))

@@ -762,3 +762,117 @@ from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
 )
 
 _reg_def_graph("walk_skipgram_pairs", _skipgram_oracle)
+
+
+# --------------------------------------------------------------------------
+# channel_link_prediction — Adamic-Adar link prediction over the
+# (capped) co-membership graph: for every NON-adjacent pair (u, v)
+# sharing at least one neighbor, score = sum over common neighbors w of
+# 1/ln(deg(w)); top-LP_TOPK scored pairs are the friend/follow
+# recommendation candidates a production graph serves. Completes the
+# graph-ML family (walks/skip-grams generate embeddings; this is the
+# classical heuristic baseline they're evaluated against).
+#
+# Determinism: each wedge contribution snaps to round(1e6/ln(deg))
+# BEFORE summation (deg >= 2 whenever w is a common neighbor, so ln is
+# never 0); ties on the final score break by (u, v). Top-K is
+# ORDER BY .. LIMIT (TakeOrderedAndProject), never a global window.
+#
+# 100 TB shape: degree attaches to the neighbor table keyed by w, so
+# the wedge join (sym x sym on w) is co-partitioned with it — one
+# shuffle on node id; the per-channel member cap bounds deg(w), hence
+# wedges per node, exactly as in triangles/pagerank; the existing-edge
+# removal is a shuffled LEFT ANTI on the canonical pair.
+# --------------------------------------------------------------------------
+LP_TOPK = 50
+
+
+@register("channel_link_prediction", oracle=f"""
+WITH subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id < b.user_id),
+sym AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+wedges AS (
+  SELECT x.src AS u, y.src AS v, x.dst AS w
+  FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src),
+scored AS (
+  SELECT wg.u, wg.v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CAST(ROUND(1000000.0::DOUBLE
+                             / ln(CAST(dg.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_ppm
+  FROM wedges wg JOIN deg dg ON dg.node = wg.w
+  GROUP BY wg.u, wg.v),
+cand AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+  WHERE e.u IS NULL)
+SELECT u, v, n_common, aa_ppm
+FROM cand ORDER BY aa_ppm DESC, u ASC, v ASC LIMIT {LP_TOPK}
+""")
+def channel_link_prediction(spark: SparkSession, sf_dir: str,
+                            max_channel_members: int | None = PR_CHANNEL_CAP
+                            ) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup") & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    edge_subs = subs
+    if max_channel_members is not None:
+        w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+        edge_subs = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                         .where(F.col("__rn") <= max_channel_members)
+                         .drop("__rn"))
+    edges = (edge_subs.alias("a")
+             .join(edge_subs.alias("b"), "channel")
+             .where(F.col("a.user_id") < F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct()
+             .persist())
+    sym = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+                .unionByName(edges.select(F.col("v").alias("src"),
+                                          F.col("u").alias("dst"))))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    # Degree rides on the neighbor table keyed by the common node, so
+    # the wedge join below is co-partitioned with it.
+    nbrd = (sym.join(deg, sym["dst"] == deg["node"])
+               .select("src", "dst", "d"))
+    wedges = (nbrd.alias("x")
+              .join(sym.alias("y"),
+                    (F.col("x.dst") == F.col("y.dst"))
+                    & (F.col("x.src") < F.col("y.src")))
+              .select(F.col("x.src").alias("u"), F.col("y.src").alias("v"),
+                      F.col("x.d").alias("d")))
+    scored = (wedges.groupBy("u", "v")
+              .agg(F.count("*").cast("long").alias("n_common"),
+                   F.sum(F.round(F.lit(1000000.0)
+                                 / F.log(F.col("d").cast("double")))
+                          .cast("long")).cast("long").alias("aa_ppm")))
+    cand = scored.join(edges, ["u", "v"], "left_anti")
+    out = (cand.orderBy(F.col("aa_ppm").desc(), F.col("u").asc(),
+                        F.col("v").asc())
+               .limit(LP_TOPK)
+               .persist())
+    out.count()                     # cut lineage, then free the edges
+    edges.unpersist()
+    _pin_result(spark, "channel_link_prediction", out)
+    return out

@@ -1362,3 +1362,211 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * F.col("gt").cast(dec38)))
                               .cast("long"))
                         .otherwise(F.lit(0).cast("long")).alias("t_ppm")))
+
+
+# --------------------------------------------------------------------------
+# orders_survival_km — Kaplan-Meier survival curve of customer reorder
+# gaps: the time-to-event primitive (churn/retention modeling) the
+# temporal family lacked. Observations: every consecutive-order gap is
+# an EVENT at t = gap days; every customer's tail (last order -> corpus
+# max date) is a CENSORED observation — the standard right-censored
+# setup. S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times.
+#
+# Determinism across engines: each event time's ln(1 - d/n) is snapped
+# to integer NANO-units before the cumulative sum (the
+# corpus_unigram_logprob discipline), so the product becomes an integer
+# cumsum and exp() of an identical double in both engines; d, n are
+# exact integers. A time where d == n (everyone at risk dies) drives
+# S to exactly 0 from there on (MAX(dead) over the prefix).
+#
+# 100 TB shape: one lag window partitioned ON CUSTOMER (the natural
+# key, millions of partitions), one groupBy(t) to a frame bounded by
+# DISTINCT GAP LENGTHS (days — thousands at most), and the only
+# unpartitioned windows run over that post-aggregate frame. Nothing
+# row-scale ever converges on one partition.
+# --------------------------------------------------------------------------
+@register("orders_survival_km", oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+mx AS (SELECT MAX(d) AS mxd FROM o),
+seq AS (
+  SELECT o_custkey, d,
+         LAG(d) OVER (PARTITION BY o_custkey
+                      ORDER BY d ASC, o_orderkey ASC) AS prev
+  FROM o),
+ev AS (SELECT DATE_DIFF('day', prev, d) AS t
+       FROM seq WHERE prev IS NOT NULL),
+cen AS (SELECT DATE_DIFF('day', MAX(d), (SELECT mxd FROM mx)) AS t
+        FROM o GROUP BY o_custkey),
+obs AS (SELECT t, 1 AS e FROM ev UNION ALL SELECT t, 0 AS e FROM cen),
+agg AS (SELECT t, SUM(e) AS d_t, COUNT(*) AS a_t FROM obs GROUP BY t),
+tot AS (SELECT SUM(a_t) AS n FROM agg),
+cum AS (
+  SELECT t, d_t,
+         (SELECT n FROM tot)
+           - COALESCE(SUM(a_t) OVER (ORDER BY t ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS n_risk
+  FROM agg),
+evt AS (
+  SELECT t, d_t, n_risk,
+         CASE WHEN d_t < n_risk THEN
+           CAST(ROUND(ln(1.0::DOUBLE - CAST(d_t AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE)) * 1000000000) AS BIGINT)
+         ELSE 0 END AS lnu,
+         CASE WHEN d_t >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM cum WHERE d_t > 0),
+km AS (
+  SELECT t, d_t, n_risk,
+         SUM(lnu) OVER (ORDER BY t ASC) AS cln,
+         MAX(dead) OVER (ORDER BY t ASC) AS anydead
+  FROM evt)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_t AS BIGINT) AS n_events,
+       CASE WHEN anydead = 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(ROUND(exp(CAST(cln AS DOUBLE) / 1000000000)
+                            * 1000000) AS BIGINT) END AS survival_ppm
+FROM km
+""")
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"))
+    mx = o.agg(F.max("d").alias("mxd"))
+    w_seq = (Window.partitionBy("o_custkey")
+                   .orderBy(F.col("d").asc(), F.col("o_orderkey").asc()))
+    ev = (o.withColumn("prev", F.lag("d").over(w_seq))
+           .where(F.col("prev").isNotNull())
+           .select(F.datediff("d", "prev").alias("t"),
+                   F.lit(1).alias("e")))
+    cen = (o.groupBy("o_custkey").agg(F.max("d").alias("last_d"))
+            .crossJoin(F.broadcast(mx))
+            .select(F.datediff("mxd", "last_d").alias("t"),
+                    F.lit(0).alias("e")))
+    obs = ev.unionByName(cen)
+    agg = obs.groupBy("t").agg(F.sum("e").alias("d_t"),
+                               F.count("*").alias("a_t"))
+    tot = agg.agg(F.sum("a_t").alias("n"))
+    w_cum = (Window.orderBy(F.col("t").asc())
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (agg.crossJoin(F.broadcast(tot))
+              .withColumn("n_risk",
+                          F.col("n")
+                          - F.coalesce(F.sum("a_t").over(w_cum), F.lit(0))))
+    evt = (cum.where(F.col("d_t") > 0)
+              .select("t", "d_t", "n_risk",
+                      F.when(F.col("d_t") < F.col("n_risk"),
+                             F.round(F.log(F.lit(1.0)
+                                           - F.col("d_t").cast("double")
+                                           / F.col("n_risk").cast("double"))
+                                     * F.lit(1e9)).cast("long"))
+                       .otherwise(F.lit(0).cast("long")).alias("lnu"),
+                      F.when(F.col("d_t") >= F.col("n_risk"), 1)
+                       .otherwise(0).alias("dead")))
+    w_km = Window.orderBy(F.col("t").asc())
+    km = evt.select("t", "d_t", "n_risk",
+                    F.sum("lnu").over(w_km).alias("cln"),
+                    F.max("dead").over(w_km).alias("anydead"))
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_t").cast("long").alias("n_events"),
+        F.when(F.col("anydead") == 1, F.lit(0).cast("long"))
+         .otherwise(F.round(F.exp(F.col("cln").cast("double") / F.lit(1e9))
+                            * 1000000).cast("long")).alias("survival_ppm"))
+
+
+# --------------------------------------------------------------------------
+# events_ab_test_eval — deterministic-hash experiment evaluation, the
+# online-experimentation primitive the engine lacked: users are
+# assigned to variant A/B by md5 parity of the user id (the idempotent,
+# coordination-free assignment a real platform uses), conversion is
+# "reached a purchase event", and the readout is the two-proportion
+# pooled z statistic plus the rate lift.
+#
+# Determinism: assignment is the 60-bit md5 bigint mod 2 — identical in
+# both engines; counts are exact integers; the rates are integer-ppm
+# floor divisions; z is one fixed-order double chain over those exact
+# integers, rounded to milli-units. Degenerate splits (either arm
+# empty, or pooled rate 0/1 -> zero variance) yield NULL z, not an ANSI
+# divide error.
+#
+# 100 TB shape: ONE groupBy(user) over the event log (map-side partial
+# on the conversion flag), then a 1-row conditional aggregate. Nothing
+# else shuffles.
+# --------------------------------------------------------------------------
+@register("events_ab_test_eval", oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM u)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       CAST((1000000 * conv_a) // n_a AS BIGINT) AS rate_a_ppm,
+       CAST((1000000 * conv_b) // n_b AS BIGINT) AS rate_b_ppm,
+       CAST((1000000 * conv_b) // n_b
+            - (1000000 * conv_a) // n_a AS BIGINT) AS lift_ppm,
+       CASE WHEN n_a > 0 AND n_b > 0
+                 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+         CAST(ROUND(1000.0::DOUBLE
+              * (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0::DOUBLE - CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0::DOUBLE / CAST(n_a AS DOUBLE)
+                        + 1.0::DOUBLE / CAST(n_b AS DOUBLE))))
+              AS BIGINT) END AS z_milli
+FROM s
+""")
+def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    variant = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 2)
+    u = (ev.groupBy("user_id")
+           .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("conv"))
+           .select(variant.alias("variant"), "conv"))
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+         .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+         .alias("conv_b"))
+    pooled = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    z = (F.lit(1000.0)
+         * (F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+            - F.col("conv_a").cast("double") / F.col("n_a").cast("double"))
+         / F.sqrt(pooled * (F.lit(1.0) - pooled)
+                  * (F.lit(1.0) / F.col("n_a").cast("double")
+                     + F.lit(1.0) / F.col("n_b").cast("double"))))
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.expr("(1000000 * conv_a) div n_a").cast("long").alias("rate_a_ppm"),
+        F.expr("(1000000 * conv_b) div n_b").cast("long").alias("rate_b_ppm"),
+        F.expr("(1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a")
+         .cast("long").alias("lift_ppm"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0)
+               & (F.col("conv_a") + F.col("conv_b") > 0)
+               & (F.col("conv_a") + F.col("conv_b")
+                  < F.col("n_a") + F.col("n_b")),
+               F.round(z).cast("long")).alias("z_milli"))

@@ -1067,3 +1067,35 @@ def test_calibration_bins_tie_out_with_auc_counts(spark, sf_dir):
         assert 0 <= r["bin_id"] < sim.CAL_BINS
         assert 0 <= r["pos_rate_ppm"] <= 1_000_000
         assert r["abs_gap_ppm"] == abs(r["avg_score_ppm"] - r["pos_rate_ppm"])
+
+
+def test_retrieval_eval_metric_ordering(spark, sf_dir):
+    # With a single relevant doc per query, 1/rank <= 1/log2(rank+1)
+    # <= 1 pointwise, so after the ppm means: mrr <= ndcg <= hit-rate.
+    from hdfs_with_pyspark_spark.llm.similarity import retrieval_eval_mrr
+    r = retrieval_eval_mrr(spark, sf_dir).collect()[0]
+    assert r["n_queries"] > 0
+    assert 0 <= r["mrr_ppm"] <= r["ndcg_ppm"] <= 1_000_000
+    assert r["ndcg_ppm"] <= r["hit_rate_ppm"] <= 1_000_000
+
+
+def test_feature_hash_audit_monotone_in_dim(spark, sf_dir):
+    # Wider hash spaces can only reduce collisions; bucket usage is
+    # bounded by both the dim and the vocab; token totals agree.
+    from hdfs_with_pyspark_spark.llm.text import (
+        FH_DIMS,
+        feature_hash_collision_audit,
+    )
+    rows = {r["hash_dim"]: r
+            for r in feature_hash_collision_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(FH_DIMS)
+    n_tokens = {r["n_tokens"] for r in rows.values()}
+    assert len(n_tokens) == 1
+    prev = None
+    for d in sorted(rows):
+        r = rows[d]
+        assert r["buckets_used"] <= min(d, r["n_tokens"])
+        assert 0 <= r["collided_tokens"] <= r["n_tokens"]
+        if prev is not None:
+            assert r["collision_ppm"] <= prev["collision_ppm"]
+        prev = r

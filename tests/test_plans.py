@@ -1044,3 +1044,35 @@ def test_sweep_no_unbounded_single_partition_exchange(spark, sf_dir):
         if sites:
             failures[name] = sites
     assert not failures, failures
+
+
+def test_link_prediction_hand_graph(spark, monkeypatch):
+    # Channel 1 = {1, 2}; channel 2 = {2, 3}. Edges (1,2), (2,3);
+    # the only non-adjacent common-neighbor pair is (1,3) through
+    # middle node 2 with deg 2: aa = round(1e6 / ln 2) = 1442695.
+    import math
+
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = [(1, "signup", 1, '{"k": 1}'), (2, "signup", 2, '{"k": 1}'),
+            (3, "signup", 2, '{"k": 2}'), (4, "signup", 3, '{"k": 2}')]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = g.channel_link_prediction(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"], r["n_common"]) == (1, 3, 1)
+    assert r["aa_ppm"] == round(1_000_000 / math.log(2.0))
+
+
+def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
+    # Every recommended pair must be canonical (u < v), absent from the
+    # edge set, and sorted by (aa_ppm desc, u, v) with at most LP_TOPK.
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans import graph as g
+    out = g.channel_link_prediction(spark, sf_dir).collect()
+    assert 0 < len(out) <= g.LP_TOPK
+    keys = [(-r["aa_ppm"], r["u"], r["v"]) for r in out]
+    assert keys == sorted(keys)
+    assert all(r["u"] < r["v"] and r["n_common"] >= 1 for r in out)

@@ -206,3 +206,74 @@ def test_t_closeness_disjoint_distributions_max_out(spark, monkeypatch):
     out = {r["hour_of_day"]: r["t_ppm"]
            for r in tp.events_t_closeness(spark, "x").collect()}
     assert out == {2: 500000, 3: 500000}
+
+
+def test_survival_km_hand_case(spark, monkeypatch):
+    # A orders day 0 and day 10 (one event gap of 10, censored 0 at the
+    # corpus max); B orders day 0 only (censored at 10). At t=10 one of
+    # the two still-at-risk observations is an event: S = 1/2.
+    from hdfs_with_pyspark_spark.plans import temporal as t
+    rows = [(1, 1, "2020-01-01"), (2, 1, "2020-01-11"),
+            (3, 2, "2020-01-01")]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, d string").selectExpr(
+        "o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate")
+    monkeypatch.setattr(t, "read_table", lambda s, dd, n: o)
+    out = t.orders_survival_km(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["t_days"], r["n_risk"], r["n_events"]) == (10, 2, 1)
+    assert r["survival_ppm"] == 500_000
+
+
+def test_survival_km_monotone(spark, sf_dir):
+    # KM is a survival curve: non-increasing in t, inside [0, 1e6];
+    # n_risk strictly decreases over successive event times.
+    from hdfs_with_pyspark_spark.plans.temporal import orders_survival_km
+    rows = sorted(orders_survival_km(spark, sf_dir).collect(),
+                  key=lambda r: r["t_days"])
+    assert rows
+    s_prev, n_prev = 1_000_001, None
+    for r in rows:
+        assert 0 <= r["survival_ppm"] <= 1_000_000
+        assert r["survival_ppm"] <= s_prev
+        assert 1 <= r["n_events"] <= r["n_risk"]
+        if n_prev is not None:
+            assert r["n_risk"] < n_prev
+        s_prev, n_prev = r["survival_ppm"], r["n_risk"]
+
+
+def test_ab_test_eval_hand_counts(spark, monkeypatch):
+    # Variants follow the md5('ab:'||uid) 60-bit parity exactly;
+    # conversion = any purchase. Recompute both in pure Python.
+    import hashlib
+
+    from hdfs_with_pyspark_spark.plans import temporal as t
+    rows = []
+    eid = 0
+    purchases = {2, 5, 7}
+    for uid in range(10):
+        eid += 1
+        rows.append((eid, uid, "view"))
+        if uid in purchases:
+            eid += 1
+            rows.append((eid, uid, "purchase"))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "event_type string")
+    monkeypatch.setattr(t, "read_table", lambda s, dd, n: ev)
+    out = t.events_ab_test_eval(spark, "x").collect()[0]
+
+    def variant(uid: int) -> int:
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15],
+                   16) % 2
+
+    n = {0: 0, 1: 0}
+    conv = {0: 0, 1: 0}
+    for uid in range(10):
+        v = variant(uid)
+        n[v] += 1
+        conv[v] += int(uid in purchases)
+    assert (out["n_a"], out["conv_a"]) == (n[0], conv[0])
+    assert (out["n_b"], out["conv_b"]) == (n[1], conv[1])
+    assert out["rate_a_ppm"] == (1_000_000 * conv[0]) // n[0]
+    assert out["rate_b_ppm"] == (1_000_000 * conv[1]) // n[1]
