@@ -108,6 +108,10 @@ HEADLINE = [
     "channel_link_prediction",
     "retrieval_eval_mrr",
     "feature_hash_collision_audit",
+    "orders_cohort_ltv",
+    "tokenizer_fertility_by_lang",
+    "embedding_debias_topc",
+    "maxsim_retrieval_topk",
 ]
 
 

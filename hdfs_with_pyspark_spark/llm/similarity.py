@@ -1218,7 +1218,9 @@ PC_ITERS = 3
 _PC_Q = "1000000000.0"  # nano-unit quantizer (exactly representable)
 
 
-def _top_pc_oracle() -> str:
+def _top_pc_cte_list() -> list[str]:
+    """CTEs computing v{PC_ITERS} (the unnormalized-rounding-free top
+    principal direction) — shared by the top-PC and debias oracles."""
     dims = range(1, EMBED_DIM + 1)
     v0_dot = "(0.0::DOUBLE + " + " + ".join(
         f"COALESCE(x[{d}], 0.0::DOUBLE) * (0.125::DOUBLE)" for d in dims) + ")"
@@ -1239,6 +1241,12 @@ def _top_pc_oracle() -> str:
             dot = "(0.0::DOUBLE + " + " + ".join(
                 f"COALESCE(e.x[{d}], 0.0::DOUBLE) * c.v{d}" for d in dims) + ")"
             ctes.append(f"s{k + 1} AS (SELECT e.x, {dot} AS s FROM e, v{k} c)")
+    return ctes
+
+
+def _top_pc_oracle() -> str:
+    dims = range(1, EMBED_DIM + 1)
+    ctes = _top_pc_cte_list()
     weights = ", ".join(f"ROUND(v{d}, 6)" for d in dims)
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT UNNEST(generate_series(1, {EMBED_DIM})) AS dim,
@@ -1246,11 +1254,14 @@ SELECT UNNEST(generate_series(1, {EMBED_DIM})) AS dim,
 FROM v{PC_ITERS}""")
 
 
-@register("embedding_top_pc", oracle=_top_pc_oracle())
-def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _power_iteration_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Driver-side PC_ITERS power-iteration loop (unrounded weights).
+
+    Shared by embedding_top_pc (publishes the direction) and
+    embedding_debias_topc (projects it out). Only EMBED_DIM longs cross
+    to the driver per iteration."""
     import math
 
-    ensure_session(spark)
     vecs = _vectors(spark, sf_dir).select(F.col("v").alias("x")).persist()
     dims = range(1, EMBED_DIM + 1)
     v = [0.125] * EMBED_DIM
@@ -1272,8 +1283,16 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = math.sqrt(acc)
         v = [t / nrm for t in ts]
     vecs.unpersist()
+    return v
+
+
+@register("embedding_top_pc", oracle=_top_pc_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _power_iteration_weights(spark, sf_dir)
     out = spark.createDataFrame(
-        [(d, val) for d, val in zip(dims, v)], "dim long, weight double")
+        [(d, val) for d, val in zip(range(1, EMBED_DIM + 1), v)],
+        "dim long, weight double")
     return out.select("dim", F.round("weight", 6).alias("weight"))
 
 
@@ -2494,3 +2513,162 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(ndcg_u) div count(*)").cast("long").alias("ndcg_ppm"),
         F.expr("(1000000 * sum(hit)) div count(*)").cast("long")
          .alias("hit_rate_ppm"))
+
+
+# --------------------------------------------------------------------------
+# embedding_debias_topc — the "all-but-the-top" audit (Mu & Viswanath
+# 2018): embedding corpora concentrate variance in a few dominant
+# directions that encode frequency artifacts rather than semantics;
+# removing the top principal component before cosine retrieval is the
+# standard post-processing. This query measures HOW anisotropic the
+# corpus is: the exact share of total (uncentered) second-moment energy
+# the power-iteration top PC carries — the number that decides whether
+# the debias step is worth a pipeline stage.
+#
+# Determinism: the projection direction is the SAME round(weight, 6)
+# vector embedding_top_pc publishes (Spark inlines it as F.round
+# literals; the oracle recomputes it from the shared CTE list and
+# rounds identically); each row's p^2 and |x|^2 snap to integer
+# micro-units before summation.
+#
+# 100 TB shape: the power iteration is PC_ITERS map-side partial
+# aggregates (only EMBED_DIM longs reach the driver per pass); the
+# audit itself is ONE more map-side aggregate over the corpus — the
+# corpus never shuffles.
+# --------------------------------------------------------------------------
+def _debias_oracle() -> str:
+    dims = range(1, EMBED_DIM + 1)
+    ctes = _top_pc_cte_list()
+    ws = ", ".join(f"ROUND(v{d}, 6) AS w{d}" for d in dims)
+    ctes.append(f"w AS (SELECT {ws} FROM v{PC_ITERS})")
+    p = "(0.0::DOUBLE + " + " + ".join(
+        f"COALESCE(e.x[{d}] * w.w{d}, 0.0::DOUBLE)" for d in dims) + ")"
+    tot = "(0.0::DOUBLE + " + " + ".join(
+        f"COALESCE(e.x[{d}] * e.x[{d}], 0.0::DOUBLE)" for d in dims) + ")"
+    ctes.append(f"proj AS (SELECT {p} AS p, {tot} AS tot FROM e, w)")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(ROUND(tot * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT)
+         AS var_total_u,
+       CAST(SUM(CAST(ROUND(p * p * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT)
+         AS var_top_pc_u,
+       CAST((1000000 * SUM(CAST(ROUND(p * p * 1000000.0::DOUBLE) AS BIGINT)))
+            // GREATEST(SUM(CAST(ROUND(tot * 1000000.0::DOUBLE) AS BIGINT)),
+                        1) AS BIGINT) AS var_removed_ppm
+FROM proj""")
+
+
+@register("embedding_debias_topc", oracle=_debias_oracle())
+def embedding_debias_topc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _power_iteration_weights(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir).select(F.col("v").alias("x"))
+    dims = range(1, EMBED_DIM + 1)
+    p = F.lit(0.0)
+    for d, val in zip(dims, v):
+        p = p + F.coalesce(F.try_element_at("x", F.lit(d))
+                           * F.round(F.lit(val), 6), F.lit(0.0))
+    tot = F.expr(_sql_dot_cols("x", "x"))
+    proj = vecs.select(
+        F.round(p * p * F.lit(1e6)).cast("long").alias("pc_u"),
+        F.round(tot * F.lit(1e6)).cast("long").alias("tot_u"))
+    return proj.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("tot_u").cast("long").alias("var_total_u"),
+        F.sum("pc_u").cast("long").alias("var_top_pc_u"),
+        F.expr("(1000000 * sum(pc_u)) div greatest(sum(tot_u), 1)")
+         .cast("long").alias("var_removed_ppm"))
+
+
+# --------------------------------------------------------------------------
+# maxsim_retrieval_topk — late-interaction (ColBERT-style) retrieval:
+# each vector splits into MAXSIM_PARTS sub-vectors ("token embeddings");
+# the query-document score is the sum over query sub-vectors of the MAX
+# cosine against any document sub-vector. The retrieval capability
+# single-vector ANN cannot express (a document matches if EACH aspect
+# of the query finds some strong region), completing the retrieval
+# family alongside bm25 (lexical), ann_topk_* (single-vector dense),
+# and hybrid RRF.
+#
+# Determinism: sub-vector cosines round to 6 decimals then scale to
+# exact integer ppm BEFORE the max/sum aggregates; zero-norm
+# sub-vectors score 0 by a guard in both engines; top-K ranks on
+# (maxsim_ppm DESC, neighbor ASC) within each query.
+#
+# 100 TB shape: the query side is N_QUERIES x MAXSIM_PARTS rows
+# broadcast against one corpus-subvector scan (MAXSIM_PARTS map-side
+# rows per vector — a bounded fan-out of the corpus, exploded BEFORE
+# the join so nothing quadratic carries payload); per-query ranking
+# windows partition on query_id.
+# --------------------------------------------------------------------------
+MAXSIM_PARTS = 4
+MAXSIM_SUB = EMBED_DIM // MAXSIM_PARTS
+
+_SQL_MAXSIM_PARTS = ", ".join(str(p) for p in range(MAXSIM_PARTS))
+
+
+@register("maxsim_retrieval_topk", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+sub AS (
+  SELECT vec_id, p.part,
+         v[p.part * {MAXSIM_SUB} + 1 : p.part * {MAXSIM_SUB} + {MAXSIM_SUB}]
+           AS sv
+  FROM v, (SELECT UNNEST([{_SQL_MAXSIM_PARTS}]) AS part) p),
+q AS (SELECT vec_id AS qid, part AS qp, sv AS qsv,
+             sqrt(list_dot_product(sv, sv)) AS qn
+      FROM sub WHERE vec_id < {N_QUERIES}),
+d AS (SELECT vec_id AS did, sv,
+             sqrt(list_dot_product(sv, sv)) AS dn
+      FROM sub),
+combo AS (
+  SELECT qid, did, qp,
+         CASE WHEN qn * dn > 0 THEN
+           CAST(ROUND(ROUND(list_dot_product(qsv, sv) / (qn * dn), 6)
+                      * 1000000) AS BIGINT)
+         ELSE 0 END AS c_u
+  FROM q JOIN d ON did <> qid),
+best AS (SELECT qid, did, qp, MAX(c_u) AS m FROM combo GROUP BY qid, did, qp),
+score AS (SELECT qid, did, SUM(m) AS maxsim_ppm FROM best GROUP BY qid, did),
+ranked AS (
+  SELECT qid AS query_id, did AS neighbor_id, maxsim_ppm,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY maxsim_ppm DESC, did ASC) AS rank
+  FROM score)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(maxsim_ppm AS BIGINT) AS maxsim_ppm
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def maxsim_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    parts = F.array(*[
+        F.struct(F.lit(p).alias("part"),
+                 F.slice("v", p * MAXSIM_SUB + 1, MAXSIM_SUB).alias("sv"))
+        for p in range(MAXSIM_PARTS)])
+    sub = (vecs.select("vec_id", F.explode(parts).alias("ps"))
+               .select("vec_id", "ps.part", "ps.sv")
+               .withColumn("nrm", F.expr(
+                   f"sqrt({_sql_dot_cols('sv', 'sv', MAXSIM_SUB)})")))
+    q = (sub.where(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("qid"), F.col("part").alias("qp"),
+                    F.col("sv").alias("qsv"), F.col("nrm").alias("qn")))
+    combo = (F.broadcast(q)
+             .join(sub, F.col("vec_id") != F.col("qid"))
+             .select("qid", F.col("vec_id").alias("did"), "qp",
+                     F.when(F.col("qn") * F.col("nrm") > 0,
+                            F.round(F.round(
+                                F.expr(_sql_dot_cols("qsv", "sv",
+                                                     MAXSIM_SUB))
+                                / (F.col("qn") * F.col("nrm")), 6)
+                                * 1000000).cast("long"))
+                      .otherwise(F.lit(0).cast("long")).alias("c_u")))
+    best = combo.groupBy("qid", "did", "qp").agg(F.max("c_u").alias("m"))
+    score = best.groupBy("qid", "did").agg(F.sum("m").alias("maxsim_ppm"))
+    w = Window.partitionBy("qid").orderBy(F.col("maxsim_ppm").desc(),
+                                          F.col("did").asc())
+    return (score.withColumn("rank", F.row_number().over(w).cast("long"))
+                 .where(F.col("rank") <= TOP_K)
+                 .select(F.col("qid").alias("query_id"),
+                         F.col("did").alias("neighbor_id"), "rank",
+                         F.col("maxsim_ppm").cast("long")
+                          .alias("maxsim_ppm")))

@@ -1929,3 +1929,51 @@ def feature_hash_collision_audit(spark: SparkSession,
             .select(F.col("dim").cast("long").alias("hash_dim"),
                     "n_tokens", "buckets_used", "collided_tokens",
                     "collision_ppm"))
+
+
+# --------------------------------------------------------------------------
+# tokenizer_fertility_by_lang — per-language tokenizer fertility: the
+# ratio of subword (BPE-ish) tokens to whitespace words, plus bytes per
+# subword token — the numbers that decide a multilingual mixture's
+# effective token budget (high-fertility languages consume dispropor-
+# tionate context window; the standard argument for tokenizer retraining).
+#
+# Determinism: counts are exact integers from the shared BPE_REGEX /
+# whitespace tokenizers; ratios are integer-ppm floor divisions of
+# corpus-level sums. 100 TB shape: all three signals are map-side
+# column expressions; the only shuffle is ONE groupBy on the tiny
+# language key (AQE handles the skewed-language case).
+# --------------------------------------------------------------------------
+@register("tokenizer_fertility_by_lang", oracle=f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_sql_tokens()})) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+            '{BPE_REGEX}'))) AS BIGINT) AS bpe_tokens,
+       CAST((1000000 * SUM(len(regexp_extract_all(text,
+            '{BPE_REGEX}'))))
+            // GREATEST(SUM(len({_sql_tokens()})), 1) AS BIGINT)
+         AS fertility_ppm,
+       CAST((1000000 * SUM(n_chars))
+            // GREATEST(SUM(len(regexp_extract_all(text,
+               '{BPE_REGEX}'))), 1) AS BIGINT)
+         AS chars_per_bpe_ppm
+FROM documents GROUP BY lang
+""")
+def tokenizer_fertility_by_lang(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "lang", "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe"))
+    return (sig.groupBy("lang")
+               .agg(F.count("*").cast("long").alias("n_docs"),
+                    F.sum("ws").cast("long").alias("ws_tokens"),
+                    F.sum("bpe").cast("long").alias("bpe_tokens"),
+                    F.expr("(1000000 * sum(bpe)) div greatest(sum(ws), 1)")
+                     .cast("long").alias("fertility_ppm"),
+                    F.expr("(1000000 * sum(n_chars))"
+                           " div greatest(sum(bpe), 1)")
+                     .cast("long").alias("chars_per_bpe_ppm")))

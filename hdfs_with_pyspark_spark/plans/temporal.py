@@ -1570,3 +1570,74 @@ def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("conv_a") + F.col("conv_b")
                   < F.col("n_a") + F.col("n_b")),
                F.round(z).cast("long")).alias("z_milli"))
+
+
+# --------------------------------------------------------------------------
+# orders_cohort_ltv — the cumulative lifetime-value triangle, the
+# revenue companion to user_cohort_retention's activity triangle:
+# customers cohorted by FIRST-ORDER month, revenue accumulated per
+# months-since-first, each cell reporting the cohort's cumulative
+# revenue and per-user LTV so far — the curve a growth team projects
+# payback from. Months are (year*12 + month) integers, so there are no
+# calendar-arithmetic semantics to diverge on.
+#
+# Determinism: all revenue is exact integer cents; per-user LTV is an
+# integer floor division. 100 TB shape: one groupBy(custkey) window for
+# first-order month (the user-keyed clustering), one groupBy(cohort,
+# age) aggregate, and the cumulative window runs over the POST-AGGREGATE
+# triangle (|cohort months| x |age months| cells), partitioned by
+# cohort — never a row-scale or single-partition sort.
+# --------------------------------------------------------------------------
+@register("orders_cohort_ltv", oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY o_custkey),
+cell AS (
+  SELECT f.cohort, o.m - f.cohort AS age_months,
+         SUM(o.cents) AS revenue_cents
+  FROM o JOIN f USING (o_custkey)
+  GROUP BY f.cohort, o.m - f.cohort),
+cs AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY cohort),
+cum AS (
+  SELECT cohort, age_months, revenue_cents,
+         SUM(revenue_cents) OVER (PARTITION BY cohort
+                                  ORDER BY age_months ASC) AS cum_cents
+  FROM cell)
+SELECT c.cohort, CAST(c.age_months AS BIGINT) AS age_months,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+       CAST(c.cum_cents // s.cohort_size AS BIGINT) AS ltv_cents_per_user
+FROM cum c JOIN cs s USING (cohort)
+""")
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+         .alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    w_first = Window.partitionBy("o_custkey")
+    withc = o.withColumn("cohort", F.min("m").over(w_first))
+    cell = (withc.groupBy("cohort",
+                          (F.col("m") - F.col("cohort")).alias("age_months"))
+                 .agg(F.sum("cents").alias("revenue_cents")))
+    cs = (withc.select("o_custkey", "cohort").distinct()
+               .groupBy("cohort").agg(F.count("*").alias("cohort_size")))
+    w_cum = (Window.partitionBy("cohort").orderBy(F.col("age_months").asc())
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = cell.withColumn("cum_cents", F.sum("revenue_cents").over(w_cum))
+    return (cum.join(F.broadcast(cs), "cohort")
+               .select("cohort",
+                       F.col("age_months").cast("long").alias("age_months"),
+                       F.col("cohort_size").cast("long").alias("cohort_size"),
+                       F.col("revenue_cents").cast("long")
+                        .alias("revenue_cents"),
+                       F.col("cum_cents").cast("long")
+                        .alias("cum_revenue_cents"),
+                       F.expr("cum_cents div cohort_size").cast("long")
+                        .alias("ltv_cents_per_user")))

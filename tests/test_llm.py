@@ -1099,3 +1099,48 @@ def test_feature_hash_audit_monotone_in_dim(spark, sf_dir):
         if prev is not None:
             assert r["collision_ppm"] <= prev["collision_ppm"]
         prev = r
+
+
+def test_tokenizer_fertility_hand_case(spark, monkeypatch):
+    # "ab 12 c!" -> 3 whitespace tokens; BPE-ish: ab,1,2,c,! = 5.
+    from hdfs_with_pyspark_spark.llm import text as tx
+    docs = spark.createDataFrame([(1, "ab 12 c!", "en", 8)],
+                                 "doc_id long, text string, lang string, "
+                                 "n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.tokenizer_fertility_by_lang(spark, "x").collect()[0]
+    assert (r["lang"], r["n_docs"], r["ws_tokens"], r["bpe_tokens"]) \
+        == ("en", 1, 3, 5)
+    assert r["fertility_ppm"] == (1_000_000 * 5) // 3
+    assert r["chars_per_bpe_ppm"] == (1_000_000 * 8) // 5
+
+
+def test_debias_topc_energy_bounds(spark, sf_dir):
+    # Top-PC energy is a share of total second-moment energy: bounded
+    # by it, non-negative, and the ppm is the exact floor division.
+    from hdfs_with_pyspark_spark.llm.similarity import embedding_debias_topc
+    r = embedding_debias_topc(spark, sf_dir).collect()[0]
+    assert r["n_vectors"] > 0
+    assert 0 <= r["var_top_pc_u"] <= r["var_total_u"]
+    assert r["var_removed_ppm"] == \
+        (1_000_000 * r["var_top_pc_u"]) // max(r["var_total_u"], 1)
+    assert 0 <= r["var_removed_ppm"] <= 1_000_000
+
+
+def test_maxsim_identical_doc_scores_full(spark, monkeypatch):
+    # Query 0 = e1; doc 7 identical -> part 0 cosine 1, parts 1-3 have
+    # zero-norm query subvectors (guard -> 0): maxsim = 1e6 exactly,
+    # rank 1. Orthogonal doc 8 scores 0 and ranks below.
+    from hdfs_with_pyspark_spark.llm import similarity as sim
+    e1 = [1.0] + [0.0] * 63
+    e17 = [0.0] * 17 + [1.0] + [0.0] * 46
+    vecs = spark.createDataFrame(
+        [(0, e1), (7, e1), (8, e17)],
+        "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "read_table", lambda s, d, n: vecs)
+    monkeypatch.setattr(sim, "N_QUERIES", 1)
+    out = sorted(sim.maxsim_retrieval_topk(spark, "x").collect(),
+                 key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in out] == [7, 8]
+    assert out[0]["maxsim_ppm"] == 1_000_000
+    assert out[1]["maxsim_ppm"] == 0

@@ -277,3 +277,26 @@ def test_ab_test_eval_hand_counts(spark, monkeypatch):
     assert (out["n_b"], out["conv_b"]) == (n[1], conv[1])
     assert out["rate_a_ppm"] == (1_000_000 * conv[0]) // n[0]
     assert out["rate_b_ppm"] == (1_000_000 * conv[1]) // n[1]
+
+
+def test_cohort_ltv_hand_case(spark, monkeypatch):
+    # Cohort month M: A (10.00 at M, 5.00 at M+1) and B (2.00 at M).
+    # age 0: revenue 1200c, cum 1200c, ltv 600c; age 1: 500c, cum
+    # 1700c, ltv 850c (cohort size 2).
+    from hdfs_with_pyspark_spark.plans import temporal as t
+    rows = [(1, 1, "2021-03-10", 10.00), (2, 1, "2021-04-02", 5.00),
+            (3, 2, "2021-03-20", 2.00)]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, d string, "
+              "o_totalprice double").selectExpr(
+        "o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice")
+    monkeypatch.setattr(t, "read_table", lambda s, dd, n: o)
+    out = {r["age_months"]: r
+           for r in t.orders_cohort_ltv(spark, "x").collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["cohort_size"] == 2
+    assert (out[0]["revenue_cents"], out[0]["cum_revenue_cents"],
+            out[0]["ltv_cents_per_user"]) == (1200, 1200, 600)
+    assert (out[1]["revenue_cents"], out[1]["cum_revenue_cents"],
+            out[1]["ltv_cents_per_user"]) == (500, 1700, 850)
