@@ -112,6 +112,7 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "embedding_debias_topc",
     "maxsim_retrieval_topk",
+    "stream_late_data_audit",
 ]
 
 

@@ -33,7 +33,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -646,3 +646,135 @@ from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
 
 register_deferred_oracle("stream_incremental_dedup",
                          _stream_incremental_dedup_oracle)
+
+
+# --------------------------------------------------------------------------
+# stream_late_data_audit — watermark late-data ACCOUNTING: how many
+# events the streaming pipeline's watermark actually discarded, per
+# (day, event_type) — the production dashboard a streaming deployment
+# runs next to every watermarked aggregation (silent late-drop is the
+# classic source of batch/stream count divergence).
+#
+# Mechanics: the events table is staged as THREE simulated arrivals
+# (the stream_incremental_dedup choreography): batch 0 = every on-time
+# event (including the corpus max, which SETS the watermark), batch 1 =
+# empty (a heartbeat micro-batch — Spark applies a newly-advanced
+# watermark to filtering only from the SECOND batch after the data that
+# advanced it, measured in-repo, see tests), batch 2 = the late tail.
+# The streamed side is a watermarked tumbling daily count in update
+# mode via foreachBatch with idempotent per-batch-id overwrite slices;
+# the audit joins its final state against the batch ground truth.
+#
+# The oracle mirrors Spark's measured drop rule exactly: a row is
+# dropped iff its WINDOW END <= watermark, where watermark =
+# millisecond-floored max event time of earlier batches minus the
+# delay (Spark tracks event-time stats in ms). Boundary semantics
+# (<=, window-end-based, not raw-ts) were pinned empirically; the
+# streamed run in the callable is the same engine the gate compares,
+# so the oracle encodes the contract, not a guess.
+#
+# 100 TB shape: watermark state is |open windows| x |event types|; the
+# audit join runs on (day, type) aggregates. Nothing here scales with
+# row count beyond the one streaming aggregation itself.
+# --------------------------------------------------------------------------
+@register("stream_late_data_audit", oracle="""
+WITH e AS (SELECT ts, event_type FROM events),
+wm AS (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 DAY AS w
+       FROM e),
+flagged AS (
+  SELECT date_trunc('day', ts) AS d, event_type,
+         CASE WHEN date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+              THEN 1 ELSE 0 END AS late
+  FROM e)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(1 - late) AS BIGINT) AS n_stream,
+       CAST(SUM(late) AS BIGINT) AS n_late_dropped
+FROM flagged GROUP BY d, event_type
+""")
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    # The late tail: window end (day + 1) at or below the final
+    # watermark (ms-floored corpus max minus the delay).
+    wm = ev.agg((F.date_trunc("millisecond", F.max("ts"))
+                 - F.expr(f"INTERVAL {WATERMARK}")).alias("w"))
+    flagged = (ev.crossJoin(F.broadcast(wm))
+                 .withColumn("late",
+                             (F.date_trunc("day", F.col("ts"))
+                              + F.expr("INTERVAL 1 DAY"))
+                             <= F.col("w")))
+
+    sim = tempfile.mkdtemp(prefix="stream_late_audit_")
+    in_dir, ckpt = os.path.join(sim, "in"), os.path.join(sim, "ckpt")
+    out = os.path.join(sim, "out")
+    os.makedirs(in_dir)
+    base_t = 1_700_000_000
+    slices = [flagged.where(~F.col("late")),           # on-time + corpus max
+              flagged.where(F.lit(False)),             # heartbeat batch
+              flagged.where(F.col("late"))]            # the late tail
+    for k, sl in enumerate(slices):
+        stage = os.path.join(sim, f"stage{k}")
+        (sl.select("ts", "event_type")
+           .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+        shutil.rmtree(stage)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        # Idempotent per-batch-id overwrite slices (the
+        # stream_incremental_dedup discipline): a replayed micro-batch
+        # rewrites its own slice instead of double-appending.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}"))
+
+    try:
+        (spark.readStream.schema("ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir)
+              .withWatermark("ts", WATERMARK)
+              .groupBy(F.window("ts", COUNT_WINDOW).alias("w"), "event_type")
+              .agg(F.count("*").alias("n_stream"))
+              .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                      "event_type", "n_stream")
+              .writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch(ingest)
+              .outputMode("update")
+              .trigger(availableNow=True)
+              .start()
+              .awaitTermination())
+        streamed = spark.read.parquet(out)
+        # Update mode re-emits a key on every change: the final count per
+        # (day, type) is the row from the LATEST batch that touched it.
+        w_last = Window.partitionBy("day", "event_type").orderBy(
+            F.col("batch").desc())
+        final = (streamed.withColumn("__rn", F.row_number().over(w_last))
+                         .where(F.col("__rn") == 1)
+                         .select("day", "event_type", "n_stream")
+                         # sever the lineage from the tempdir parquet
+                         # before the finally-block removes it
+                         .localCheckpoint(eager=True))
+        truth = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                          "yyyy-MM-dd").alias("day"),
+                            "event_type")
+                   .agg(F.count("*").alias("n_batch")))
+        return (truth.join(final, ["day", "event_type"], "left")
+                     .select("day", "event_type",
+                             F.col("n_batch").cast("long").alias("n_batch"),
+                             F.coalesce("n_stream", F.lit(0)).cast("long")
+                              .alias("n_stream"),
+                             (F.col("n_batch")
+                              - F.coalesce("n_stream", F.lit(0)))
+                             .cast("long").alias("n_late_dropped")))
+    finally:
+        shutil.rmtree(sim, ignore_errors=True)

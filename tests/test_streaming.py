@@ -165,3 +165,80 @@ def test_read_parquet_if_absent_distinguishes_corruption(spark, tmp_path):
 
     with pytest.raises(Exception):
         probe_and_read()
+
+
+def test_watermark_drop_rule_pinned(spark, tmp_path):
+    """Pin the engine's late-drop semantics the late-data audit's oracle
+    encodes: (1) the drop predicate is WINDOW-END based, non-strict
+    (window.end <= watermark drops; a row whose raw ts is behind the
+    watermark but whose window is still open is aggregated), and
+    (2) a freshly-advanced watermark filters from the second following
+    micro-batch (so the audit stages late rows two batches after the
+    max-ts batch). If a Spark upgrade changes either, this fails before
+    the oracle silently diverges."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batches = [
+        [("2020-01-05 00:00:00", "max")],       # wm -> 2020-01-04 00:00
+        [("2020-01-04 12:00:00", "mid")],       # heartbeat
+        [("2020-01-03 22:00:00", "end_eq_wm"),  # window end == wm -> drop
+         ("2020-01-02 12:00:00", "end_lt_wm"),  # window end < wm  -> drop
+         ("2020-01-04 09:00:00", "fresh")],     # open window      -> keep
+    ]
+    base_t = 1_700_000_000
+    for k, rows in enumerate(batches):
+        df = (spark.createDataFrame(rows, "ts string, tag string")
+                   .select(F.col("ts").cast("timestamp").alias("ts"), "tag"))
+        stage = str(tmp_path / f"stage{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+        shutil.rmtree(stage)
+    out = str(tmp_path / "out")
+
+    def ingest(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"batch={bid}"))
+
+    (spark.readStream.schema("ts timestamp, tag string")
+          .option("maxFilesPerTrigger", 1).parquet(in_dir)
+          .withWatermark("ts", "1 day")
+          .groupBy(F.window("ts", "1 day").alias("w"))
+          .agg(F.collect_list("tag").alias("tags"))
+          .writeStream
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .foreachBatch(ingest).outputMode("update")
+          .trigger(availableNow=True).start().awaitTermination())
+    tags = set()
+    for r in spark.read.parquet(out).collect():
+        tags.update(r["tags"])
+    assert "fresh" in tags and "max" in tags and "mid" in tags
+    assert "end_eq_wm" not in tags       # window.end == wm -> dropped
+    assert "end_lt_wm" not in tags       # window.end <  wm -> dropped
+
+
+def test_late_data_audit_ties_out(spark, sf_dir):
+    """Counts reconcile per key (n_stream + dropped == n_batch), drops
+    actually occur on this corpus (the whole tail except the last day's
+    open windows is beyond the 1-day watermark), and only open windows
+    retain events."""
+    from hdfs_with_pyspark_spark.streaming.ops import stream_late_data_audit
+
+    rows = stream_late_data_audit(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_stream"] + r["n_late_dropped"] == r["n_batch"]
+               for r in rows)
+    assert sum(r["n_late_dropped"] for r in rows) > 0
+    kept_days = sorted({r["day"] for r in rows if r["n_stream"] > 0})
+    dropped_days = sorted({r["day"] for r in rows if r["n_late_dropped"] > 0})
+    # every retained day is at or after every fully-dropped day's window
+    if kept_days and dropped_days:
+        assert min(kept_days) >= max(d for d in dropped_days
+                                     if d not in kept_days)
