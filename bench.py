@@ -113,6 +113,9 @@ HEADLINE = [
     "embedding_debias_topc",
     "maxsim_retrieval_topk",
     "stream_late_data_audit",
+    "embedding_matryoshka_recall",
+    "join_cardinality_audit",
+    "bloom_join_audit",
 ]
 
 

@@ -2672,3 +2672,102 @@ def maxsim_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("did").alias("neighbor_id"), "rank",
                          F.col("maxsim_ppm").cast("long")
                           .alias("maxsim_ppm")))
+
+
+# --------------------------------------------------------------------------
+# embedding_matryoshka_recall — truncated-dimension retrieval quality
+# (the Matryoshka-representation-learning deployment question): rank by
+# the first P dims only and measure recall@K against full-width exact
+# retrieval, for P in MRL_DIMS. The storage/latency curve that decides
+# how many dims a 100 TB vector store actually keeps hot — the
+# dimension-axis companion to ann_*_recall_eval's candidate-axis
+# measurements.
+#
+# Determinism: prefix cosines round to 6 decimals before ranking; ranks
+# tie-break on neighbor id; recall is an exact integer ppm division.
+#
+# 100 TB shape: ONE broadcast join of the bounded query sample against
+# one corpus scan computes every prefix cosine map-side (prefix norms
+# are extra projected columns, not extra passes); ranking windows
+# partition on (prefix, query); the overlap join touches only the
+# |prefixes| x |queries| x K top-K rows.
+# --------------------------------------------------------------------------
+MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    def cos(p: int) -> str:
+        return (f"ROUND(list_dot_product(q.qv[1:{p}], a.v[1:{p}])"
+                f" / (sqrt(list_dot_product(q.qv[1:{p}], q.qv[1:{p}]))"
+                f" * sqrt(list_dot_product(a.v[1:{p}], a.v[1:{p}]))), 6)")
+    arms = "\n  UNION ALL ".join(
+        f"SELECT q.qid, a.vec_id AS did, {p} AS p, {cos(p)} AS c "
+        f"FROM v a CROSS JOIN q WHERE a.vec_id <> q.qid"
+        for p in (*MRL_DIMS, EMBED_DIM))
+    return f"""
+WITH v AS ({_SQL_VECTORS}),
+q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < {N_QUERIES}),
+long_form AS (
+  {arms}),
+ranked AS (
+  SELECT p, qid, did,
+         ROW_NUMBER() OVER (PARTITION BY p, qid
+                            ORDER BY c DESC, did ASC) AS rnk
+  FROM long_form),
+topk AS (SELECT p, qid, did FROM ranked WHERE rnk <= {TOP_K}),
+full_k AS (SELECT qid, did FROM topk WHERE p = {EMBED_DIM}),
+trunc AS (SELECT p, qid, did FROM topk WHERE p <> {EMBED_DIM})
+SELECT CAST(t.p AS BIGINT) AS prefix_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(f.did) AS BIGINT) AS n_overlap,
+       CAST((1000000 * COUNT(f.did)) // COUNT(*) AS BIGINT) AS recall_ppm
+FROM trunc t LEFT JOIN full_k f ON f.qid = t.qid AND f.did = t.did
+GROUP BY t.p
+"""
+
+
+@register("embedding_matryoshka_recall", oracle=_mrl_oracle())
+def embedding_matryoshka_recall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    all_p = (*MRL_DIMS, EMBED_DIM)
+
+    def with_prefix_norms(df, vcol, pfx):
+        for p in all_p:
+            df = df.withColumn(f"{pfx}{p}", F.expr(
+                f"sqrt({_sql_dot_cols(vcol, vcol, p)})"))
+        return df
+
+    q = with_prefix_norms(
+        vecs.where(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")),
+        "qv", "qn")
+    corpus = with_prefix_norms(vecs, "v", "dn")
+    arms = F.array(*[
+        F.struct(F.lit(p).cast("long").alias("p"),
+                 F.round(F.expr(_sql_dot_cols("qv", "v", p))
+                         / (F.col(f"qn{p}") * F.col(f"dn{p}")), 6)
+                  .alias("c"))
+        for p in all_p])
+    long_form = (F.broadcast(q)
+                 .join(corpus, F.col("vec_id") != F.col("qid"))
+                 .select("qid", F.col("vec_id").alias("did"),
+                         F.explode(arms).alias("a"))
+                 .select("qid", "did", "a.p", "a.c"))
+    w = Window.partitionBy("p", "qid").orderBy(F.col("c").desc(),
+                                               F.col("did").asc())
+    topk = (long_form.withColumn("rnk", F.row_number().over(w))
+                     .where(F.col("rnk") <= TOP_K)
+                     .select("p", "qid", "did"))
+    full_k = (topk.where(F.col("p") == EMBED_DIM)
+                  .select("qid", "did", F.lit(1).alias("hit")))
+    trunc = topk.where(F.col("p") != EMBED_DIM)
+    return (trunc.join(F.broadcast(full_k), ["qid", "did"], "left")
+                 .groupBy("p")
+                 .agg(F.count("*").cast("long").alias("n_true"),
+                      F.count("hit").cast("long").alias("n_overlap"),
+                      F.expr("(1000000 * count(hit)) div count(*)")
+                       .cast("long").alias("recall_ppm"))
+                 .select(F.col("p").cast("long").alias("prefix_dim"),
+                         "n_true", "n_overlap", "recall_ppm"))

@@ -1421,3 +1421,200 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     share.alias("share_ppm"),
                     expected.alias("benford_ppm"),
                     F.abs(share - expected).cast("long").alias("gap_ppm"))
+
+
+# --------------------------------------------------------------------------
+# join_cardinality_audit — the cost-based-optimizer statistics audit:
+# for each core join, compare the textbook uniform-NDV estimate
+# |A| * |B| / max(ndv_A, ndv_B) against the TRUE join cardinality —
+# the number that tells you whether CBO statistics can be trusted to
+# pick join orders on this corpus, and by how much skew breaks them.
+#
+# The true cardinality is computed WITHOUT materializing the join:
+# both sides pre-aggregate to (key, count) and the product sums over
+# the key-matched counts — two narrow shuffles + one key-sized join,
+# never a fact x fact row explosion (the only way this audit itself
+# survives 100 TB).
+#
+# Determinism: every quantity is an exact integer; err_ppm is an
+# integer floor division.
+# --------------------------------------------------------------------------
+_CARD_JOINS = (
+    # key entries are EXPRESSIONS valid in both engines (the repo's
+    # shared-SQL-text discipline), so derived-key joins audit too.
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    # The failure-mode arm: floor(sqrt(key)) packs quadratically more
+    # rows into higher buckets, so the uniform-NDV estimate undershoots
+    # — the skew case CBO statistics are famously blind to.
+    ("sqrtkey_skew", "orders", "CAST(FLOOR(SQRT(o_custkey)) AS BIGINT)",
+     "lineitem", "CAST(FLOOR(SQRT(l_orderkey)) AS BIGINT)"),
+)
+
+
+def _card_oracle() -> str:
+    arms = "\nUNION ALL\n".join(f"""
+SELECT '{name}' AS join_name,
+       (SELECT COUNT(*) FROM {lt}) AS n_left,
+       (SELECT COUNT(*) FROM {rt}) AS n_right,
+       (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS ndv_left,
+       (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS ndv_right,
+       (SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
+         // GREATEST((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
+                     (SELECT COUNT(DISTINCT {rk}) FROM {rt})) AS est_rows,
+       (SELECT SUM(a.n * b.n) FROM
+          (SELECT {lk} AS k, COUNT(*) AS n FROM {lt} GROUP BY {lk}) a
+          JOIN
+          (SELECT {rk} AS k, COUNT(*) AS n FROM {rt} GROUP BY {rk}) b
+          USING (k)) AS actual_rows
+""" for name, lt, lk, rt, rk in _CARD_JOINS)
+    return f"""
+WITH arms AS ({arms})
+SELECT join_name,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(ndv_left AS BIGINT) AS ndv_left,
+       CAST(ndv_right AS BIGINT) AS ndv_right,
+       CAST(est_rows AS BIGINT) AS est_rows,
+       CAST(COALESCE(actual_rows, 0) AS BIGINT) AS actual_rows,
+       CAST((1000000 * ABS(est_rows - COALESCE(actual_rows, 0)))
+            // GREATEST(COALESCE(actual_rows, 0), 1) AS BIGINT) AS err_ppm
+FROM arms
+"""
+
+
+@register("join_cardinality_audit", oracle=_card_oracle())
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    out = None
+    for name, lt, lk, rt, rk in _CARD_JOINS:
+        left = read_table(spark, sf_dir, lt).select(F.expr(lk).alias("k"))
+        right = read_table(spark, sf_dir, rt).select(F.expr(rk).alias("k"))
+        ls = left.agg(F.count("*").alias("n_left"),
+                      F.countDistinct("k").alias("ndv_left"))
+        rs = right.agg(F.count("*").alias("n_right"),
+                       F.countDistinct("k").alias("ndv_right"))
+        lk_cnt = left.groupBy("k").agg(F.count("*").alias("na"))
+        rk_cnt = right.groupBy("k").agg(F.count("*").alias("nb"))
+        actual = (lk_cnt.join(rk_cnt, "k")
+                        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")),
+                                        F.lit(0)).alias("actual_rows")))
+        row = (ls.crossJoin(F.broadcast(rs))
+                 .crossJoin(F.broadcast(actual))
+                 .select(
+                     F.lit(name).alias("join_name"),
+                     F.col("n_left").cast("long").alias("n_left"),
+                     F.col("n_right").cast("long").alias("n_right"),
+                     F.col("ndv_left").cast("long").alias("ndv_left"),
+                     F.col("ndv_right").cast("long").alias("ndv_right"),
+                     F.expr("(n_left * n_right)"
+                            " div greatest(ndv_left, ndv_right)")
+                      .cast("long").alias("est_rows"),
+                     F.col("actual_rows").cast("long").alias("actual_rows"),
+                     F.expr("(1000000 * abs((n_left * n_right)"
+                            " div greatest(ndv_left, ndv_right)"
+                            " - actual_rows)) div greatest(actual_rows, 1)")
+                      .cast("long").alias("err_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# bloom_join_audit — runtime-filter planning audit: for a selective
+# orders predicate semi-joined into lineitem, size the Bloom filter a
+# runtime-filter pass would push down — theoretical false-positive
+# probability fpp = (1 - exp(-k*n/m))^k at the optimal hash count
+# k = max(1, round(ln 2 * m/n)) — and report the scan savings it buys
+# at each candidate width. The arithmetic behind Spark's AQE runtime
+# bloom filters, made auditable: at 100 TB the m-bits choice is a real
+# memory/broadcast budget, and this table is how you pick it.
+#
+# Determinism: n/matches are exact integers; fpp and savings are
+# fixed-order double chains over those integers, snapped to ppm.
+# Shape: one NDV aggregate on the filtered build side, one key-count
+# pre-aggregated semi join for the exact match count (no fact
+# materialization), then a 3-row map over the widths.
+# --------------------------------------------------------------------------
+# Widths chosen so the sweep actually SHOWS the tradeoff at test scale:
+# ~2.7 bits/key (fpp collapses), ~11 bits/key (production-typical), and
+# a saturating width — rather than three indistinguishable fpp≈0 rows.
+BLOOM_M_BITS = (1 << 13, 1 << 15, 1 << 18)
+BLOOM_BUILD_PRED = "1-URGENT"
+
+_SQL_BLOOM_M = ", ".join(str(m) for m in BLOOM_M_BITS)
+
+
+@register("bloom_join_audit", oracle=f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '{BLOOM_BUILD_PRED}'),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM build) AS n_build,
+         (SELECT COUNT(*) FROM lineitem) AS n_probe,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT k FROM build)) AS n_match),
+arms AS (SELECT UNNEST([{_SQL_BLOOM_M}]) AS m_bits),
+calc AS (
+  SELECT m_bits, n_build, n_probe, n_match,
+         GREATEST(1, CAST(ROUND(ln(2.0::DOUBLE) * m_bits
+                                / GREATEST(n_build, 1)) AS BIGINT))
+           AS k_hashes
+  FROM arms, stats),
+fpp AS (
+  SELECT *,
+         power(1.0::DOUBLE - exp(-CAST(k_hashes AS DOUBLE)
+                                  * CAST(n_build AS DOUBLE)
+                                  / CAST(m_bits AS DOUBLE)),
+               CAST(k_hashes AS DOUBLE)) AS p
+  FROM calc)
+SELECT CAST(m_bits AS BIGINT) AS m_bits,
+       CAST(k_hashes AS BIGINT) AS k_hashes,
+       CAST(n_build AS BIGINT) AS n_build,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_match AS BIGINT) AS n_match,
+       CAST(ROUND(p * 1000000) AS BIGINT) AS fpp_ppm,
+       CAST(ROUND((CAST(n_probe AS DOUBLE) - CAST(n_match AS DOUBLE))
+                  * (1.0::DOUBLE - p) / GREATEST(CAST(n_probe AS DOUBLE),
+                                                 1.0::DOUBLE)
+                  * 1000000) AS BIGINT) AS scan_savings_ppm
+FROM fpp
+""")
+def bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    build = (orders.where(F.col("o_orderpriority") == BLOOM_BUILD_PRED)
+                   .select(F.col("o_orderkey").alias("k")).distinct())
+    probe = lineitem.select(F.col("l_orderkey").alias("k"))
+    n_build = build.agg(F.count("*").alias("n_build"))
+    n_probe = probe.agg(F.count("*").alias("n_probe"))
+    n_match = (probe.join(build, "k", "left_semi")
+                    .agg(F.count("*").alias("n_match")))
+    stats = (n_build.crossJoin(F.broadcast(n_probe))
+                    .crossJoin(F.broadcast(n_match)))
+    arms = spark.range(len(BLOOM_M_BITS)).select(
+        F.element_at(F.array(*[F.lit(m) for m in BLOOM_M_BITS]),
+                     (F.col("id") + 1).cast("int")).alias("m_bits"))
+    k = F.greatest(F.lit(1),
+                   F.round(F.log(F.lit(2.0)) * F.col("m_bits")
+                           / F.greatest(F.col("n_build"), F.lit(1)))
+                    .cast("long"))
+    calc = (arms.crossJoin(F.broadcast(stats))
+                .withColumn("k_hashes", k))
+    p = F.pow(F.lit(1.0) - F.exp(-F.col("k_hashes").cast("double")
+                                 * F.col("n_build").cast("double")
+                                 / F.col("m_bits").cast("double")),
+              F.col("k_hashes").cast("double"))
+    return calc.select(
+        F.col("m_bits").cast("long").alias("m_bits"),
+        F.col("k_hashes").cast("long").alias("k_hashes"),
+        F.col("n_build").cast("long").alias("n_build"),
+        F.col("n_probe").cast("long").alias("n_probe"),
+        F.col("n_match").cast("long").alias("n_match"),
+        F.round(p * 1000000).cast("long").alias("fpp_ppm"),
+        F.round((F.col("n_probe").cast("double")
+                 - F.col("n_match").cast("double"))
+                * (F.lit(1.0) - p)
+                / F.greatest(F.col("n_probe").cast("double"), F.lit(1.0))
+                * 1000000).cast("long").alias("scan_savings_ppm"))

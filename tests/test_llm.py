@@ -1144,3 +1144,17 @@ def test_maxsim_identical_doc_scores_full(spark, monkeypatch):
     assert [r["neighbor_id"] for r in out] == [7, 8]
     assert out[0]["maxsim_ppm"] == 1_000_000
     assert out[1]["maxsim_ppm"] == 0
+
+
+def test_matryoshka_recall_shape(spark, sf_dir):
+    # Full coverage denominator Q*K per prefix; more dims can only help
+    # on this fixed corpus (8 -> 32 monotone); overlap bounded by truth.
+    from hdfs_with_pyspark_spark.llm import similarity as sim
+    rows = {r["prefix_dim"]: r
+            for r in sim.embedding_matryoshka_recall(spark, sf_dir).collect()}
+    assert set(rows) == set(sim.MRL_DIMS)
+    for r in rows.values():
+        assert r["n_true"] == sim.N_QUERIES * sim.TOP_K
+        assert 0 <= r["n_overlap"] <= r["n_true"]
+        assert r["recall_ppm"] == (1_000_000 * r["n_overlap"]) // r["n_true"]
+    assert rows[32]["recall_ppm"] >= rows[8]["recall_ppm"]

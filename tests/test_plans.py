@@ -1076,3 +1076,47 @@ def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
     keys = [(-r["aa_ppm"], r["u"], r["v"]) for r in out]
     assert keys == sorted(keys)
     assert all(r["u"] < r["v"] and r["n_common"] >= 1 for r in out)
+
+
+def test_join_cardinality_audit_against_real_join(spark, sf_dir):
+    # The count-product identity must equal a genuinely materialized
+    # join's count (oracle-independent cross-check); the FK arms are
+    # exact for the uniform corpus, the sqrt-skew arm must diverge.
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans.relational import (
+        join_cardinality_audit,
+    )
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    rows = {r["join_name"]: r
+            for r in join_cardinality_audit(spark, sf_dir).collect()}
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    real = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    assert rows["orders_lineitem"]["actual_rows"] == real
+    assert rows["customer_orders"]["err_ppm"] == 0
+    assert rows["sqrtkey_skew"]["err_ppm"] > 0
+    assert rows["sqrtkey_skew"]["est_rows"] \
+        != rows["sqrtkey_skew"]["actual_rows"]
+
+
+def test_bloom_join_audit_formula(spark, sf_dir):
+    # fpp must match the closed form exactly (same double ops in the
+    # test), fall as m grows, and never report savings beyond the
+    # non-matching share.
+    import math
+
+    from hdfs_with_pyspark_spark.plans.relational import bloom_join_audit
+    rows = sorted(bloom_join_audit(spark, sf_dir).collect(),
+                  key=lambda r: r["m_bits"])
+    prev_fpp = None
+    for r in rows:
+        k = max(1, round(math.log(2.0) * r["m_bits"] / max(r["n_build"], 1)))
+        assert r["k_hashes"] == k
+        p = (1.0 - math.exp(-k * r["n_build"] / r["m_bits"])) ** k
+        assert r["fpp_ppm"] == round(p * 1_000_000)
+        assert r["n_match"] <= r["n_probe"]
+        assert 0 <= r["scan_savings_ppm"] <= 1_000_000
+        if prev_fpp is not None:
+            assert r["fpp_ppm"] <= prev_fpp
+        prev_fpp = r["fpp_ppm"]
