@@ -116,6 +116,7 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "join_cardinality_audit",
     "bloom_join_audit",
+    "corpus_manifest_fingerprint",
 ]
 
 

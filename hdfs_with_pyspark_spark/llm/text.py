@@ -1977,3 +1977,62 @@ def tokenizer_fertility_by_lang(spark: SparkSession,
                     F.expr("(1000000 * sum(n_chars))"
                            " div greatest(sum(bpe), 1)")
                      .cast("long").alias("chars_per_bpe_ppm")))
+
+
+# --------------------------------------------------------------------------
+# corpus_manifest_fingerprint — the dataset card + content hash a
+# reproducible training run records per source: row/unique counts,
+# char/token budgets, and an ORDER-INSENSITIVE content fingerprint
+# (sum of per-doc 60-bit md5 hashes mod the Mersenne prime 2^61-1) —
+# equal corpora produce equal fingerprints regardless of partitioning,
+# file order, or engine, so two pipeline runs can prove they trained on
+# the same bytes without comparing the bytes.
+#
+# Determinism: the per-doc hash is the shared hash64 contract; the sum
+# runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so it cannot
+# overflow before the mod; everything else is exact integer counts.
+#
+# 100 TB shape: all signals are map-side column expressions; ONE
+# groupBy on the tiny source key (plus the distinct-text subcount,
+# which shuffles (source, md5) pairs — narrow, and the only part that
+# scales beyond the aggregate).
+# --------------------------------------------------------------------------
+MANIFEST_MOD = 2_305_843_009_213_693_951  # 2^61 - 1
+
+
+@register("corpus_manifest_fingerprint", oracle=f"""
+WITH sig AS (
+  SELECT source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+         md5(text) AS full_md5,
+         n_chars,
+         len({_sql_tokens()}) AS ws
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT full_md5) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(CAST(h AS HUGEINT)) % {MANIFEST_MOD} AS BIGINT)
+         AS content_fingerprint
+FROM sig GROUP BY source
+""")
+def corpus_manifest_fingerprint(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "source",
+        hash64(F.col("text")).alias("h"),
+        F.md5(F.col("text")).alias("full_md5"),
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"))
+    return (sig.groupBy("source")
+               .agg(F.count("*").cast("long").alias("n_docs"),
+                    F.countDistinct("full_md5").cast("long")
+                     .alias("n_unique_texts"),
+                    F.sum("n_chars").cast("long").alias("n_chars"),
+                    F.sum("ws").cast("long").alias("ws_tokens"),
+                    (F.sum(F.col("h").cast("decimal(38,0)"))
+                      % F.lit(MANIFEST_MOD).cast("decimal(38,0)"))
+                     .cast("long").alias("content_fingerprint")))

@@ -1158,3 +1158,25 @@ def test_matryoshka_recall_shape(spark, sf_dir):
         assert 0 <= r["n_overlap"] <= r["n_true"]
         assert r["recall_ppm"] == (1_000_000 * r["n_overlap"]) // r["n_true"]
     assert rows[32]["recall_ppm"] >= rows[8]["recall_ppm"]
+
+
+def test_manifest_fingerprint_order_insensitive_and_content_sensitive(
+        spark, monkeypatch):
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long")
+
+    a = [(1, "alpha", "s", 5), (2, "beta", "s", 4), (3, "gamma", "s", 5)]
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs(a))
+    fp1 = tx.corpus_manifest_fingerprint(spark, "x").collect()[0]
+    monkeypatch.setattr(tx, "read_table",
+                        lambda s, d, n: docs(list(reversed(a))))
+    fp2 = tx.corpus_manifest_fingerprint(spark, "x").collect()[0]
+    assert fp1 == fp2                     # order-insensitive
+    b = [(1, "alpha", "s", 5), (2, "beta!", "s", 5), (3, "gamma", "s", 5)]
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs(b))
+    fp3 = tx.corpus_manifest_fingerprint(spark, "x").collect()[0]
+    assert fp3["content_fingerprint"] != fp1["content_fingerprint"]
+    assert fp1["n_unique_texts"] == 3
