@@ -117,6 +117,8 @@ HEADLINE = [
     "join_cardinality_audit",
     "bloom_join_audit",
     "corpus_manifest_fingerprint",
+    "quality_disparate_impact",
+    "privacy_delete_cascade_audit",
 ]
 
 

@@ -2036,3 +2036,77 @@ def corpus_manifest_fingerprint(spark: SparkSession,
                     (F.sum(F.col("h").cast("decimal(38,0)"))
                       % F.lit(MANIFEST_MOD).cast("decimal(38,0)"))
                      .cast("long").alias("content_fingerprint")))
+
+
+# --------------------------------------------------------------------------
+# quality_disparate_impact — the four-fifths-rule fairness audit over
+# the quality filter: per SOURCE, the keep rate at the DI_KEEP
+# threshold and its ratio to the best-kept source; a ratio below
+# 800000 ppm (the EEOC 80% rule, applied here to data curation) flags
+# a source the raw threshold would systematically suppress — the
+# quantified version of the C4-blocklist failure mode that
+# quality_score_calibrated fixes. Completes the governance family
+# (privacy triad, leakage-safe splits, manifest fingerprint).
+#
+# Determinism: keep counts are exact integers; rates and the DI ratio
+# are ppm floor divisions; the best-source rate comes from a max over
+# the |sources|-row aggregate (bounded frame). 100 TB shape: one doc
+# scan -> groupBy(source); the window runs over the source aggregate.
+# --------------------------------------------------------------------------
+DI_KEEP = 0.5
+
+
+def _disparate_impact_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT d.source,
+         CASE WHEN q.quality_score >= {DI_KEEP} THEN 1 ELSE 0 END AS keep
+  FROM q JOIN documents d USING (doc_id)),
+s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(keep) AS n_keep,
+         (1000000 * SUM(keep)) // COUNT(*) AS keep_rate_ppm
+  FROM j GROUP BY source),
+m AS (SELECT MAX(keep_rate_ppm) AS best FROM s)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(keep_rate_ppm AS BIGINT) AS keep_rate_ppm,
+       CAST((1000000 * keep_rate_ppm) // GREATEST(m.best, 1) AS BIGINT)
+         AS di_ratio_ppm,
+       (1000000 * keep_rate_ppm) // GREATEST(m.best, 1) < 800000
+         AS below_four_fifths
+FROM s, m
+"""
+
+
+@register("quality_disparate_impact", oracle=None)  # composed below
+def quality_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (q.join(docs, "doc_id")
+          .select("source",
+                  F.when(F.col("quality_score") >= DI_KEEP, 1)
+                   .otherwise(0).alias("keep")))
+    s = (j.groupBy("source")
+          .agg(F.count("*").alias("n_docs"),
+               F.sum("keep").alias("n_keep"),
+               F.expr("(1000000 * sum(keep)) div count(*)")
+                .alias("keep_rate_ppm")))
+    m = s.agg(F.max("keep_rate_ppm").alias("best"))
+    return (s.crossJoin(F.broadcast(m))
+             .select("source",
+                     F.col("n_docs").cast("long").alias("n_docs"),
+                     F.col("n_keep").cast("long").alias("n_keep"),
+                     F.col("keep_rate_ppm").cast("long")
+                      .alias("keep_rate_ppm"),
+                     F.expr("(1000000 * keep_rate_ppm) div greatest(best, 1)")
+                      .cast("long").alias("di_ratio_ppm"),
+                     (F.expr("(1000000 * keep_rate_ppm)"
+                             " div greatest(best, 1)") < 800000)
+                      .alias("below_four_fifths")))
+
+
+_reg_deferred("quality_disparate_impact", _disparate_impact_oracle)

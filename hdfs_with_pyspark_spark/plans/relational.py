@@ -1618,3 +1618,92 @@ def bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.lit(1.0) - p)
                 / F.greatest(F.col("n_probe").cast("double"), F.lit(1.0))
                 * 1000000).cast("long").alias("scan_savings_ppm"))
+
+
+# --------------------------------------------------------------------------
+# privacy_delete_cascade_audit — the right-to-be-forgotten impact
+# report: for a deterministic 5% deletion cohort (md5-parity of the
+# entity key — the idempotent sampling a DSR batch job uses), count the
+# rows each table would lose, following the referential cascade
+# customer -> orders -> lineitem (and the event log by user). The
+# governance deliverable a deletion run publishes BEFORE it mutates
+# anything.
+#
+# Determinism: cohort membership is the shared 60-bit md5 contract;
+# all outputs are exact counts / ppm floor divisions. 100 TB shape:
+# customer/orders/events membership is a MAP-SIDE hash predicate on
+# the table's own key (no join at all); only lineitem needs a semi
+# join, through the already-filtered orders keys (narrow, key-only).
+# --------------------------------------------------------------------------
+DELETE_COHORT_MOD = 20  # 5% deterministic deletion cohort
+
+
+def _del_pred_sql(key: str) -> str:
+    return (f"('0x' || substr(md5('del:' || CAST({key} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {DELETE_COHORT_MOD} = 0")
+
+
+@register("privacy_delete_cascade_audit", oracle=f"""
+WITH del_orders AS (
+  SELECT o_orderkey FROM orders WHERE {_del_pred_sql("o_custkey")}),
+arms AS (
+  SELECT 'customer' AS tbl,
+         (SELECT COUNT(*) FROM customer) AS n_rows,
+         (SELECT COUNT(*) FROM customer
+          WHERE {_del_pred_sql("c_custkey")}) AS n_deleted
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM del_orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+  UNION ALL
+  SELECT 'events',
+         (SELECT COUNT(*) FROM events),
+         (SELECT COUNT(*) FROM events WHERE {_del_pred_sql("user_id")}))
+SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_deleted AS BIGINT) AS n_deleted,
+       CAST((1000000 * n_deleted) // GREATEST(n_rows, 1) AS BIGINT)
+         AS deleted_ppm
+FROM arms
+""")
+def privacy_delete_cascade_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+
+    def del_pred(key: str):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit("del:"), F.col(key).cast("string"))),
+            1, 15), 16, 10).cast("long") % DELETE_COHORT_MOD) == 0
+
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    events = read_table(spark, sf_dir, "events")
+    del_orders = (orders.where(del_pred("o_custkey"))
+                        .select(F.col("o_orderkey").alias("k")))
+
+    def arm(tbl: str, full: DataFrame, deleted: DataFrame) -> DataFrame:
+        n = full.agg(F.count("*").alias("n_rows"))
+        d = deleted.agg(F.count("*").alias("n_deleted"))
+        return (n.crossJoin(F.broadcast(d))
+                 .select(F.lit(tbl).alias("tbl"),
+                         F.col("n_rows").cast("long").alias("n_rows"),
+                         F.col("n_deleted").cast("long").alias("n_deleted"),
+                         F.expr("(1000000 * n_deleted)"
+                                " div greatest(n_rows, 1)")
+                          .cast("long").alias("deleted_ppm")))
+
+    out = arm("customer", customer, customer.where(del_pred("c_custkey")))
+    out = out.unionByName(arm("orders", orders,
+                              orders.where(del_pred("o_custkey"))))
+    out = out.unionByName(arm(
+        "lineitem", lineitem,
+        lineitem.select(F.col("l_orderkey").alias("k"))
+                .join(del_orders, "k", "left_semi")))
+    out = out.unionByName(arm("events", events,
+                              events.where(del_pred("user_id"))))
+    return out

@@ -1180,3 +1180,18 @@ def test_manifest_fingerprint_order_insensitive_and_content_sensitive(
     fp3 = tx.corpus_manifest_fingerprint(spark, "x").collect()[0]
     assert fp3["content_fingerprint"] != fp1["content_fingerprint"]
     assert fp1["n_unique_texts"] == 3
+
+
+def test_disparate_impact_flags_below_80pct(spark, sf_dir):
+    from hdfs_with_pyspark_spark.llm.text import quality_disparate_impact
+    rows = quality_disparate_impact(spark, sf_dir).collect()
+    assert rows
+    best = max(r["keep_rate_ppm"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["di_ratio_ppm"] == \
+            (1_000_000 * r["keep_rate_ppm"]) // max(best, 1)
+        assert r["below_four_fifths"] == (r["di_ratio_ppm"] < 800_000)
+    # the best source is never flagged
+    assert any(r["di_ratio_ppm"] == 1_000_000
+               and not r["below_four_fifths"] for r in rows)

@@ -1120,3 +1120,40 @@ def test_bloom_join_audit_formula(spark, sf_dir):
         if prev_fpp is not None:
             assert r["fpp_ppm"] <= prev_fpp
         prev_fpp = r["fpp_ppm"]
+
+
+def test_delete_cascade_respects_fk(spark, sf_dir):
+    # Lineitem deletions must equal the rows whose order parent is in
+    # the cohort (recomputed with a real join), and the event/customer
+    # cohorts are the md5-parity rule exactly.
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.plans.relational import (
+        DELETE_COHORT_MOD,
+        privacy_delete_cascade_audit,
+    )
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    rows = {r["tbl"]: r
+            for r in privacy_delete_cascade_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+
+    def in_cohort(key: int) -> bool:
+        h = int(hashlib.md5(f"del:{key}".encode()).hexdigest()[:15], 16)
+        return h % DELETE_COHORT_MOD == 0
+
+    cust = [r["c_custkey"] for r in
+            read_table(spark, sf_dir, "customer").select("c_custkey")
+            .collect()]
+    assert rows["customer"]["n_deleted"] == sum(map(in_cohort, cust))
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    del_orders = o.where(
+        F.conv(F.substring(F.md5(F.concat(F.lit("del:"),
+                                          F.col("o_custkey").cast("string"))),
+                           1, 15), 16, 10).cast("long")
+        % DELETE_COHORT_MOD == 0).select("o_orderkey")
+    real = li.join(del_orders, li["l_orderkey"] == del_orders["o_orderkey"],
+                   "left_semi").count()
+    assert rows["lineitem"]["n_deleted"] == real
