@@ -119,6 +119,9 @@ HEADLINE = [
     "corpus_manifest_fingerprint",
     "quality_disparate_impact",
     "privacy_delete_cascade_audit",
+    "embedding_knn_label_eval",
+    "embedding_centroid_drift",
+    "corpus_token_gini",
 ]
 
 

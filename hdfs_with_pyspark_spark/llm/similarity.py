@@ -2771,3 +2771,194 @@ def embedding_matryoshka_recall(spark: SparkSession,
                        .cast("long").alias("recall_ppm"))
                  .select(F.col("p").cast("long").alias("prefix_dim"),
                          "n_true", "n_overlap", "recall_ppm"))
+
+
+# --------------------------------------------------------------------------
+# embedding_knn_label_eval — the retrieval-probe evaluation of
+# embedding quality: k-NN majority-vote label prediction over a bounded
+# query sample, scored against the true labels — the standard probe
+# task (kNN accuracy) that tells you whether an embedding space
+# separates classes BEFORE you spend a training run on it. Completes
+# the eval suite: AUC/PR (scores), MRR/nDCG (ranking), recall
+# (candidates), and now label coherence (space geometry).
+#
+# Determinism: cosines round to 6 before ranking (tie-break neighbor
+# id); the vote argmax tie-breaks on smallest label; accuracy is an
+# exact ppm floor division per true label.
+#
+# 100 TB shape: bounded query sample broadcast against one corpus
+# scan; ranking and vote windows partition on query id; everything
+# after the top-K is |queries| x K rows.
+# --------------------------------------------------------------------------
+KNN_EVAL_QUERIES = 50
+KNN_EVAL_K = 5
+
+
+@register("embedding_knn_label_eval", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM v
+      WHERE vec_id < {KNN_EVAL_QUERIES}),
+scored AS (
+  SELECT q.qid, q.true_label, a.label,
+         ROUND(list_dot_product(q.qv, a.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS c,
+         a.vec_id AS did
+  FROM v a CROSS JOIN q WHERE a.vec_id <> q.qid),
+topk AS (
+  SELECT qid, true_label, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY c DESC, did ASC) AS rnk
+    FROM scored) WHERE rnk <= {KNN_EVAL_K}),
+votes AS (
+  SELECT qid, true_label, label, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY COUNT(*) DESC, label ASC) AS vr
+  FROM topk GROUP BY qid, true_label, label),
+pred AS (SELECT qid, true_label, label AS pred_label FROM votes
+         WHERE vr = 1)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST((1000000 * SUM(CASE WHEN pred_label = true_label
+                                THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS accuracy_ppm
+FROM pred GROUP BY true_label
+""")
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    v = spread(read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        "label"))
+    v = _with_norm(v, "v", "nv")
+    q = (v.where(F.col("vec_id") < KNN_EVAL_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nv").alias("qnv"),
+                  F.col("label").alias("true_label")))
+    scored = (F.broadcast(q)
+              .join(v, F.col("vec_id") != F.col("qid"))
+              .select("qid", "true_label", "label",
+                      F.col("vec_id").alias("did"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6)
+                       .alias("c")))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(),
+                                               F.col("did").asc())
+    topk = (scored.withColumn("rnk", F.row_number().over(w_rank))
+                  .where(F.col("rnk") <= KNN_EVAL_K)
+                  .select("qid", "true_label", "label"))
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("n"))
+    w_vote = Window.partitionBy("qid").orderBy(F.col("n").desc(),
+                                               F.col("label").asc())
+    pred = (votes.withColumn("vr", F.row_number().over(w_vote))
+                 .where(F.col("vr") == 1)
+                 .select("qid", "true_label",
+                         F.col("label").alias("pred_label")))
+    return (pred.groupBy("true_label")
+                .agg(F.count("*").cast("long").alias("n_queries"),
+                     F.sum(F.when(F.col("pred_label") == F.col("true_label"),
+                                  1).otherwise(0)).cast("long")
+                      .alias("n_correct"),
+                     F.expr("(1000000 * sum(CASE WHEN pred_label ="
+                            " true_label THEN 1 ELSE 0 END)) div count(*)")
+                      .cast("long").alias("accuracy_ppm"))
+                .select(F.col("true_label").cast("long").alias("true_label"),
+                        "n_queries", "n_correct", "accuracy_ppm"))
+
+
+# --------------------------------------------------------------------------
+# embedding_centroid_drift — per-label centroid stability between two
+# dataset halves (vec_id parity stands in for "yesterday's snapshot vs
+# today's"): the embedding-drift monitor a production feature store
+# alerts on — a label whose centroid rotates between refreshes signals
+# upstream model or data change before any downstream metric moves.
+#
+# Determinism (the power-iteration discipline, per label): per-row
+# per-dim contributions snap to integer NANO-units before the sum;
+# the cross-half dot/norm terms snap per DIM before the final sum, so
+# no float accumulation order can flip a bit; the cosine is one
+# fixed-order double chain over exact integers, rounded to 6.
+#
+# 100 TB shape: posexplode is a map-side 64x fan-out feeding ONE
+# groupBy (label, half, dim) partial-aggregated sum; everything after
+# is |labels| x |dims| rows.
+# --------------------------------------------------------------------------
+@register("embedding_centroid_drift", oracle="""
+WITH e AS (
+  SELECT label, vec_id % 2 AS half, u.d AS dim,
+         CAST(ROUND(COALESCE(v[u.d], 0.0::DOUBLE) * 1000000000) AS BIGINT)
+           AS xu
+  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       (SELECT UNNEST(generate_series(1, 64)) AS d) u),
+sums AS (
+  SELECT label, half, dim, SUM(xu) AS su, COUNT(*) AS n
+  FROM e GROUP BY label, half, dim),
+cents AS (
+  SELECT label, half, dim,
+         (CAST(su AS DOUBLE) / 1000000000) / n AS c
+  FROM sums),
+pairs AS (
+  SELECT a.label, a.dim, a.c AS ca, b.c AS cb,
+         (SELECT MAX(n) FROM sums s WHERE s.label = a.label AND s.half = 0)
+           AS n_a,
+         (SELECT MAX(n) FROM sums s WHERE s.label = a.label AND s.half = 1)
+           AS n_b
+  FROM cents a JOIN cents b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1),
+terms AS (
+  SELECT label, n_a, n_b,
+         CAST(ROUND(ca * cb * 1000000000000.0::DOUBLE) AS BIGINT) AS du,
+         CAST(ROUND(ca * ca * 1000000000000.0::DOUBLE) AS BIGINT) AS au,
+         CAST(ROUND(cb * cb * 1000000000000.0::DOUBLE) AS BIGINT) AS bu
+  FROM pairs)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(du) AS DOUBLE)
+             / (sqrt(CAST(SUM(au) AS DOUBLE))
+                * sqrt(CAST(SUM(bu) AS DOUBLE))), 6) AS centroid_cos
+FROM terms GROUP BY label
+""")
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    e = spread(read_table(spark, sf_dir, "embeddings").select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("v")))
+    expl = e.select(
+        "label", "half",
+        (F.posexplode(F.col("v"))).alias("pos", "x")).select(
+        "label", "half", (F.col("pos") + 1).alias("dim"),
+        F.round(F.coalesce(F.col("x"), F.lit(0.0)) * F.lit(1e9))
+         .cast("long").alias("xu"))
+    sums = (expl.groupBy("label", "half", "dim")
+                .agg(F.sum("xu").alias("su"), F.count("*").alias("n")))
+    cents = sums.select(
+        "label", "half", "dim", "n",
+        ((F.col("su").cast("double") / F.lit(1e9)) / F.col("n")).alias("c"))
+    a = (cents.where(F.col("half") == 0)
+              .select("label", "dim", F.col("c").alias("ca"),
+                      F.col("n").alias("n_a")))
+    b = (cents.where(F.col("half") == 1)
+              .select("label", "dim", F.col("c").alias("cb"),
+                      F.col("n").alias("n_b")))
+    terms = (a.join(b, ["label", "dim"])
+              .select("label", "n_a", "n_b",
+                      F.round(F.col("ca") * F.col("cb") * F.lit(1e12))
+                       .cast("long").alias("du"),
+                      F.round(F.col("ca") * F.col("ca") * F.lit(1e12))
+                       .cast("long").alias("au"),
+                      F.round(F.col("cb") * F.col("cb") * F.lit(1e12))
+                       .cast("long").alias("bu")))
+    return (terms.groupBy("label")
+                 .agg(F.max("n_a").cast("long").alias("n_a"),
+                      F.max("n_b").cast("long").alias("n_b"),
+                      F.round(F.sum("du").cast("double")
+                              / (F.sqrt(F.sum("au").cast("double"))
+                                 * F.sqrt(F.sum("bu").cast("double"))), 6)
+                       .alias("centroid_cos"))
+                 .select(F.col("label").cast("long").alias("label"),
+                         "n_a", "n_b", "centroid_cos"))

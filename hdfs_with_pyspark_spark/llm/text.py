@@ -2110,3 +2110,75 @@ def quality_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("quality_disparate_impact", _disparate_impact_oracle)
+
+
+# --------------------------------------------------------------------------
+# corpus_token_gini — document-length inequality per source, as an
+# EXACT Gini coefficient computed from the token-count HISTOGRAM: a
+# run of f docs sharing value v occupying ranks r0+1..r0+f contributes
+# v * (f*r0 + f*(f+1)/2) to the rank-weighted sum, so the classic
+# rank-sum formula G = (2T - (n+1)S) / (nS) needs only a cumulative
+# window over DISTINCT LENGTH VALUES — never a row-scale global sort.
+# The batch-planning statistic (token inequality decides how much
+# packing/bucketing effort pays off) that naive Gini implementations
+# compute with an O(N log N) total order.
+#
+# Determinism: token counts are exact integers; T and S accumulate in
+# DECIMAL(38,0)/HUGEINT; the output is a ppm floor division.
+# --------------------------------------------------------------------------
+@register("corpus_token_gini", oracle=f"""
+WITH d AS (
+  SELECT source, CAST(len({_sql_tokens()}) AS BIGINT) AS v FROM documents),
+h AS (SELECT source, v, COUNT(*) AS f FROM d GROUP BY source, v),
+c AS (
+  SELECT source, v, f,
+         COALESCE(SUM(f) OVER (PARTITION BY source ORDER BY v ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS r0
+  FROM h),
+s AS (
+  SELECT source,
+         SUM(CAST(f AS HUGEINT)) AS n,
+         SUM(CAST(v AS HUGEINT) * f) AS total,
+         SUM(CAST(v AS HUGEINT) * (f * r0 + f * (f + 1) // 2)) AS t
+  FROM c GROUP BY source)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(total AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN n > 0 AND total > 0 THEN
+              (1000000 * (2 * t - (n + 1) * total)) // (n * total)
+            ELSE 0 END AS BIGINT) AS gini_ppm
+FROM s
+""")
+def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("source",
+                    F.size(tokens(F.col("text"))).cast("long").alias("v"))
+    h = d.groupBy("source", "v").agg(F.count("*").alias("f"))
+    w = (Window.partitionBy("source").orderBy(F.col("v").asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    c = h.withColumn("r0", F.coalesce(F.sum("f").over(w), F.lit(0)))
+    dec = "decimal(38,0)"
+    s = (c.groupBy("source")
+          .agg(F.sum(F.col("f").cast(dec)).alias("n"),
+               F.sum(F.col("v").cast(dec) * F.col("f")).alias("total"),
+               F.sum(F.col("v").cast(dec)
+                     * (F.col("f") * F.col("r0")
+                        + F.expr("f * (f + 1) div 2"))).alias("t")))
+    # `div` (integral division), not `/` + cast: Spark's decimal `/`
+    # ROUNDS at the result scale before any cast, which can disagree
+    # with DuckDB's exact integer floor on values near an integer.
+    withnd = s.select(
+        "source", "n", "total",
+        (F.lit(1000000).cast(dec)
+         * (2 * F.col("t") - (F.col("n") + 1) * F.col("total")))
+        .alias("num"),
+        (F.col("n") * F.col("total")).alias("den"))
+    gini = F.when((F.col("n") > 0) & (F.col("total") > 0),
+                  F.expr("num div den").cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return withnd.select("source",
+                         F.col("n").cast("long").alias("n_docs"),
+                         F.col("total").cast("long").alias("total_tokens"),
+                         gini.alias("gini_ppm"))

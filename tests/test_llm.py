@@ -1195,3 +1195,50 @@ def test_disparate_impact_flags_below_80pct(spark, sf_dir):
     # the best source is never flagged
     assert any(r["di_ratio_ppm"] == 1_000_000
                and not r["below_four_fifths"] for r in rows)
+
+
+def test_knn_label_eval_counts(spark, sf_dir):
+    from hdfs_with_pyspark_spark.llm import similarity as sim
+    rows = sim.embedding_knn_label_eval(spark, sf_dir).collect()
+    assert sum(r["n_queries"] for r in rows) == sim.KNN_EVAL_QUERIES
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert r["accuracy_ppm"] == \
+            (1_000_000 * r["n_correct"]) // r["n_queries"]
+
+
+def test_centroid_drift_self_consistency(spark, monkeypatch):
+    # Identical halves -> centroid cosine exactly 1.0 per label.
+    from hdfs_with_pyspark_spark.llm import similarity as sim
+    base = [(2 * i + h, [float(i % 5 + 1), float(i % 3 - 1), 2.0, -1.0],
+             i % 2) for i in range(20) for h in (0, 1)]
+    vecs = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sim, "read_table", lambda s, d, n: vecs)
+    out = sim.embedding_centroid_drift(spark, "x").collect()
+    assert out
+    for r in out:
+        assert r["n_a"] == r["n_b"]
+        assert r["centroid_cos"] == 1.0
+
+
+def test_token_gini_known_distributions(spark, monkeypatch):
+    # All-equal lengths -> Gini (n-1-weighted rank form) = -(?); use the
+    # exact rank-sum formula recomputed in Python on a hand corpus.
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    def gini_ppm(values):
+        xs = sorted(values)
+        n, s = len(xs), sum(xs)
+        t = sum((i + 1) * x for i, x in enumerate(xs))
+        return (1_000_000 * (2 * t - (n + 1) * s)) // (n * s)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ln), "s", 1)
+         for i, ln in enumerate([1, 1, 2, 3, 5, 8, 13])],
+        "doc_id long, text string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.corpus_token_gini(spark, "x").collect()[0]
+    assert r["n_docs"] == 7
+    assert r["total_tokens"] == 33
+    assert r["gini_ppm"] == gini_ppm([1, 1, 2, 3, 5, 8, 13])
