@@ -122,6 +122,8 @@ HEADLINE = [
     "embedding_knn_label_eval",
     "embedding_centroid_drift",
     "corpus_token_gini",
+    "rlhf_preference_pairs",
+    "corpus_prefix_cache_stats",
 ]
 
 

@@ -2182,3 +2182,152 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n").cast("long").alias("n_docs"),
                          F.col("total").cast("long").alias("total_tokens"),
                          gini.alias("gini_ppm"))
+
+
+# --------------------------------------------------------------------------
+# rlhf_preference_pairs — DPO/RLHF preference-pair assembly from a
+# scored corpus: within each (source, lang) stratum, zip the top-P
+# quality documents against the bottom-P (rank i chosen vs rank i
+# rejected) and keep pairs whose quality gap clears RLHF_MIN_GAP — the
+# deterministic, quadratic-free way to mine (chosen, rejected) training
+# pairs from quality signals (pairing by rank instead of all-pairs
+# keeps each stratum's pair count at P, not P^2).
+#
+# Determinism: ranks tie-break on doc_id; quality scores are the shared
+# 4-decimal text_quality_score values; the gap is a ppm integer.
+#
+# 100 TB shape: two rank windows per stratum (partitioned on the
+# stratum key) + one (stratum, rank) equi-join of two P-row-per-stratum
+# frames. Nothing quadratic, nothing single-partition.
+# --------------------------------------------------------------------------
+RLHF_POOL = 10
+RLHF_MIN_GAP_PPM = 100_000  # chosen must beat rejected by >= 0.1
+
+
+def _pref_pairs_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT d.source, d.lang, q.doc_id, q.quality_score
+  FROM q JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT source, lang, doc_id, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY quality_score DESC, doc_id ASC)
+           AS top_rank,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY quality_score ASC, doc_id ASC)
+           AS bot_rank
+  FROM j),
+chosen AS (SELECT source, lang, top_rank AS rank, doc_id AS chosen_doc_id,
+                  quality_score AS chosen_q
+           FROM ranked WHERE top_rank <= {RLHF_POOL}),
+rejected AS (SELECT source, lang, bot_rank AS rank,
+                    doc_id AS rejected_doc_id, quality_score AS rejected_q
+             FROM ranked WHERE bot_rank <= {RLHF_POOL})
+SELECT c.source, c.lang, CAST(c.rank AS BIGINT) AS rank,
+       c.chosen_doc_id, r.rejected_doc_id,
+       CAST(ROUND((c.chosen_q - r.rejected_q) * 1000000) AS BIGINT)
+         AS gap_ppm
+FROM chosen c JOIN rejected r
+  ON r.source = c.source AND r.lang = c.lang AND r.rank = c.rank
+WHERE c.chosen_doc_id <> r.rejected_doc_id
+  AND ROUND((c.chosen_q - r.rejected_q) * 1000000) >= {RLHF_MIN_GAP_PPM}
+"""
+
+
+@register("rlhf_preference_pairs", oracle=None)  # composed below
+def rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang")
+    j = q.join(docs, "doc_id")
+    w_top = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    w_bot = Window.partitionBy("source", "lang").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc())
+    ranked = (j.withColumn("top_rank", F.row_number().over(w_top))
+               .withColumn("bot_rank", F.row_number().over(w_bot)))
+    chosen = (ranked.where(F.col("top_rank") <= RLHF_POOL)
+                    .select("source", "lang",
+                            F.col("top_rank").alias("rank"),
+                            F.col("doc_id").alias("chosen_doc_id"),
+                            F.col("quality_score").alias("chosen_q")))
+    rejected = (ranked.where(F.col("bot_rank") <= RLHF_POOL)
+                      .select("source", "lang",
+                              F.col("bot_rank").alias("rank"),
+                              F.col("doc_id").alias("rejected_doc_id"),
+                              F.col("quality_score").alias("rejected_q")))
+    gap = F.round((F.col("chosen_q") - F.col("rejected_q")) * 1e6)
+    return (chosen.join(rejected, ["source", "lang", "rank"])
+                  .where(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+                  .where(gap >= RLHF_MIN_GAP_PPM)
+                  .select("source", "lang",
+                          F.col("rank").cast("long").alias("rank"),
+                          "chosen_doc_id", "rejected_doc_id",
+                          gap.cast("long").alias("gap_ppm")))
+
+
+_reg_deferred("rlhf_preference_pairs", _pref_pairs_oracle)
+
+
+# --------------------------------------------------------------------------
+# corpus_prefix_cache_stats — KV-cache prefix-sharing estimate: for
+# each prefix length K, how many documents share their first K tokens
+# with another document — the hit-rate a paged-KV inference server
+# (vLLM-style prefix caching) would get serving this corpus, and the
+# dedup-adjacent signal that surfaces boilerplate openings.
+#
+# Determinism: the prefix key is the shared hash64 of the joined first
+# K tokens; counts and rates are exact integers / ppm floor divisions.
+# 100 TB shape: per K, one map-side prefix hash + one groupBy on the
+# hash — the 3 K-values fan out the corpus 3x map-side, nothing else.
+# --------------------------------------------------------------------------
+PREFIX_CACHE_LENS = (4, 8, 16)
+
+_SQL_PREFIX_LENS = ", ".join(str(k) for k in PREFIX_CACHE_LENS)
+
+
+@register("corpus_prefix_cache_stats", oracle=f"""
+WITH d AS (SELECT {_sql_tokens()} AS toks FROM documents),
+pref AS (
+  SELECT k.k,
+         ('0x' || substr(md5(array_to_string(toks[1:k.k], ' ')), 1, 15))
+           ::BIGINT AS ph
+  FROM d, (SELECT UNNEST([{_SQL_PREFIX_LENS}]) AS k) k
+  WHERE len(toks) >= k.k),
+g AS (SELECT k, ph, COUNT(*) AS n FROM pref GROUP BY k, ph)
+SELECT CAST(k AS BIGINT) AS prefix_len,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+         AS shared_docs,
+       CAST((1000000 * (SUM(n) - COUNT(*))) // GREATEST(SUM(n), 1)
+            AS BIGINT) AS hit_rate_ppm
+FROM g GROUP BY k
+""")
+def corpus_prefix_cache_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(toks.alias("toks"))
+    arms = F.array(*[F.lit(k) for k in PREFIX_CACHE_LENS])
+    pref = (d.select("toks", F.explode(arms).alias("k"))
+             .where(F.size("toks") >= F.col("k"))
+             .select("k", hash64(F.array_join(
+                 F.slice("toks", 1, F.col("k")), " ")).alias("ph")))
+    g = pref.groupBy("k", "ph").agg(F.count("*").alias("n"))
+    return (g.groupBy("k")
+             .agg(F.sum("n").cast("long").alias("n_docs"),
+                  F.count("*").cast("long").alias("n_prefixes"),
+                  F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+                   .cast("long").alias("shared_docs"),
+                  F.expr("(1000000 * (sum(n) - count(*)))"
+                         " div greatest(sum(n), 1)").cast("long")
+                   .alias("hit_rate_ppm"))
+             .select(F.col("k").cast("long").alias("prefix_len"),
+                     "n_docs", "n_prefixes", "shared_docs",
+                     "hit_rate_ppm"))

@@ -1242,3 +1242,44 @@ def test_token_gini_known_distributions(spark, monkeypatch):
     assert r["n_docs"] == 7
     assert r["total_tokens"] == 33
     assert r["gini_ppm"] == gini_ppm([1, 1, 2, 3, 5, 8, 13])
+
+
+def test_preference_pairs_invariants(spark, sf_dir):
+    from hdfs_with_pyspark_spark.llm.text import (
+        RLHF_MIN_GAP_PPM,
+        RLHF_POOL,
+        rlhf_preference_pairs,
+    )
+    rows = rlhf_preference_pairs(spark, sf_dir).collect()
+    assert rows
+    per_stratum = {}
+    for r in rows:
+        assert r["gap_ppm"] >= RLHF_MIN_GAP_PPM
+        assert r["chosen_doc_id"] != r["rejected_doc_id"]
+        assert 1 <= r["rank"] <= RLHF_POOL
+        per_stratum.setdefault((r["source"], r["lang"]), set()).add(r["rank"])
+    # ranks are unique within a stratum -> at most POOL pairs each
+    assert all(len(v) <= RLHF_POOL for v in per_stratum.values())
+
+
+def test_prefix_cache_stats_monotone(spark, sf_dir):
+    # Longer prefixes can only shrink sharing; identities hold exactly.
+    from hdfs_with_pyspark_spark.llm.text import (
+        PREFIX_CACHE_LENS,
+        corpus_prefix_cache_stats,
+    )
+    rows = {r["prefix_len"]: r
+            for r in corpus_prefix_cache_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(PREFIX_CACHE_LENS)
+    prev = None
+    for k in sorted(rows):
+        r = rows[k]
+        assert r["n_prefixes"] <= r["n_docs"]
+        assert r["hit_rate_ppm"] == (1_000_000
+                                     * (r["n_docs"] - r["n_prefixes"])
+                                     ) // max(r["n_docs"], 1)
+        if prev is not None:
+            # eligible docs shrink with k; sharing cannot grow
+            assert r["shared_docs"] <= prev["shared_docs"] or \
+                r["n_docs"] < prev["n_docs"]
+        prev = r
