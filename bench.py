@@ -124,6 +124,8 @@ HEADLINE = [
     "corpus_token_gini",
     "rlhf_preference_pairs",
     "corpus_prefix_cache_stats",
+    "events_cep_pattern_match",
+    "corpus_sampling_temperature",
 ]
 
 

@@ -2331,3 +2331,72 @@ def corpus_prefix_cache_stats(spark: SparkSession,
              .select(F.col("k").cast("long").alias("prefix_len"),
                      "n_docs", "n_prefixes", "shared_docs",
                      "hit_rate_ppm"))
+
+
+# --------------------------------------------------------------------------
+# corpus_sampling_temperature — temperature-scaled source sampling
+# weights (the XLM-R / mC4 alpha-sampling table): for each alpha, the
+# per-source sampling probability p_i^alpha / sum_j p_j^alpha, where
+# p_i is the source's share of corpus tokens. Low alpha flattens the
+# distribution (up-samples small sources); alpha = 1 is proportional —
+# the ONE knob every multilingual/multi-source mixture schedule tunes,
+# published as an auditable table.
+#
+# Determinism: token counts are exact integers; p_i^alpha computes as
+# exp(alpha * ln(tokens) - alpha * ln(total)) — a fixed-order double
+# chain over exact integers — and weights snap to ppm only after the
+# normalizing sum of per-source SNAPPED numerators (so partial-agg
+# order cannot flip a bit).
+#
+# 100 TB shape: one groupBy(source) token aggregate; everything after
+# runs on the |sources| x |alphas| frame.
+# --------------------------------------------------------------------------
+SAMPLING_ALPHAS = (0.3, 0.7, 1.0)
+
+_SQL_ALPHAS = ", ".join(f"{a}::DOUBLE" for a in SAMPLING_ALPHAS)
+
+
+@register("corpus_sampling_temperature", oracle=f"""
+WITH s AS (
+  SELECT source, SUM(len({_sql_tokens()})) AS toks
+  FROM documents GROUP BY source),
+t AS (SELECT SUM(toks) AS total FROM s),
+num AS (
+  SELECT a.alpha, s.source, s.toks,
+         CAST(ROUND(exp(a.alpha * ln(CAST(s.toks AS DOUBLE))
+                        - a.alpha * ln(CAST(t.total AS DOUBLE)))
+                    * 1000000000) AS BIGINT) AS nu
+  FROM s, t, (SELECT UNNEST([{_SQL_ALPHAS}]) AS alpha) a
+  WHERE s.toks > 0),
+den AS (SELECT alpha, SUM(nu) AS d FROM num GROUP BY alpha)
+SELECT CAST(ROUND(n.alpha * 10) AS BIGINT) AS alpha_x10,
+       n.source,
+       CAST(n.toks AS BIGINT) AS tokens,
+       CAST((1000000 * n.nu) // GREATEST(d.d, 1) AS BIGINT) AS weight_ppm
+FROM num n JOIN den d USING (alpha)
+""")
+def corpus_sampling_temperature(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    s = (docs.select("source",
+                     F.size(tokens(F.col("text"))).cast("long").alias("tk"))
+             .groupBy("source").agg(F.sum("tk").alias("toks")))
+    t = s.agg(F.sum("toks").alias("total"))
+    alphas = F.array(*[F.lit(a) for a in SAMPLING_ALPHAS])
+    num = (s.crossJoin(F.broadcast(t))
+            .select("source", "toks", "total",
+                    F.explode(alphas).alias("alpha"))
+            .where(F.col("toks") > 0)
+            .withColumn("nu", F.round(
+                F.exp(F.col("alpha") * F.log(F.col("toks").cast("double"))
+                      - F.col("alpha") * F.log(F.col("total").cast("double")))
+                * F.lit(1e9)).cast("long")))
+    den = num.groupBy("alpha").agg(F.sum("nu").alias("d"))
+    return (num.join(F.broadcast(den), "alpha")
+               .select(F.round(F.col("alpha") * 10).cast("long")
+                        .alias("alpha_x10"),
+                       "source",
+                       F.col("toks").cast("long").alias("tokens"),
+                       F.expr("(1000000 * nu) div greatest(d, 1)")
+                        .cast("long").alias("weight_ppm")))

@@ -1641,3 +1641,74 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("cum_revenue_cents"),
                        F.expr("cum_cents div cohort_size").cast("long")
                         .alias("ltv_cents_per_user")))
+
+
+# --------------------------------------------------------------------------
+# events_cep_pattern_match — complex-event-processing pattern over the
+# per-user event sequence: a PURCHASE preceded by a VIEW within
+# CEP_WINDOW seconds with NO ERROR in between (MATCH_RECOGNIZE's
+# "A ... B within T, no C" shape, expressed as per-user running-state
+# windows instead of an NFA). The funnel query counts stage reach;
+# this emits the matched instances — the alerting/trigger primitive.
+#
+# Mechanics: one window partitioned by user ordered by (ts, event_id)
+# carries two running values — the latest VIEW time and the latest
+# ERROR time seen so far; a purchase matches iff its latest view is
+# within the window and no error is newer than that view. Every
+# comparison is on exact epoch-microsecond longs.
+#
+# 100 TB shape: ONE shuffle on user_id; the pattern is two running
+# max's over the same partitioning — no self-join, no per-event
+# backtracking. Event-time ties break on event_id in both engines.
+# --------------------------------------------------------------------------
+CEP_WINDOW_S = 3600
+
+
+@register("events_cep_pattern_match", oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS tu
+  FROM events),
+runs AS (
+  SELECT user_id, event_id, event_type, tu,
+         MAX(CASE WHEN event_type = 'view' THEN tu END)
+           OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view,
+         MAX(CASE WHEN event_type = 'error' THEN tu END)
+           OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_error
+  FROM e)
+SELECT user_id, event_id AS purchase_event_id,
+       CAST(tu - last_view AS BIGINT) AS gap_us
+FROM runs
+WHERE event_type = 'purchase'
+  AND last_view IS NOT NULL
+  AND tu - last_view <= {CEP_WINDOW_S}::BIGINT * 1000000
+  AND (last_error IS NULL OR last_error < last_view)
+""")
+def events_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("tu"))
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.col("tu").asc(), F.col("event_id").asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    runs = e.select(
+        "user_id", "event_id", "event_type", "tu",
+        F.max(F.when(F.col("event_type") == "view", F.col("tu")))
+         .over(w).alias("last_view"),
+        F.max(F.when(F.col("event_type") == "error", F.col("tu")))
+         .over(w).alias("last_error"))
+    return (runs.where((F.col("event_type") == "purchase")
+                       & F.col("last_view").isNotNull()
+                       & (F.col("tu") - F.col("last_view")
+                          <= CEP_WINDOW_S * 1_000_000)
+                       & (F.col("last_error").isNull()
+                          | (F.col("last_error") < F.col("last_view"))))
+                .select("user_id",
+                        F.col("event_id").alias("purchase_event_id"),
+                        (F.col("tu") - F.col("last_view")).cast("long")
+                         .alias("gap_us")))

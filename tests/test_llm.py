@@ -1283,3 +1283,26 @@ def test_prefix_cache_stats_monotone(spark, sf_dir):
             assert r["shared_docs"] <= prev["shared_docs"] or \
                 r["n_docs"] < prev["n_docs"]
         prev = r
+
+
+def test_sampling_temperature_flattens(spark, sf_dir):
+    # Weights per alpha sum to ~1e6; lower alpha compresses the spread
+    # (max/min ratio shrinks); alpha=1.0 is proportional to tokens.
+    from hdfs_with_pyspark_spark.llm.text import corpus_sampling_temperature
+    rows = corpus_sampling_temperature(spark, sf_dir).collect()
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha_x10"], []).append(r)
+    assert set(by_alpha) == {3, 7, 10}
+    spread = {}
+    for a, rs in by_alpha.items():
+        tot = sum(r["weight_ppm"] for r in rs)
+        assert abs(tot - 1_000_000) <= len(rs)  # floor-division slack
+        ws = [r["weight_ppm"] for r in rs]
+        spread[a] = max(ws) / max(min(ws), 1)
+    assert spread[3] <= spread[7] <= spread[10]
+    # alpha = 1.0 tracks token share
+    for r in by_alpha[10]:
+        total_tokens = sum(x["tokens"] for x in by_alpha[10])
+        expect = (1_000_000 * r["tokens"]) // total_tokens
+        assert abs(r["weight_ppm"] - expect) <= 2

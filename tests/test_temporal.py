@@ -300,3 +300,30 @@ def test_cohort_ltv_hand_case(spark, monkeypatch):
             out[0]["ltv_cents_per_user"]) == (1200, 1200, 600)
     assert (out[1]["revenue_cents"], out[1]["cum_revenue_cents"],
             out[1]["ltv_cents_per_user"]) == (500, 1700, 850)
+
+
+def test_cep_pattern_hand_sequence(spark, monkeypatch):
+    # user 1: view@0s -> purchase@100s        => match (gap 100s)
+    #         view@200s -> error@250s -> purchase@300s => NO match
+    #         error@400s -> view@500s -> purchase@600s => match (error
+    #         older than the view does not block)
+    # user 2: purchase with no prior view     => no match
+    # user 3: view -> purchase after window   => no match
+    from hdfs_with_pyspark_spark.plans import temporal as t
+    base = "2021-01-01 00:00:00"
+    rows = [
+        (1, 1, "view", 0), (2, 1, "purchase", 100),
+        (3, 1, "view", 200), (4, 1, "error", 250), (5, 1, "purchase", 300),
+        (6, 1, "error", 400), (7, 1, "view", 500), (8, 1, "purchase", 600),
+        (9, 2, "purchase", 50),
+        (10, 3, "view", 0), (11, 3, "purchase", 4000),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, off long"
+    ).selectExpr("event_id", "user_id", "event_type",
+                 f"CAST('{base}' AS TIMESTAMP) + make_interval(0,0,0,0,0,0,"
+                 "off) AS ts")
+    monkeypatch.setattr(t, "read_table", lambda s, d, n: ev)
+    out = {r["purchase_event_id"]: r["gap_us"]
+           for r in t.events_cep_pattern_match(spark, "x").collect()}
+    assert out == {2: 100_000_000, 8: 100_000_000}
