@@ -1157,3 +1157,22 @@ def test_delete_cascade_respects_fk(spark, sf_dir):
     real = li.join(del_orders, li["l_orderkey"] == del_orders["o_orderkey"],
                    "left_semi").count()
     assert rows["lineitem"]["n_deleted"] == real
+
+
+@pytest.mark.parametrize("name", [
+    "retrieval_eval_mrr", "maxsim_retrieval_topk",
+    "embedding_matryoshka_recall", "embedding_knn_label_eval"])
+def test_eval_queries_broadcast_query_side(spark, sf_dir, name):
+    # The bounded eval/query sample must BROADCAST against the corpus
+    # scan — a shuffle join here would re-partition the whole corpus
+    # for a ~100-row side.
+    plan = explain(spark, name, sf_dir)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan \
+        or "BroadcastHashJoin" in plan, name
+
+
+def test_link_prediction_topk_is_take_ordered(spark, sf_dir):
+    # The candidate ranking must plan as TakeOrderedAndProject, not a
+    # global sort of the scored-pair set.
+    plan = explain(spark, "channel_link_prediction", sf_dir)
+    assert "TakeOrderedAndProject" in plan

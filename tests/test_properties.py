@@ -438,3 +438,75 @@ def test_markov_transition_algebra_matches_model(spark, events):
         row_tot[a] += n
     want = {k: (n, (1000000 * n) // row_tot[k[0]]) for k, n in cnt.items()}
     assert got == want
+
+
+@SLOW
+@given(orders=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),      # customer
+              st.integers(min_value=0, max_value=60)),    # day offset
+    min_size=2, max_size=24))
+def test_survival_km_matches_python_model(spark, monkeypatch, orders):
+    """orders_survival_km == a direct Python Kaplan-Meier on the same
+    observation set (consecutive gaps = events, per-customer tail =
+    censored), including d==n absorption and the nano-unit snapping."""
+    import datetime
+    import math as m
+
+    from hdfs_with_pyspark_spark.plans import temporal as t
+    base = datetime.date(2021, 1, 1)
+    rows = [(k + 1, cust, (base + datetime.timedelta(days=off)).isoformat())
+            for k, (cust, off) in enumerate(orders)]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, d string").selectExpr(
+        "o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate")
+    monkeypatch.setattr(t, "read_table", lambda s, dd, n: o)
+    got = {r["t_days"]: (r["n_risk"], r["n_events"], r["survival_ppm"])
+           for r in t.orders_survival_km(spark, "x").collect()}
+
+    # python model
+    by_cust = {}
+    for cust, off in orders:
+        by_cust.setdefault(cust, []).append(off)
+    mx = max(off for _, off in orders)
+    obs = []                                   # (time, is_event)
+    for days in by_cust.values():
+        days.sort()
+        obs += [(b - a, 1) for a, b in zip(days, days[1:])]
+        obs.append((mx - days[-1], 0))
+    agg = {}
+    for tt, e in obs:
+        d, a = agg.get(tt, (0, 0))
+        agg[tt] = (d + e, a + 1)
+    total = len(obs)
+    removed, cln, dead = 0, 0, False
+    want = {}
+    for tt in sorted(agg):
+        d, a = agg[tt]
+        n_risk = total - removed
+        removed += a
+        if d == 0:
+            continue
+        if d >= n_risk:
+            dead = True
+        else:
+            cln += round(m.log(1.0 - d / n_risk) * 1e9)
+        s_ppm = 0 if dead else round(m.exp(cln / 1e9) * 1e6)
+        want[tt] = (n_risk, d, s_ppm)
+    assert got == want
+
+
+@SLOW
+@given(lengths=st.lists(st.integers(min_value=1, max_value=40),
+                        min_size=1, max_size=25))
+def test_token_gini_matches_python_model(spark, monkeypatch, lengths):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ln), "s", 1) for i, ln in enumerate(lengths)],
+        "doc_id long, text string, source string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.corpus_token_gini(spark, "x").collect()[0]
+    xs = sorted(lengths)
+    n, s = len(xs), sum(xs)
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    assert (r["n_docs"], r["total_tokens"]) == (n, s)
+    assert r["gini_ppm"] == (1_000_000 * (2 * t - (n + 1) * s)) // (n * s)
