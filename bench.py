@@ -126,6 +126,8 @@ HEADLINE = [
     "corpus_prefix_cache_stats",
     "events_cep_pattern_match",
     "corpus_sampling_temperature",
+    "text_code_detection",
+    "referential_integrity_audit",
 ]
 
 

@@ -2400,3 +2400,66 @@ def corpus_sampling_temperature(spark: SparkSession,
                        F.col("toks").cast("long").alias("tokens"),
                        F.expr("(1000000 * nu) div greatest(d, 1)")
                         .cast("long").alias("weight_ppm")))
+
+
+# --------------------------------------------------------------------------
+# text_code_detection — code-vs-prose routing signals per document: the
+# corpus router a mixed web+code training mix needs before tokenizer
+# and mixture decisions (code inflates structural-symbol density and
+# depresses stopword share; prose is the reverse). Three map-side
+# signals plus a composite verdict at fixed thresholds — the C4/Gopher
+# rule form, aimed at the code axis.
+#
+# Determinism: all counts are exact integers over the shared
+# tokenizers; ratios are ppm floor divisions; the verdict is a boolean
+# over those integers. 100 TB shape: pure map-side projection (the
+# corpus_quality_filter discipline) — zero shuffles.
+# --------------------------------------------------------------------------
+CODE_SYMBOL_RE = r"[{}();=<>\[\]]"
+CODE_SYMBOL_MIN_PPM = 20_000     # >= 2% structural-symbol chars
+CODE_STOPWORD_MAX_PPM = 40_000   # <= 4% stopword share
+
+
+@register("text_code_detection", oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         (1000000 * len(regexp_extract_all(text, '{CODE_SYMBOL_RE}')))
+           // GREATEST(n_chars, 1) AS symbol_ppm,
+         (1000000 * len(list_filter({_sql_tokens()},
+                          x -> list_contains({_SQL_STOP}, x))))
+           // GREATEST(len({_sql_tokens()}), 1) AS stopword_ppm,
+         (1000000 * len(regexp_extract_all(text, '[0-9]')))
+           // GREATEST(n_chars, 1) AS digit_ppm
+  FROM documents)
+SELECT doc_id,
+       CAST(symbol_ppm AS BIGINT) AS symbol_ppm,
+       CAST(stopword_ppm AS BIGINT) AS stopword_ppm,
+       CAST(digit_ppm AS BIGINT) AS digit_ppm,
+       (symbol_ppm >= {CODE_SYMBOL_MIN_PPM}
+        AND stopword_ppm <= {CODE_STOPWORD_MAX_PPM}) AS looks_like_code
+FROM sig
+""")
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
+    sig = docs.select(
+        "doc_id",
+        (F.size(F.regexp_extract_all("text", F.lit(CODE_SYMBOL_RE), 0))
+          .cast("long") * 1000000).alias("sym_n"),
+        (n_stop.cast("long") * 1000000).alias("stop_n"),
+        (F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+          .cast("long") * 1000000).alias("dig_n"),
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("chars"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("ntok"))
+    out = sig.select(
+        "doc_id",
+        F.expr("sym_n div chars").cast("long").alias("symbol_ppm"),
+        F.expr("stop_n div ntok").cast("long").alias("stopword_ppm"),
+        F.expr("dig_n div chars").cast("long").alias("digit_ppm"))
+    return out.withColumn(
+        "looks_like_code",
+        (F.col("symbol_ppm") >= CODE_SYMBOL_MIN_PPM)
+        & (F.col("stopword_ppm") <= CODE_STOPWORD_MAX_PPM))

@@ -435,3 +435,80 @@ def orders_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_custkey", "o_orderdate",
                     F.col("acctbal").alias("acctbal_asof"),
                     "feature_version"))
+
+
+# --------------------------------------------------------------------------
+# referential_integrity_audit — cross-table FK audit, the multi-table
+# companion to orders_integrity_checks' single-table rules: for each
+# declared foreign key, the child row count, orphan rows (no matching
+# parent), distinct orphan keys, and the orphan rate — the report a
+# warehouse publishes before anyone trusts a join.
+#
+# Shape: each arm is ONE left-anti join on the key pair (child side
+# projected to the key column only, parent side distinct keys — at
+# dim-sized parents the anti join broadcasts; at fact-sized parents it
+# stays a narrow key-only shuffle). Nothing row-wide ever moves.
+# Determinism: exact counts and ppm floor divisions.
+# --------------------------------------------------------------------------
+_FK_ARMS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ref_integrity_oracle() -> str:
+    arms = "\nUNION ALL\n".join(f"""
+SELECT '{name}' AS fk,
+       (SELECT COUNT(*) FROM {ct}) AS n_child,
+       (SELECT COUNT(*) FROM {ct}
+        WHERE {ck} IS NULL
+           OR {ck} NOT IN (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL))
+         AS n_orphans,
+       (SELECT COUNT(DISTINCT {ck}) FROM {ct}
+        WHERE {ck} IS NOT NULL
+          AND {ck} NOT IN (SELECT {pk} FROM {pt} WHERE {pk} IS NOT NULL))
+         AS n_orphan_keys
+""" for name, ct, ck, pt, pk in _FK_ARMS)
+    return f"""
+WITH arms AS ({arms})
+SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+       CAST((1000000 * n_orphans) // GREATEST(n_child, 1) AS BIGINT)
+         AS orphan_ppm
+FROM arms
+"""
+
+
+@register("referential_integrity_audit", oracle=_ref_integrity_oracle())
+def referential_integrity_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    out = None
+    for name, ct, ck, pt, pk in _FK_ARMS:
+        child = read_table(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        parent = (read_table(spark, sf_dir, pt)
+                  .select(F.col(pk).alias("k"))
+                  .where(F.col("k").isNotNull()).distinct())
+        n_child = child.agg(F.count("*").alias("n_child"))
+        orphans = (child.where(F.col("k").isNotNull())
+                        .join(parent, "k", "left_anti"))
+        null_k = child.where(F.col("k").isNull())
+        stats = (orphans.agg(F.count("*").alias("n_nonnull_orphans"),
+                             F.countDistinct("k").alias("n_orphan_keys"))
+                 .crossJoin(F.broadcast(
+                     null_k.agg(F.count("*").alias("n_null")))))
+        row = (n_child.crossJoin(F.broadcast(stats))
+               .select(F.lit(name).alias("fk"),
+                       F.col("n_child").cast("long").alias("n_child"),
+                       (F.col("n_nonnull_orphans") + F.col("n_null"))
+                        .cast("long").alias("n_orphans"),
+                       F.col("n_orphan_keys").cast("long")
+                        .alias("n_orphan_keys"),
+                       F.expr("(1000000 * (n_nonnull_orphans + n_null))"
+                              " div greatest(n_child, 1)")
+                        .cast("long").alias("orphan_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1306,3 +1306,19 @@ def test_sampling_temperature_flattens(spark, sf_dir):
         total_tokens = sum(x["tokens"] for x in by_alpha[10])
         expect = (1_000_000 * r["tokens"]) // total_tokens
         assert abs(r["weight_ppm"] - expect) <= 2
+
+
+def test_code_detection_hand_cases(spark, monkeypatch):
+    from hdfs_with_pyspark_spark.llm import text as tx
+    code = "def f(x): return {a: b[i] for i in y};"    # symbol-dense
+    prose = "the cat and the dog are in the house with a bird"
+    docs = spark.createDataFrame(
+        [(1, code, "en", len(code)), (2, prose, "en", len(prose))],
+        "doc_id long, text string, lang string, n_chars long")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    out = {r["doc_id"]: r for r in
+           tx.text_code_detection(spark, "x").collect()}
+    assert out[1]["looks_like_code"] is True
+    assert out[2]["looks_like_code"] is False
+    assert out[1]["symbol_ppm"] > out[2]["symbol_ppm"]
+    assert out[2]["stopword_ppm"] > out[1]["stopword_ppm"]

@@ -1176,3 +1176,31 @@ def test_link_prediction_topk_is_take_ordered(spark, sf_dir):
     # global sort of the scored-pair set.
     plan = explain(spark, "channel_link_prediction", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_referential_integrity_planted_orphans(spark, monkeypatch):
+    # Plant two orphans and a NULL key in a hand-built child table and
+    # confirm exact orphan accounting per arm.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hdfs_with_pyspark_spark.plans import maintenance as mt
+    parent = spark.createDataFrame([(1, 1), (2, 1)],
+                                   "o_orderkey long, o_custkey long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 99), (4, 98), (5, None)],
+        "rowid long, l_orderkey long")
+    tables = {"orders": parent, "lineitem": child,
+              "customer": spark.createDataFrame([(1, 1)],
+                                                "c_custkey long, "
+                                                "c_nationkey long"),
+              "nation": spark.createDataFrame([(1,)], "n_nationkey long"),
+              "supplier": spark.createDataFrame([(1, 1)],
+                                                "s_suppkey long, "
+                                                "s_nationkey long")}
+    monkeypatch.setattr(mt, "read_table", lambda s, d, n: tables[n])
+    rows = {r["fk"]: r
+            for r in mt.referential_integrity_audit(spark, "x").collect()}
+    li = rows["lineitem->orders"]
+    assert (li["n_child"], li["n_orphans"], li["n_orphan_keys"]) == (5, 3, 2)
+    assert li["orphan_ppm"] == (1_000_000 * 3) // 5
+    assert rows["customer->nation"]["n_orphans"] == 0
