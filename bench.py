@@ -179,14 +179,22 @@ def main() -> None:
         # amortized to nothing but at sf0.1 can dominate a 2-second query.
         "runs_per_query": runs,
     }
+    if only_set is not None:
+        # Subset run (A/B drift, local iteration): mark the filter in the
+        # stdout record and do NOT overwrite the durable full-run detail
+        # file — a partial total silently replacing BENCH_DETAIL.json would
+        # corrupt the per-query record the automated perf signal reads.
+        out["bench_only_filter"] = sorted(only_set)
     # Full per-query detail: one line + a durable file for the judge.
     print(json.dumps(out))
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump(out, f, indent=1)
-    except OSError:
-        pass
+    if only_set is None:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_DETAIL.json"), "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
     # VERDICT r5 item 1: the 76-query detail line overflowed the
     # driver's fixed tail-capture window, so BENCH_r05.json recorded
     # "parsed": null and the automated perf signal was lost. The LAST
@@ -194,7 +202,7 @@ def main() -> None:
     # window; the per-query dict lives in the line above and in
     # BENCH_DETAIL.json.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total",
         "value": out["value"],
         "unit": "sec",
@@ -203,7 +211,10 @@ def main() -> None:
         "runs_per_query": runs,
         "queries": slowest,
         "detail_file": "BENCH_DETAIL.json",
-    }))
+    }
+    if only_set is not None:
+        summary["bench_only_filter"] = sorted(only_set)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

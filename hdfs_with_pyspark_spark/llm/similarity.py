@@ -2696,10 +2696,15 @@ MRL_DIMS = (8, 16, 32)
 
 
 def _mrl_oracle() -> str:
+    # Zero-norm guard (ADVICE r6): a degenerate all-zero prefix would be
+    # NULL in Spark but inf/NaN under DuckDB's IEEE float division —
+    # both sides score it 0, mirroring maxsim_retrieval_topk's guard.
     def cos(p: int) -> str:
-        return (f"ROUND(list_dot_product(q.qv[1:{p}], a.v[1:{p}])"
-                f" / (sqrt(list_dot_product(q.qv[1:{p}], q.qv[1:{p}]))"
-                f" * sqrt(list_dot_product(a.v[1:{p}], a.v[1:{p}]))), 6)")
+        qn = f"sqrt(list_dot_product(q.qv[1:{p}], q.qv[1:{p}]))"
+        dn = f"sqrt(list_dot_product(a.v[1:{p}], a.v[1:{p}]))"
+        return (f"CASE WHEN {qn} * {dn} > 0 THEN"
+                f" ROUND(list_dot_product(q.qv[1:{p}], a.v[1:{p}])"
+                f" / ({qn} * {dn}), 6) ELSE 0 END")
     arms = "\n  UNION ALL ".join(
         f"SELECT q.qid, a.vec_id AS did, {p} AS p, {cos(p)} AS c "
         f"FROM v a CROSS JOIN q WHERE a.vec_id <> q.qid"
@@ -2746,9 +2751,10 @@ def embedding_matryoshka_recall(spark: SparkSession,
     corpus = with_prefix_norms(vecs, "v", "dn")
     arms = F.array(*[
         F.struct(F.lit(p).cast("long").alias("p"),
-                 F.round(F.expr(_sql_dot_cols("qv", "v", p))
-                         / (F.col(f"qn{p}") * F.col(f"dn{p}")), 6)
-                  .alias("c"))
+                 F.when(F.col(f"qn{p}") * F.col(f"dn{p}") > 0,
+                        F.round(F.expr(_sql_dot_cols("qv", "v", p))
+                                / (F.col(f"qn{p}") * F.col(f"dn{p}")), 6))
+                  .otherwise(F.lit(0.0)).alias("c"))
         for p in all_p])
     long_form = (F.broadcast(q)
                  .join(corpus, F.col("vec_id") != F.col("qid"))
@@ -2757,9 +2763,14 @@ def embedding_matryoshka_recall(spark: SparkSession,
                  .select("qid", "did", "a.p", "a.c"))
     w = Window.partitionBy("p", "qid").orderBy(F.col("c").desc(),
                                                F.col("did").asc())
+    # topk feeds BOTH the full_k and trunc branches; without a persist
+    # the broadcast corpus join + ranking windows execute twice per run
+    # (ADVICE r6). The frame is |prefixes| x Q x K rows — tiny.
     topk = (long_form.withColumn("rnk", F.row_number().over(w))
                      .where(F.col("rnk") <= TOP_K)
-                     .select("p", "qid", "did"))
+                     .select("p", "qid", "did")
+                     .persist())
+    _pin(spark, "embedding_matryoshka_recall", topk)
     full_k = (topk.where(F.col("p") == EMBED_DIM)
                   .select("qid", "did", F.lit(1).alias("hit")))
     trunc = topk.where(F.col("p") != EMBED_DIM)
@@ -2882,17 +2893,17 @@ def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no float accumulation order can flip a bit; the cosine is one
 # fixed-order double chain over exact integers, rounded to 6.
 #
-# 100 TB shape: posexplode is a map-side 64x fan-out feeding ONE
-# groupBy (label, half, dim) partial-aggregated sum; everything after
-# is |labels| x |dims| rows.
+# 100 TB shape: the dim enumeration is a map-side EMBED_DIM-x fan-out
+# feeding ONE groupBy (label, half, dim) partial-aggregated sum;
+# everything after is |labels| x |dims| rows.
 # --------------------------------------------------------------------------
-@register("embedding_centroid_drift", oracle="""
+@register("embedding_centroid_drift", oracle=f"""
 WITH e AS (
   SELECT label, vec_id % 2 AS half, u.d AS dim,
          CAST(ROUND(COALESCE(v[u.d], 0.0::DOUBLE) * 1000000000) AS BIGINT)
            AS xu
   FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       (SELECT UNNEST(generate_series(1, 64)) AS d) u),
+       (SELECT UNNEST(generate_series(1, {EMBED_DIM})) AS d) u),
 sums AS (
   SELECT label, half, dim, SUM(xu) AS su, COUNT(*) AS n
   FROM e GROUP BY label, half, dim),
@@ -2928,12 +2939,18 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(read_table(spark, sf_dir, "embeddings").select(
         "label", (F.col("vec_id") % 2).alias("half"),
         F.col("embedding").cast("array<double>").alias("v")))
-    expl = e.select(
-        "label", "half",
-        (F.posexplode(F.col("v"))).alias("pos", "x")).select(
-        "label", "half", (F.col("pos") + 1).alias("dim"),
-        F.round(F.coalesce(F.col("x"), F.lit(0.0)) * F.lit(1e9))
-         .cast("long").alias("xu"))
+    # Enumerate dims 1..EMBED_DIM explicitly (not posexplode of the
+    # actual array) so a short/ragged vector contributes the SAME
+    # coalesced-to-0 rows as the oracle's generate_series(1, EMBED_DIM)
+    # — both sides now derive the dim range from one constant
+    # (ADVICE r6). F.get is the ANSI-safe accessor (NULL out of range).
+    expl = (e.select("label", "half", "v",
+                     F.explode(F.sequence(F.lit(1), F.lit(EMBED_DIM)))
+                      .alias("dim"))
+             .select("label", "half", "dim",
+                     F.round(F.coalesce(F.get("v", F.col("dim") - 1),
+                                        F.lit(0.0)) * F.lit(1e9))
+                      .cast("long").alias("xu")))
     sums = (expl.groupBy("label", "half", "dim")
                 .agg(F.sum("xu").alias("su"), F.count("*").alias("n")))
     cents = sums.select(

@@ -2090,11 +2090,17 @@ def quality_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("source",
                   F.when(F.col("quality_score") >= DI_KEEP, 1)
                    .otherwise(0).alias("keep")))
+    # s feeds BOTH the max aggregate and the output join; without a
+    # persist the full doc scan + quality scoring runs twice per
+    # invocation (ADVICE r6). The frame is |sources| rows — tiny.
     s = (j.groupBy("source")
           .agg(F.count("*").alias("n_docs"),
                F.sum("keep").alias("n_keep"),
                F.expr("(1000000 * sum(keep)) div count(*)")
-                .alias("keep_rate_ppm")))
+                .alias("keep_rate_ppm"))
+          .persist())
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "quality_disparate_impact:src_agg", s)
     m = s.agg(F.max("keep_rate_ppm").alias("best"))
     return (s.crossJoin(F.broadcast(m))
              .select("source",

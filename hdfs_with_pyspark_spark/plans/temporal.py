@@ -1490,8 +1490,10 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines; counts are exact integers; the rates are integer-ppm
 # floor divisions; z is one fixed-order double chain over those exact
 # integers, rounded to milli-units. Degenerate splits (either arm
-# empty, or pooled rate 0/1 -> zero variance) yield NULL z, not an ANSI
-# divide error.
+# empty, or pooled rate 0/1 -> zero variance) yield NULL — the rates
+# and lift are guarded on their own arm counts (n_a > 0 / n_b > 0) and
+# z on both plus nonzero variance — so no path raises an ANSI divide
+# error, in Spark or in the DuckDB oracle.
 #
 # 100 TB shape: ONE groupBy(user) over the event log (map-side partial
 # on the conversion flag), then a 1-row conditional aggregate. Nothing
@@ -1512,10 +1514,13 @@ s AS (
   FROM u)
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-       CAST((1000000 * conv_a) // n_a AS BIGINT) AS rate_a_ppm,
-       CAST((1000000 * conv_b) // n_b AS BIGINT) AS rate_b_ppm,
-       CAST((1000000 * conv_b) // n_b
-            - (1000000 * conv_a) // n_a AS BIGINT) AS lift_ppm,
+       CAST(CASE WHEN n_a > 0
+                 THEN (1000000 * conv_a) // n_a END AS BIGINT) AS rate_a_ppm,
+       CAST(CASE WHEN n_b > 0
+                 THEN (1000000 * conv_b) // n_b END AS BIGINT) AS rate_b_ppm,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN (1000000 * conv_b) // n_b
+                      - (1000000 * conv_a) // n_a END AS BIGINT) AS lift_ppm,
        CASE WHEN n_a > 0 AND n_b > 0
                  AND conv_a + conv_b > 0
                  AND conv_a + conv_b < n_a + n_b THEN
@@ -1561,9 +1566,12 @@ def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_a").cast("long").alias("conv_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.col("conv_b").cast("long").alias("conv_b"),
-        F.expr("(1000000 * conv_a) div n_a").cast("long").alias("rate_a_ppm"),
-        F.expr("(1000000 * conv_b) div n_b").cast("long").alias("rate_b_ppm"),
-        F.expr("(1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a")
+        F.expr("CASE WHEN n_a > 0 THEN (1000000 * conv_a) div n_a END")
+         .cast("long").alias("rate_a_ppm"),
+        F.expr("CASE WHEN n_b > 0 THEN (1000000 * conv_b) div n_b END")
+         .cast("long").alias("rate_b_ppm"),
+        F.expr("CASE WHEN n_a > 0 AND n_b > 0 THEN "
+               "(1000000 * conv_b) div n_b - (1000000 * conv_a) div n_a END")
          .cast("long").alias("lift_ppm"),
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0)
                & (F.col("conv_a") + F.col("conv_b") > 0)
