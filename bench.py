@@ -128,6 +128,14 @@ HEADLINE = [
     "corpus_sampling_temperature",
     "text_code_detection",
     "referential_integrity_audit",
+    # round 7: sketch-accuracy, provenance, vocab/ordering/robustness
+    # audits, embedding-space health
+    "minhash_estimate_error_audit",
+    "dedup_cross_source_matrix",
+    "tokenizer_vocab_oov_audit",
+    "corpus_training_order_audit",
+    "quality_outlier_mad",
+    "embedding_anisotropy_audit",
 ]
 
 

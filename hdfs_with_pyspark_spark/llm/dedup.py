@@ -1224,3 +1224,181 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_deferred_oracle("leakage_safe_splits", _leakage_safe_splits_oracle)
+
+
+# --------------------------------------------------------------------------
+# minhash_estimate_error_audit — accuracy-of-the-sketch eval for the
+# MinHash path (the dedup analogue of ann_*_recall_eval's candidate-axis
+# measurements): for every banded candidate pair, the signature-estimated
+# Jaccard (fraction of the K=32 minhash positions that agree) against
+# the exact shingle Jaccard, both as integer ppm. The per-pair error is
+# what justifies K before a 100 TB run — theory says the estimate's
+# std dev is sqrt(J(1-J)/K) ~ 0.07 at J=0.8, and this query MEASURES it
+# on real candidates instead of asserting it.
+#
+# Determinism: minhash params are fixed module constants embedded
+# verbatim in the oracle (same candidate set by construction); match
+# counts and intersections are exact integers; both ppm values are
+# integer floor divisions.
+#
+# 100 TB shape: reuses dedup_minhash_lsh's exact pipeline (one shingle
+# shuffle, one signature aggregate, banded candidates); the match-count
+# join touches candidates x K signature columns (wide row, no explode)
+# and the exact-Jaccard verify is |candidates| x doc-length — never
+# corpus^2.
+# --------------------------------------------------------------------------
+MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
+
+
+@register("minhash_estimate_error_audit", oracle=f"""
+WITH {_sql_shingles()},
+params(j, a, b) AS (VALUES {_SQL_PARAMS}),
+mh AS (SELECT doc_id, j, MIN((a * h + b) % {MERSENNE31}) AS mh
+       FROM shh CROSS JOIN params GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // {MINHASH_ROWS} AS band,
+                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+          FROM mh GROUP BY doc_id, j // {MINHASH_ROWS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+est AS (SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_match
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+        GROUP BY 1, 2),
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (SELECT doc_a, doc_b, count(*) AS inter
+          FROM cand
+          JOIN shh a ON a.doc_id = doc_a
+          JOIN shh b ON b.doc_id = doc_b AND b.h = a.h
+          GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b,
+       CAST((1000000 * e.n_match) // {MINHASH_K} AS BIGINT) AS est_ppm,
+       CAST((1000000 * i.inter) // (na.n + nb.n - i.inter) AS BIGINT)
+         AS exact_ppm,
+       CAST(ABS((1000000 * e.n_match) // {MINHASH_K}
+                - (1000000 * i.inter) // (na.n + nb.n - i.inter))
+            AS BIGINT) AS abs_err_ppm
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN n na ON na.doc_id = e.doc_a
+JOIN n nb ON nb.doc_id = e.doc_b
+""")
+def minhash_estimate_error_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    # Same persist discipline as dedup_minhash_lsh: shh feeds the
+    # signature aggregate and both sides of the exact verify; sig feeds
+    # the band self-join and both sides of the match-count join.
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    sig = shh.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
+           .alias(f"mh{j}")
+          for j, (a, b) in enumerate(MINHASH_PARAMS)]).persist()
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh{i * MINHASH_ROWS + r}")
+                                .cast("string")
+                               for r in range(MINHASH_ROWS)]).alias("bkey"))
+        for i in range(MINHASH_BANDS)]
+    bands = (sig.select("doc_id",
+                        F.explode(F.array(*band_structs)).alias("b"))
+                .select("doc_id", "b.band", "b.bkey"))
+    cand = (bands.alias("x")
+                 .join(bands.alias("y"),
+                       (F.col("x.band") == F.col("y.band"))
+                       & (F.col("x.bkey") == F.col("y.bkey"))
+                       & (F.col("x.doc_id") < F.col("y.doc_id")))
+                 .select(F.col("x.doc_id").alias("doc_a"),
+                         F.col("y.doc_id").alias("doc_b"))
+                 .distinct())
+    # Signature match count over the WIDE sig row (no j-explode): one
+    # codegen'd sum of K equality terms per candidate pair.
+    a_sig = sig.select(F.col("doc_id").alias("doc_a"),
+                       *[F.col(f"mh{j}").alias(f"a{j}")
+                         for j in range(MINHASH_K)])
+    b_sig = sig.select(F.col("doc_id").alias("doc_b"),
+                       *[F.col(f"mh{j}").alias(f"b{j}")
+                         for j in range(MINHASH_K)])
+    n_match = None
+    for j in range(MINHASH_K):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    est = (cand.join(a_sig, "doc_a").join(b_sig, "doc_b")
+               .select("doc_a", "doc_b", n_match.alias("n_match")))
+    # Exact intersection/union in INTEGERS (not _verified_jaccard's
+    # double ratio): both ppm values must be exact floor divisions so
+    # the error column is bit-identical to the oracle's.
+    counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = shh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (cand.join(sa, "doc_a")
+                 .join(sb, ["doc_b", "h"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("inter")))
+    est_ppm = F.expr(f"(1000000 * n_match) div {MINHASH_K}")
+    exact_ppm = F.expr("(1000000 * inter) div (na + nb - inter)")
+    return (est.join(inter, ["doc_a", "doc_b"])
+               .join(counts.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("n").alias("na")), "doc_a")
+               .join(counts.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("n").alias("nb")), "doc_b")
+               .select("doc_a", "doc_b",
+                       est_ppm.cast("long").alias("est_ppm"),
+                       exact_ppm.cast("long").alias("exact_ppm"),
+                       F.abs(est_ppm - exact_ppm).cast("long")
+                        .alias("abs_err_ppm")))
+
+
+# --------------------------------------------------------------------------
+# dedup_cross_source_matrix — duplicate-flow provenance: for every pair
+# of sources (diagonal included), how many near-dup clusters contain
+# docs from BOTH — the curation-governance readout that tells a data
+# lead which feeds mirror which (the CommonCrawl-vs-C4-overlap
+# question) before deciding what to drop, and the diagonal shows each
+# source's internal templating. Composes the registered
+# dedup_components, so the matrix itself is oracle-proven end to end.
+#
+# 100 TB shape: the component frame holds clustered docs only; the
+# distinct (component, source) frame is strictly smaller; the self-join
+# keys on component_id and is bounded by sources-per-cluster^2 per
+# cluster (sources number in the dozens, not millions). Nothing here
+# re-touches the corpus.
+# --------------------------------------------------------------------------
+def _cross_source_matrix_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH comp AS ({ORACLES["dedup_components"]}),
+cs AS (SELECT DISTINCT c.component_id, d.source
+       FROM comp c JOIN documents d USING (doc_id))
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_clusters
+FROM cs a JOIN cs b
+  ON a.component_id = b.component_id AND a.source <= b.source
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_cross_source_matrix", oracle=None)  # composed below
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (comp.join(src, "doc_id")
+              .select("component_id", "source")
+              .distinct()
+              .persist())
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "dedup_cross_source_matrix:cs", cs)
+    a = cs.select("component_id", F.col("source").alias("source_a"))
+    b = cs.select("component_id", F.col("source").alias("source_b"))
+    return (a.join(b, "component_id")
+             .where(F.col("source_a") <= F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").cast("long").alias("n_shared_clusters")))
+
+
+register_deferred_oracle("dedup_cross_source_matrix",
+                         _cross_source_matrix_oracle)

@@ -2979,3 +2979,76 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("centroid_cos"))
                  .select(F.col("label").cast("long").alias("label"),
                          "n_a", "n_b", "centroid_cos"))
+
+
+# --------------------------------------------------------------------------
+# embedding_anisotropy_audit — the corpus-level embedding-space health
+# check: anisotropy = ||mean vector||^2 / E[||x||^2], the expected
+# cosine between two random corpus vectors. A healthy embedding space
+# sits near 0; a collapsed one (the "representation degeneration"
+# failure mode that silently ruins cosine retrieval and SemDedup alike)
+# drifts toward 1. Complements embedding_top_pc (direction of the bias)
+# with the magnitude a monitoring dashboard thresholds on.
+#
+# Determinism: per-element values snap to integer 1e-4 units map-side;
+# the per-dim sums accumulate in decimal(38,0) (DuckDB: HUGEINT) so no
+# int64 ceiling at corpus scale and no float order-dependence; the
+# per-dim mean/second-moment terms are single fixed-order double
+# expressions snapped back to integers before the final sum.
+#
+# 100 TB shape: one explicit 1..EMBED_DIM enumeration (map-side
+# fan-out, same pattern as embedding_centroid_drift) feeding ONE
+# groupBy(dim) partial-aggregated sum; everything after is EMBED_DIM
+# rows. No window, no join, no second corpus pass.
+# --------------------------------------------------------------------------
+@register("embedding_anisotropy_audit", oracle=f"""
+WITH e AS (
+  SELECT u.d AS dim,
+         CAST(ROUND(COALESCE(v[u.d], 0.0::DOUBLE) * 10000) AS BIGINT) AS xu
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       (SELECT UNNEST(generate_series(1, {EMBED_DIM})) AS d) u),
+s AS (SELECT dim, SUM(xu) AS su, SUM(xu * xu) AS s2u, COUNT(*) AS n
+      FROM e GROUP BY dim),
+t AS (SELECT dim, n,
+             CAST(ROUND((CAST(su AS DOUBLE) / 10000 / n)
+                        * (CAST(su AS DOUBLE) / 10000 / n)
+                        * 1000000000000.0::DOUBLE) AS BIGINT) AS mu2_u,
+             CAST(ROUND(CAST(s2u AS DOUBLE) * 10000 / n) AS BIGINT) AS ex2_u
+      FROM s)
+SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+       CAST(SUM(mu2_u) AS BIGINT) AS mu_norm2_u,
+       CAST(SUM(ex2_u) AS BIGINT) AS mean_norm2_u,
+       CAST((1000000 * SUM(mu2_u)) // GREATEST(SUM(ex2_u), 1) AS BIGINT)
+         AS anisotropy_ppm
+FROM t
+""")
+def embedding_anisotropy_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.textops import spread
+    e = spread(read_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")))
+    expl = (e.select("v",
+                     F.explode(F.sequence(F.lit(1), F.lit(EMBED_DIM)))
+                      .alias("dim"))
+             .select("dim",
+                     F.round(F.coalesce(F.get("v", F.col("dim") - 1),
+                                        F.lit(0.0)) * 10000)
+                      .cast("long").alias("xu")))
+    s = expl.groupBy("dim").agg(
+        F.sum(F.col("xu").cast("decimal(38,0)")).alias("su"),
+        F.sum((F.col("xu") * F.col("xu")).cast("decimal(38,0)"))
+         .alias("s2u"),
+        F.count("*").alias("n"))
+    mu = F.col("su").cast("double") / F.lit(10000.0) / F.col("n")
+    t = s.select(
+        "n",
+        F.round(mu * mu * F.lit(1e12)).cast("long").alias("mu2_u"),
+        F.round(F.col("s2u").cast("double") * F.lit(10000.0) / F.col("n"))
+         .cast("long").alias("ex2_u"))
+    return t.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum("mu2_u").cast("long").alias("mu_norm2_u"),
+        F.sum("ex2_u").cast("long").alias("mean_norm2_u"),
+        F.expr("(1000000 * sum(mu2_u)) div greatest(sum(ex2_u), 1)")
+         .cast("long").alias("anisotropy_ppm"))

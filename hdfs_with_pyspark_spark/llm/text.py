@@ -2469,3 +2469,237 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "looks_like_code",
         (F.col("symbol_ppm") >= CODE_SYMBOL_MIN_PPM)
         & (F.col("stopword_ppm") <= CODE_STOPWORD_MAX_PPM))
+
+
+# --------------------------------------------------------------------------
+# tokenizer_vocab_oov_audit — fixed-vocabulary coverage per source: the
+# vocab is the corpus's top VOCAB_TOP_N whitespace tokens by total
+# frequency (tie-break token ASC), and the audit reports each source's
+# out-of-vocabulary token rate. The readout that predicts tokenizer
+# fertility blowup on a new source BEFORE a training run — a source
+# whose OOV ppm spikes (code, non-Latin scripts, boilerplate markup)
+# will fragment into many subword pieces per word.
+#
+# Determinism: counts are exact integers; the vocab boundary is a total
+# order (count DESC, token ASC); the rate is a ppm floor division.
+#
+# 100 TB shape: ONE corpus shuffle builds the (source, token) partial
+# counts; the global token counts REUSE that frame (re-aggregate of the
+# already-reduced counts, not a second corpus pass); the vocab is a
+# TakeOrderedAndProject top-N (never a global-window rank) broadcast
+# back against the counts frame.
+# --------------------------------------------------------------------------
+VOCAB_TOP_N = 256
+
+
+@register("tokenizer_vocab_oov_audit", oracle=f"""
+WITH d AS (SELECT source, unnest({_sql_tokens()}) AS tok FROM documents),
+st AS (SELECT source, tok, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+tc AS (SELECT tok, SUM(cnt) AS c FROM st GROUP BY tok),
+vocab AS (SELECT tok FROM tc ORDER BY c DESC, tok ASC LIMIT {VOCAB_TOP_N})
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_types,
+       CAST((1000000 * SUM(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END))
+            // SUM(cnt) AS BIGINT) AS oov_ppm
+FROM st LEFT JOIN vocab v USING (tok)
+GROUP BY source
+""")
+def tokenizer_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = spread(read_table(spark, sf_dir, "documents")
+                  .select("source", "text"))
+    # st feeds BOTH the vocab derivation and the OOV join — persist the
+    # already-reduced (source, token) counts, never the token explode.
+    st = (docs.select("source", F.explode(tokens(F.col("text")))
+                                 .alias("tok"))
+              .groupBy("source", "tok")
+              .agg(F.count("*").alias("cnt"))
+              .persist())
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "tokenizer_vocab_oov_audit:st", st)
+    vocab = (st.groupBy("tok").agg(F.sum("cnt").alias("c"))
+               .orderBy(F.col("c").desc(), F.col("tok").asc())
+               .limit(VOCAB_TOP_N)
+               .select("tok", F.lit(1).alias("in_vocab")))
+    oov_cnt = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
+    oov_type = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (st.join(F.broadcast(vocab), "tok", "left")
+              .groupBy("source")
+              .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                   F.sum(oov_cnt).cast("long").alias("n_oov"),
+                   F.sum(oov_type).cast("long").alias("n_oov_types"),
+                   F.expr("(1000000 * sum(CASE WHEN in_vocab IS NULL"
+                          " THEN cnt ELSE 0 END)) div sum(cnt)")
+                    .cast("long").alias("oov_ppm")))
+
+
+# --------------------------------------------------------------------------
+# corpus_training_order_audit — interleave quality of the deterministic
+# training order: docs are ordered by md5('order:'||doc_id) within
+# ORDER_SHARDS hash shards (exactly the layout a multi-rank data loader
+# consumes — each rank streams its own shard sequentially), and the
+# audit reports, per source, the run-length statistics of consecutive
+# same-source docs. Long same-source runs are the gradient-correlation
+# failure mode a global shuffle is supposed to prevent; this query
+# PROVES the shuffle mixed the sources instead of assuming the hash did
+# its job.
+#
+# Determinism: the order key is the 60-bit md5 bigint (ties broken by
+# doc_id); runs come from the gaps-and-islands double row_number.
+#
+# 100 TB shape: the windows partition by shard — at real scale
+# ORDER_SHARDS is the trainer's data-loader rank count (thousands), so
+# each shard is one task-sized stream, which is ALSO the object under
+# audit (per-rank arrival order), not an approximation of it.
+# --------------------------------------------------------------------------
+ORDER_SHARDS = 8
+
+
+@register("corpus_training_order_audit", oracle=f"""
+WITH o AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS k
+  FROM documents),
+s AS (SELECT doc_id, source, k % {ORDER_SHARDS} AS shard, k FROM o),
+r AS (SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY k, doc_id) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY shard, source
+                            ORDER BY k, doc_id) AS spos
+      FROM s),
+runs AS (SELECT shard, source, pos - spos AS island, COUNT(*) AS run_len
+         FROM r GROUP BY 1, 2, 3)
+SELECT source,
+       CAST(SUM(run_len) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+       CAST((1000000 * SUM(run_len)) // COUNT(*) AS BIGINT)
+         AS mean_run_len_ppm
+FROM runs GROUP BY source
+""")
+def corpus_training_order_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    k = hash64(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
+    s = docs.select("doc_id", "source", k.alias("k"),
+                    (k % ORDER_SHARDS).alias("shard"))
+    w_pos = Window.partitionBy("shard").orderBy("k", "doc_id")
+    w_spos = Window.partitionBy("shard", "source").orderBy("k", "doc_id")
+    r = s.select("shard", "source",
+                 F.row_number().over(w_pos).alias("pos"),
+                 F.row_number().over(w_spos).alias("spos"))
+    runs = (r.groupBy("shard", "source",
+                      (F.col("pos") - F.col("spos")).alias("island"))
+             .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("source")
+                .agg(F.sum("run_len").cast("long").alias("n_docs"),
+                     F.count("*").cast("long").alias("n_runs"),
+                     F.max("run_len").cast("long").alias("max_run_len"),
+                     F.expr("(1000000 * sum(run_len)) div count(*)")
+                      .cast("long").alias("mean_run_len_ppm")))
+
+
+# --------------------------------------------------------------------------
+# quality_outlier_mad — robust per-source outlier detection on the
+# quality score: median and MAD (median absolute deviation) per source,
+# flagging docs whose deviation exceeds 3 x MAD — the scoring-pipeline
+# sanity monitor that catches a broken scorer (or a poisoned feed)
+# without the mean/stddev fragility that the outliers themselves
+# destroy.
+#
+# Exact-at-scale trick (same as corpus_token_gini): the score rounds to
+# 4 dp, so qu = round(score*10000) takes at most 10001 distinct values
+# — both medians come from cumulative windows over the per-source VALUE
+# HISTOGRAM (<= 10001 rows per source), never a row-scale sort. The
+# median rule is "smallest value whose cumulative frequency reaches
+# ceil(n/2)" (the lower median) — rank-free, tie-free, exact.
+#
+# Determinism: histogram counts are exact integers; both medians are
+# integer-valued by the rule above; the outlier test is an integer
+# comparison (when MAD = 0 any nonzero deviation flags, by convention).
+# --------------------------------------------------------------------------
+def _quality_outlier_mad_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (SELECT d.source, CAST(ROUND(q.quality_score * 10000) AS BIGINT) AS qu
+      FROM q JOIN documents d USING (doc_id)),
+h AS (SELECT source, qu, COUNT(*) AS f FROM j GROUP BY 1, 2),
+st AS (SELECT source, SUM(f) AS n FROM h GROUP BY source),
+c AS (SELECT source, qu, f,
+             SUM(f) OVER (PARTITION BY source ORDER BY qu) AS cum
+      FROM h),
+med AS (SELECT c.source, MIN(c.qu) AS med_qu
+        FROM c JOIN st USING (source)
+        WHERE c.cum >= (st.n + 1) // 2 GROUP BY c.source),
+a AS (SELECT h.source, ABS(h.qu - m.med_qu) AS ad, SUM(h.f) AS f
+      FROM h JOIN med m USING (source) GROUP BY 1, 2),
+ca AS (SELECT source, ad, f,
+              SUM(f) OVER (PARTITION BY source ORDER BY ad) AS cum
+       FROM a),
+mad AS (SELECT ca.source, MIN(ca.ad) AS mad_qu
+        FROM ca JOIN st USING (source)
+        WHERE ca.cum >= (st.n + 1) // 2 GROUP BY ca.source)
+SELECT h.source,
+       CAST(MAX(st.n) AS BIGINT) AS n_docs,
+       CAST(MAX(m.med_qu) AS BIGINT) AS median_qu,
+       CAST(MAX(d.mad_qu) AS BIGINT) AS mad_qu,
+       CAST(SUM(CASE WHEN ABS(h.qu - m.med_qu) > 3 * d.mad_qu
+                     THEN h.f ELSE 0 END) AS BIGINT) AS n_outliers
+FROM h JOIN med m USING (source) JOIN mad d USING (source)
+       JOIN st USING (source)
+GROUP BY h.source
+"""
+
+
+@register("quality_outlier_mad", oracle=None)  # composed below
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (q.join(docs, "doc_id")
+          .select("source", F.round(F.col("quality_score") * 10000)
+                             .cast("long").alias("qu")))
+    # h is the whole downstream working set (median, MAD, outlier scan
+    # all read it) — persist the <= |sources| x 10001-row histogram,
+    # never the doc-level frame.
+    h = j.groupBy("source", "qu").agg(F.count("*").alias("f")).persist()
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "quality_outlier_mad:hist", h)
+    st = h.groupBy("source").agg(F.sum("f").alias("n"))
+    w_c = (Window.partitionBy("source").orderBy("qu")
+                 .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    c = h.withColumn("cum", F.sum("f").over(w_c))
+    med = (c.join(F.broadcast(st), "source")
+            .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("source").agg(F.min("qu").alias("med_qu")))
+    a = (h.join(F.broadcast(med), "source")
+          .groupBy("source", F.abs(F.col("qu") - F.col("med_qu"))
+                              .alias("ad"))
+          .agg(F.sum("f").alias("f")))
+    w_ca = (Window.partitionBy("source").orderBy("ad")
+                  .rangeBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    ca = a.withColumn("cum", F.sum("f").over(w_ca))
+    mad = (ca.join(F.broadcast(st), "source")
+             .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+             .groupBy("source").agg(F.min("ad").alias("mad_qu")))
+    return (h.join(F.broadcast(med), "source")
+             .join(F.broadcast(mad), "source")
+             .join(F.broadcast(st), "source")
+             .groupBy("source")
+             .agg(F.max("n").cast("long").alias("n_docs"),
+                  F.max("med_qu").cast("long").alias("median_qu"),
+                  F.max("mad_qu").cast("long").alias("mad_qu"),
+                  F.sum(F.when(F.abs(F.col("qu") - F.col("med_qu"))
+                               > 3 * F.col("mad_qu"), F.col("f"))
+                         .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+_reg_deferred("quality_outlier_mad", _quality_outlier_mad_oracle)

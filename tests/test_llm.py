@@ -1322,3 +1322,125 @@ def test_code_detection_hand_cases(spark, monkeypatch):
     assert out[2]["looks_like_code"] is False
     assert out[1]["symbol_ppm"] > out[2]["symbol_ppm"]
     assert out[2]["stopword_ppm"] > out[1]["stopword_ppm"]
+
+
+# ------------------------------------------------- round-7 audit queries
+
+def test_minhash_estimate_error_invariants(spark, sf_dir):
+    """Estimate and exact ppm live in [0, 1e6]; every verified LSH
+    near-dup pair (jaccard >= threshold) appears among the audited
+    candidates; an exact-duplicate pair must estimate exactly 1e6
+    (identical shingle sets -> identical signatures)."""
+    out = dd.minhash_estimate_error_audit(spark, sf_dir).persist()
+    rows = out.collect()
+    assert rows, "banded candidates must exist on testdata"
+    for r in rows:
+        assert 0 <= r.est_ppm <= 1_000_000
+        assert 0 < r.exact_ppm <= 1_000_000
+        assert r.abs_err_ppm == abs(r.est_ppm - r.exact_ppm)
+    lsh = dd.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    missing = lsh.join(out, ["doc_a", "doc_b"], "left_anti").count()
+    assert missing == 0
+    exact_dups = [r for r in rows if r.exact_ppm == 1_000_000]
+    for r in exact_dups:
+        assert r.est_ppm == 1_000_000
+    out.unpersist()
+
+
+def test_cross_source_matrix_bounds(spark, sf_dir):
+    """Off-diagonal shared-cluster counts are bounded by each side's
+    diagonal count (a cluster containing both sources contains each),
+    and pairs are emitted in canonical source_a <= source_b form."""
+    out = dd.dedup_cross_source_matrix(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    diag = {r.source_a: r.n_shared_clusters
+            for r in rows if r.source_a == r.source_b}
+    for r in rows:
+        assert r.source_a <= r.source_b
+        if r.source_a != r.source_b:
+            assert r.n_shared_clusters <= diag.get(r.source_a, 0)
+            assert r.n_shared_clusters <= diag.get(r.source_b, 0)
+
+
+def test_vocab_oov_audit_conservation(spark, sf_dir):
+    """Per-source token totals must equal the corpus token count
+    (conservation across the vocab join), and a vocab covering every
+    distinct token would leave zero OOV -> oov_ppm strictly below 1e6
+    whenever any vocab token occurs in the source."""
+    from hdfs_with_pyspark_spark.llm import text as tx
+    out = tx.tokenizer_vocab_oov_audit(spark, sf_dir).collect()
+    assert out
+    total = sum(r.n_tokens for r in out)
+    truth = (tx.text_token_stats(spark, sf_dir)
+               .agg(F.sum("n_ws_tokens")).first()[0])
+    assert total == truth
+    for r in out:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_ppm == (1_000_000 * r.n_oov) // r.n_tokens
+
+
+def test_training_order_audit_conservation(spark, sf_dir):
+    """Run-length accounting: per-source doc counts across runs must
+    sum to the corpus size, runs are nonempty, and the ppm mean is the
+    exact floor division of the recomputed totals."""
+    from hdfs_with_pyspark_spark.llm import text as tx
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    out = tx.corpus_training_order_audit(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    for r in out:
+        assert 1 <= r.n_runs <= r.n_docs
+        assert 1 <= r.max_run_len <= r.n_docs
+        assert r.mean_run_len_ppm == (1_000_000 * r.n_docs) // r.n_runs
+
+
+def test_quality_outlier_mad_hand_case(spark, sf_dir, monkeypatch):
+    """Known histogram: scores 0.1 x4 and 0.9 x1 in one source.
+    n=5 -> lower median at rank 3 = 1000; deviations {0 x4, 8000 x1}
+    -> MAD at rank 3 = 0; the single 8000 deviation exceeds 3*0 and is
+    the only outlier."""
+    from hdfs_with_pyspark_spark.llm import text as tx
+    docs = spark.createDataFrame(
+        [(i, "s1", "en", t) for i, t in enumerate(
+            ["a a", "b b", "c c", "d d",
+             # 50+ distinct tokens -> distinct_ratio 1, len/100 -> 0.9ish
+             " ".join(f"w{k}" for k in range(80))])],
+        "doc_id long, source string, lang string, text string")
+    # quality_score = min(len/100,1)*0.5 + distinct_ratio*0.5:
+    # two-token docs ("a a"): 0.02*0.5 + 0.5*0.5 = 0.26 -> qu 2600
+    # the 80-token doc: 0.8*0.5 + 1.0*0.5 = 0.9   -> qu 9000
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    out = {r.source: r for r in
+           tx.quality_outlier_mad(spark, sf_dir).collect()}
+    r = out["s1"]
+    assert r.n_docs == 5
+    assert r.median_qu == 2600
+    assert r.mad_qu == 0
+    assert r.n_outliers == 1
+
+
+def test_anisotropy_known_vectors(spark, monkeypatch):
+    """Two antipodal unit vectors -> zero mean -> anisotropy 0; two
+    identical unit vectors -> anisotropy 1e6 (ppm)."""
+    from hdfs_with_pyspark_spark.llm import similarity as s2
+    dim = s2.EMBED_DIM
+
+    def frame(vecs):
+        return spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>, label long")
+
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e1neg = [-1.0] + [0.0] * (dim - 1)
+    monkeypatch.setattr(s2, "read_table",
+                        lambda s, d, n: frame([e1, e1neg]))
+    r = s2.embedding_anisotropy_audit(spark, "ignored").first()
+    assert r.n_vectors == 2
+    assert r.mu_norm2_u == 0
+    assert r.anisotropy_ppm == 0
+
+    monkeypatch.setattr(s2, "read_table",
+                        lambda s, d, n: frame([e1, e1]))
+    r = s2.embedding_anisotropy_audit(spark, "ignored").first()
+    assert r.anisotropy_ppm == 1_000_000
