@@ -136,6 +136,10 @@ HEADLINE = [
     "corpus_training_order_audit",
     "quality_outlier_mad",
     "embedding_anisotropy_audit",
+    "dedup_threshold_sweep",
+    "supplier_concentration_hhi",
+    "events_power_analysis",
+    "channel_modularity_audit",
 ]
 
 

@@ -1402,3 +1402,109 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_deferred_oracle("dedup_cross_source_matrix",
                          _cross_source_matrix_oracle)
+
+
+# --------------------------------------------------------------------------
+# dedup_threshold_sweep — the threshold tuning curve: for each candidate
+# Jaccard cutoff, how many banded near-dup pairs survive and how many
+# docs would be dropped under the min-id-survivor rule. ONE candidate
+# generation + ONE exact verify feeds every threshold (the sweep is a
+# conditional aggregate over the verified pair set), so choosing a
+# cutoff costs the same as evaluating one — the decision-support query a
+# data lead runs before committing a 100 TB dedup pass to a number.
+#
+# Determinism: thresholds are fixed ppm integers; the verified Jaccard
+# compares as an exact integer ppm floor division; zero-pair thresholds
+# keep their row (conditional aggregate, not filter-then-group).
+#
+# 100 TB shape: identical to dedup_minhash_lsh up through the verify;
+# the sweep itself touches |candidates| x |thresholds| conditional
+# terms map-side and aggregates to |thresholds| rows.
+# --------------------------------------------------------------------------
+SWEEP_THRESHOLDS_PPM = (500000, 600000, 700000, 800000, 900000, 950000)
+
+_SQL_SWEEP_T = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS_PPM)
+
+
+@register("dedup_threshold_sweep", oracle=f"""
+WITH {_sql_shingles()},
+params(j, a, b) AS (VALUES {_SQL_PARAMS}),
+mh AS (SELECT doc_id, j, MIN((a * h + b) % {MERSENNE31}) AS mh
+       FROM shh CROSS JOIN params GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // {MINHASH_ROWS} AS band,
+                 string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+          FROM mh GROUP BY doc_id, j // {MINHASH_ROWS}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+n AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+jac AS (SELECT c.doc_a, c.doc_b,
+               (1000000 * i.inter) // (na.n + nb.n - i.inter) AS j_ppm
+        FROM cand c
+        JOIN (SELECT doc_a, doc_b, count(*) AS inter
+              FROM cand
+              JOIN shh a ON a.doc_id = doc_a
+              JOIN shh b ON b.doc_id = doc_b AND b.h = a.h
+              GROUP BY 1, 2) i
+          ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN n na ON na.doc_id = c.doc_a
+        JOIN n nb ON nb.doc_id = c.doc_b),
+thr(threshold_ppm) AS (VALUES {_SQL_SWEEP_T})
+SELECT CAST(thr.threshold_ppm AS BIGINT) AS threshold_ppm,
+       CAST(SUM(CASE WHEN j.j_ppm >= thr.threshold_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN j.j_ppm >= thr.threshold_ppm
+                                THEN j.doc_b END) AS BIGINT) AS n_dup_docs
+FROM thr CROSS JOIN jac j
+GROUP BY thr.threshold_ppm
+""")
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    sig = shh.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
+           .alias(f"mh{j}")
+          for j, (a, b) in enumerate(MINHASH_PARAMS)])
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh{i * MINHASH_ROWS + r}")
+                                .cast("string")
+                               for r in range(MINHASH_ROWS)]).alias("bkey"))
+        for i in range(MINHASH_BANDS)]
+    bands = (sig.select("doc_id",
+                        F.explode(F.array(*band_structs)).alias("b"))
+                .select("doc_id", "b.band", "b.bkey")
+                .persist())
+    cand = (bands.alias("x")
+                 .join(bands.alias("y"),
+                       (F.col("x.band") == F.col("y.band"))
+                       & (F.col("x.bkey") == F.col("y.bkey"))
+                       & (F.col("x.doc_id") < F.col("y.doc_id")))
+                 .select(F.col("x.doc_id").alias("doc_a"),
+                         F.col("y.doc_id").alias("doc_b"))
+                 .distinct())
+    counts = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = shh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (cand.join(sa, "doc_a")
+                 .join(sb, ["doc_b", "h"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("inter")))
+    jac = (inter
+           .join(counts.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+           .join(counts.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+           .select("doc_a", "doc_b",
+                   F.expr("(1000000 * inter) div (na + nb - inter)")
+                    .alias("j_ppm")))
+    t = spark.createDataFrame([(t,) for t in SWEEP_THRESHOLDS_PPM],
+                              "threshold_ppm long")
+    hit = F.col("j_ppm") >= F.col("threshold_ppm")
+    return (F.broadcast(t).crossJoin(jac)
+             .groupBy("threshold_ppm")
+             .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                   .alias("n_pairs"),
+                  F.countDistinct(F.when(hit, F.col("doc_b")))
+                   .cast("long").alias("n_dup_docs")))

@@ -876,3 +876,125 @@ def channel_link_prediction(spark: SparkSession, sf_dir: str,
     edges.unpersist()
     _pin_result(spark, "channel_link_prediction", out)
     return out
+
+
+# --------------------------------------------------------------------------
+# channel_modularity_audit — partition-quality evaluation: Newman
+# modularity Q of the "primary channel" partition (each user assigned
+# to their lowest-id subscribed channel) over the capped co-membership
+# graph. Q_c = m_c/m - (d_c/2m)^2 summed over communities; high Q means
+# primary-channel membership explains the graph's wiring, near-zero
+# means channels cross-cut the social structure — the eval a community
+# product runs BEFORE trusting channel groupings for recommendations.
+# Completes the graph family's audit side (pagerank/k-core/triangles
+# compute structure; this scores a partition against it).
+#
+# Determinism: the partition is a min() per user; edges are the
+# canonical u < v distinct set; every Q term is an integer ppm floor
+# division ((dd*dd) div 1e6 for the degree term, so nothing exceeds
+# ppm^2 magnitude regardless of graph size).
+#
+# 100 TB shape: the same capped edge expansion as channel_pagerank
+# (per-channel lowest-id prefix bounds the fan-out); the partition is
+# one groupBy(user) min; Q terms aggregate per community after two
+# narrow user-keyed joins. No window over rows, no uncapped blowup.
+# --------------------------------------------------------------------------
+@register("channel_modularity_audit", oracle=f"""
+WITH subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id < b.user_id),
+part AS (SELECT user_id, MIN(channel) AS community FROM subs
+         GROUP BY user_id),
+m AS (SELECT COUNT(*) AS m FROM edges),
+deg AS (
+  SELECT user_id, COUNT(*) AS deg FROM (
+    SELECT u AS user_id FROM edges
+    UNION ALL SELECT v FROM edges) GROUP BY user_id),
+dc AS (
+  SELECT p.community, SUM(d.deg) AS d_c,
+         COUNT(*) AS n_nodes_with_edges
+  FROM deg d JOIN part p USING (user_id) GROUP BY p.community),
+mc AS (
+  SELECT pu.community, COUNT(*) AS m_c
+  FROM edges e
+  JOIN part pu ON pu.user_id = e.u
+  JOIN part pv ON pv.user_id = e.v
+  WHERE pu.community = pv.community
+  GROUP BY pu.community)
+SELECT d.community,
+       CAST(d.n_nodes_with_edges AS BIGINT) AS n_nodes,
+       CAST(COALESCE(c.m_c, 0) AS BIGINT) AS m_intra,
+       CAST(d.d_c AS BIGINT) AS degree_total,
+       CAST((1000000 * COALESCE(c.m_c, 0)) // m.m
+            - ((1000000 * d.d_c) // (2 * m.m))
+              * ((1000000 * d.d_c) // (2 * m.m)) // 1000000
+            AS BIGINT) AS q_contrib_ppm
+FROM dc d LEFT JOIN mc c USING (community), m
+WHERE m.m > 0
+""")
+def channel_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup")
+                     & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct()
+              .persist())
+    _pin_result(spark, "channel_modularity_audit:subs", subs)
+    w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+    capped = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                  .where(F.col("__rn") <= PR_CHANNEL_CAP)
+                  .drop("__rn"))
+    edges = (capped.alias("a")
+             .join(capped.alias("b"), "channel")
+             .where(F.col("a.user_id") < F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct()
+             .persist())
+    _pin_result(spark, "channel_modularity_audit:edges", edges)
+    part = subs.groupBy("user_id").agg(F.min("channel").alias("community"))
+    m = edges.agg(F.count("*").alias("m"))
+    deg = (edges.select(F.col("u").alias("user_id"))
+                .unionByName(edges.select(F.col("v").alias("user_id")))
+                .groupBy("user_id").agg(F.count("*").alias("deg")))
+    dc = (deg.join(part, "user_id")
+             .groupBy("community")
+             .agg(F.sum("deg").alias("d_c"),
+                  F.count("*").alias("n_nodes_with_edges")))
+    pu = part.select(F.col("user_id").alias("u"),
+                     F.col("community").alias("cu"))
+    pv = part.select(F.col("user_id").alias("v"),
+                     F.col("community").alias("cv"))
+    mc = (edges.join(pu, "u").join(pv, "v")
+               .where(F.col("cu") == F.col("cv"))
+               .groupBy(F.col("cu").alias("community"))
+               .agg(F.count("*").alias("m_c")))
+    q = F.expr("(1000000 * coalesce(m_c, 0)) div m"
+               " - ((1000000 * d_c) div (2 * m))"
+               "   * ((1000000 * d_c) div (2 * m)) div 1000000")
+    return (dc.join(mc, "community", "left")
+              .crossJoin(F.broadcast(m))
+              .where(F.col("m") > 0)
+              .select("community",
+                      F.col("n_nodes_with_edges").cast("long")
+                       .alias("n_nodes"),
+                      F.coalesce(F.col("m_c"), F.lit(0)).cast("long")
+                       .alias("m_intra"),
+                      F.col("d_c").cast("long").alias("degree_total"),
+                      q.cast("long").alias("q_contrib_ppm")))

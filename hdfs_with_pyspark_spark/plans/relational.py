@@ -1707,3 +1707,70 @@ def privacy_delete_cascade_audit(spark: SparkSession,
     out = out.unionByName(arm("events", events,
                               events.where(del_pred("user_id"))))
     return out
+
+
+# --------------------------------------------------------------------------
+# supplier_concentration_hhi — supply-chain concentration risk: the
+# Herfindahl-Hirschman index of supplier revenue shares within each
+# supplier nation. HHI above ~2500 (250000 ppm-of-ppm here) is the
+# antitrust "highly concentrated" line; for a procurement team it flags
+# nations where one supplier failure takes out the supply. Completes
+# the risk/audit family next to revenue_pareto_abc (demand side) and
+# supplier_sole_late_blame (single-point-of-failure on lateness).
+#
+# Determinism: revenue snaps to exact integer cents per line item
+# before any sum; shares are ppm floor divisions; HHI sums ppm^2 / 1e6
+# in integers.
+#
+# 100 TB shape: one lineitem aggregate on l_suppkey (map-side partial),
+# supplier dim broadcast; everything after the per-supplier rollup is
+# |suppliers| rows grouped to |nations|.
+# --------------------------------------------------------------------------
+@register("supplier_concentration_hhi", oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS cents
+  FROM lineitem GROUP BY l_suppkey),
+j AS (
+  SELECT n.n_name AS nation, r.l_suppkey, r.cents,
+         SUM(r.cents) OVER (PARTITION BY n.n_name) AS tot
+  FROM rev r
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+sh AS (SELECT nation, l_suppkey, cents, tot,
+              (1000000 * cents) // tot AS share_ppm
+       FROM j)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MAX(tot) AS BIGINT) AS total_rev_cents,
+       CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+       CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM sh GROUP BY nation
+""")
+def supplier_concentration_hhi(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+         .cast("long").alias("cents"))
+    rev = li.groupBy("l_suppkey").agg(F.sum("cents").alias("cents"))
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    j = (rev.join(F.broadcast(sup),
+                  rev["l_suppkey"] == sup["s_suppkey"])
+            .join(F.broadcast(nat),
+                  sup["s_nationkey"] == nat["n_nationkey"])
+            .select(F.col("n_name").alias("nation"), "cents"))
+    w_tot = Window.partitionBy("nation")
+    sh = (j.withColumn("tot", F.sum("cents").over(w_tot))
+           .withColumn("share_ppm", F.expr("(1000000 * cents) div tot")))
+    return (sh.groupBy("nation")
+              .agg(F.count("*").cast("long").alias("n_suppliers"),
+                   F.max("tot").cast("long").alias("total_rev_cents"),
+                   F.max("share_ppm").cast("long").alias("top_share_ppm"),
+                   F.expr("sum(share_ppm * share_ppm) div 1000000")
+                    .cast("long").alias("hhi_ppm")))

@@ -1720,3 +1720,105 @@ def events_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("event_id").alias("purchase_event_id"),
                         (F.col("tu") - F.col("last_view")).cast("long")
                          .alias("gap_us")))
+
+
+# --------------------------------------------------------------------------
+# events_power_analysis — experiment sizing from the observed arms: with
+# the md5-parity A/B assignment's observed conversion rates as the
+# planning effect size, the classical two-proportion sample size per arm
+# at alpha = 0.05 (two-sided) and 80% power:
+#   n = ceil((z_a * sqrt(2 p̄ (1-p̄)) + z_b * sqrt(p1(1-p1) + p2(1-p2)))^2
+#            / (p2 - p1)^2)
+# The "how long must this test run" readout that belongs next to
+# events_ab_test_eval's "is it significant yet" — an experimentation
+# platform ships both.
+#
+# Determinism: counts are exact integers; the z constants are fixed
+# literals embedded in both engines; the n formula is ONE fixed-order
+# double chain over exact integers, so both engines produce the same
+# IEEE double and the same ceil. Degenerate inputs (an empty arm, zero
+# observed lift, or a pooled rate of 0/1) yield NULL, never a divide
+# error — under ANSI mode too.
+#
+# 100 TB shape: identical to events_ab_test_eval — ONE groupBy(user)
+# over the event log, then a 1-row conditional aggregate.
+# --------------------------------------------------------------------------
+Z_ALPHA_2 = 1.959963984540054   # Phi^-1(0.975)
+Z_BETA_80 = 0.8416212335729143  # Phi^-1(0.80)
+
+
+@register("events_power_analysis", oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM u),
+p AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / n_a AS p1,
+         CAST(conv_b AS DOUBLE) / n_b AS p2,
+         (CAST(conv_a AS DOUBLE) / n_a + CAST(conv_b AS DOUBLE) / n_b)
+           / 2.0 AS pbar
+  FROM s WHERE n_a > 0 AND n_b > 0),
+z AS (
+  SELECT *,
+         {Z_ALPHA_2} * sqrt(2.0::DOUBLE * pbar * (1.0::DOUBLE - pbar))
+         + {Z_BETA_80} * sqrt(p1 * (1.0::DOUBLE - p1)
+                              + p2 * (1.0::DOUBLE - p2)) AS num
+  FROM p)
+SELECT CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b,
+       CAST(s.conv_a AS BIGINT) AS conv_a,
+       CAST(s.conv_b AS BIGINT) AS conv_b,
+       CASE WHEN s.n_a > 0 AND s.n_b > 0
+                 AND s.conv_a * s.n_b <> s.conv_b * s.n_a
+                 AND s.conv_a + s.conv_b > 0
+                 AND s.conv_a + s.conv_b < s.n_a + s.n_b THEN
+         CAST(CEIL((z.num * z.num)
+                   / ((z.p2 - z.p1) * (z.p2 - z.p1))) AS BIGINT)
+       END AS n_required_per_arm
+FROM s LEFT JOIN z ON z.n_a = s.n_a
+""")
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    variant = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 2)
+    u = (ev.groupBy("user_id")
+           .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("conv"))
+           .select(variant.alias("variant"), "conv"))
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+         .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+         .alias("conv_b"))
+    p1 = F.col("conv_a").cast("double") / F.col("n_a")
+    p2 = F.col("conv_b").cast("double") / F.col("n_b")
+    pbar = (p1 + p2) / F.lit(2.0)
+    num = (F.lit(Z_ALPHA_2)
+           * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+           + F.lit(Z_BETA_80)
+           * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)))
+    n_req = F.ceil((num * num) / ((p2 - p1) * (p2 - p1)))
+    ok = ((F.col("n_a") > 0) & (F.col("n_b") > 0)
+          & (F.col("conv_a") * F.col("n_b")
+             != F.col("conv_b") * F.col("n_a"))
+          & (F.col("conv_a") + F.col("conv_b") > 0)
+          & (F.col("conv_a") + F.col("conv_b")
+             < F.col("n_a") + F.col("n_b")))
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.when(ok, n_req).cast("long").alias("n_required_per_arm"))

@@ -1204,3 +1204,54 @@ def test_referential_integrity_planted_orphans(spark, monkeypatch):
     assert (li["n_child"], li["n_orphans"], li["n_orphan_keys"]) == (5, 3, 2)
     assert li["orphan_ppm"] == (1_000_000 * 3) // 5
     assert rows["customer->nation"]["n_orphans"] == 0
+
+
+def test_modularity_hand_graph(spark, monkeypatch):
+    # Channels: 1 = {1, 2}, 2 = {2, 3}. Primary communities:
+    # user1 -> 1, user2 -> min(1,2) = 1, user3 -> 2.
+    # Edges (1,2), (2,3); m = 2; deg 1:1, 2:2, 3:1.
+    # c1: m_c=1, d_c=3 -> Q = 500000 - (750000^2 div 1e6) = -62500
+    # c2: m_c=0, d_c=1 -> Q = 0 - (250000^2 div 1e6)      = -62500
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = [(1, "signup", 1, '{"k": 1}'), (2, "signup", 2, '{"k": 1}'),
+            (3, "signup", 2, '{"k": 2}'), (4, "signup", 3, '{"k": 2}')]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = {r.community: r for r in
+           g.channel_modularity_audit(spark, "x").collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_nodes, out[1].m_intra, out[1].degree_total,
+            out[1].q_contrib_ppm) == (2, 1, 3, -62500)
+    assert (out[2].n_nodes, out[2].m_intra, out[2].degree_total,
+            out[2].q_contrib_ppm) == (1, 0, 1, -62500)
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    # Counts must be non-increasing in the threshold, and the row at
+    # the production threshold must agree with dedup_minhash_lsh's
+    # verified pair count.
+    from hdfs_with_pyspark_spark.llm import dedup as dd
+    rows = sorted(dd.dedup_threshold_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.threshold_ppm)
+    assert [r.threshold_ppm for r in rows] == sorted(
+        dd.SWEEP_THRESHOLDS_PPM)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_dup_docs >= b.n_dup_docs
+    at_prod = next(r for r in rows if r.threshold_ppm == 800000)
+    lsh_pairs = dd.dedup_minhash_lsh(spark, sf_dir).count()
+    assert at_prod.n_pairs == lsh_pairs
+
+
+def test_hhi_bounds(spark, sf_dir):
+    # HHI lives in (0, 1e6]; the top supplier's squared share is a
+    # lower bound; a single-supplier nation (if any) maxes out.
+    from hdfs_with_pyspark_spark.plans import relational as rel
+    rows = rel.supplier_concentration_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi_ppm <= 1_000_000
+        assert r.hhi_ppm >= (r.top_share_ppm * r.top_share_ppm) // 1_000_000
+        if r.n_suppliers == 1:
+            assert r.hhi_ppm == 1_000_000

@@ -327,3 +327,63 @@ def test_cep_pattern_hand_sequence(spark, monkeypatch):
     out = {r["purchase_event_id"]: r["gap_us"]
            for r in t.events_cep_pattern_match(spark, "x").collect()}
     assert out == {2: 100_000_000, 8: 100_000_000}
+
+
+def test_power_analysis_hand_case(spark, monkeypatch):
+    """Users with known md5-parity variants and conversions: the
+    required sample size must equal the closed-form two-proportion
+    formula computed independently in Python, and degenerate inputs
+    (equal rates) must yield NULL instead of an ANSI divide error."""
+    import hashlib
+    import math
+
+    from hdfs_with_pyspark_spark.plans import temporal as tp
+
+    def parity(uid: int) -> int:
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15],
+                   16) % 2
+
+    arm = {0: [], 1: []}
+    uid = 0
+    while len(arm[0]) < 10 or len(arm[1]) < 10:
+        arm[parity(uid)].append(uid)
+        uid += 1
+    a_users, b_users = arm[0][:10], arm[1][:10]
+    # p1 = 2/10, p2 = 5/10: conversions are 'purchase' events.
+    rows = []
+    eid = 0
+    for i, u in enumerate(a_users):
+        rows.append((eid, u, "purchase" if i < 2 else "view")); eid += 1
+    for i, u in enumerate(b_users):
+        rows.append((eid, u, "purchase" if i < 5 else "view")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        monkeypatch.setattr(tp, "read_table", lambda s, d, n: ev)
+        r = tp.events_power_analysis(spark, "x").first()
+        assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (10, 2, 10, 5)
+        p1, p2 = 0.2, 0.5
+        pbar = (p1 + p2) / 2.0
+        num = (tp.Z_ALPHA_2 * math.sqrt(2.0 * pbar * (1.0 - pbar))
+               + tp.Z_BETA_80 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+        expect = math.ceil((num * num) / ((p2 - p1) * (p2 - p1)))
+        assert r.n_required_per_arm == expect
+
+        # Equal rates -> zero effect -> NULL, no divide error.
+        rows_eq = []
+        eid = 0
+        for i, u in enumerate(a_users):
+            rows_eq.append((eid, u, "purchase" if i < 3 else "view"))
+            eid += 1
+        for i, u in enumerate(b_users):
+            rows_eq.append((eid, u, "purchase" if i < 3 else "view"))
+            eid += 1
+        ev_eq = spark.createDataFrame(
+            rows_eq, "event_id long, user_id long, event_type string")
+        monkeypatch.setattr(tp, "read_table", lambda s, d, n: ev_eq)
+        r = tp.events_power_analysis(spark, "x").first()
+        assert r.n_required_per_arm is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
