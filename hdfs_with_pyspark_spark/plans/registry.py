@@ -164,10 +164,22 @@ DRIVER_PRIORITY = [
     # Mann-Whitney ROC-AUC over score groups — is a score-eval family
     # the window lacked entirely (VERDICT r5 item 6). tfidf_top_terms
     # stays registered and parity-checked below.)
+    # (round 7: corpus_token_bins demoted for minhash_estimate_error_
+    # audit — the fixed-width histogram binning it demonstrated is a
+    # basic aggregate shape whose single-shard-exchange plan property
+    # is independently test-asserted (tests/test_plans.py), and richer
+    # token-distribution forms (corpus_token_gini's exact histogram
+    # Gini, corpus_zipf_fit) are parity-checked below; the window
+    # gates the banded MinHash DEDUP PATH (dedup_minhash_lsh) but
+    # carried no accuracy eval for its sketch — the estimate-error
+    # audit adds the measured signature-vs-exact-Jaccard error, the
+    # same eval-as-a-query contract the ANN family's recall evals
+    # follow. corpus_token_bins stays registered and parity-checked
+    # below the window.)
     "bpe_merges", "text_quality_score", "text_lang_id_ngram",
     "doc_fingerprint", "knn_graph_lsh", "score_label_auc",
     "corpus_sample_stratified", "part_name_fuzzy_pairs",
-    "corpus_token_bins", "corpus_quality_filter",
+    "minhash_estimate_error_audit", "corpus_quality_filter",
     # multimodal family (multimodal_summary demoted: its blob-pruning
     # plan shape is test-asserted; features/frame-sample/byte-entropy
     # cover the three distinct Python-boundary mechanisms)

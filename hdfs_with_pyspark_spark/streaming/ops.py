@@ -778,3 +778,128 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .cast("long").alias("n_late_dropped")))
     finally:
         shutil.rmtree(sim, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# stream_ivm_revenue — STREAMING incremental view maintenance: the
+# per-nation revenue aggregate maintained across micro-batches. Orders
+# arrive in STREAM_IVM_BATCHES simulated file arrivals (the
+# stream_incremental_dedup choreography); each foreachBatch computes
+# the batch's partial aggregate and merges it onto the PREVIOUS
+# snapshot (full-outer coalesce-sum on the group key, exact integer
+# cents so base ⊕ delta is associative bit-for-bit), writing snapshot
+# {batch_id}. The final snapshot must equal the batch recompute — the
+# oracle IS revenue_by_nation_ivm's full-recompute SQL, so the gate
+# proves the streaming maintenance identity end to end. This is the
+# streaming twin of revenue_by_nation_ivm: the same merge, driven by
+# arrival instead of a cutoff date.
+#
+# Replay idempotence: snapshot k derives ONLY from snapshot k-1 plus
+# batch k's rows and OVERWRITES its own directory — a retried
+# micro-batch rewrites the same snapshot from the same inputs. Batch 0
+# merges onto the empty view (absence probed PATH_NOT_FOUND-only, same
+# discipline as the dedup band store).
+#
+# 100 TB shape: per refresh only the batch scans; the snapshot side is
+# |nations| rows. State never grows with event volume — this is the
+# pattern that turns a daily full re-aggregation into an O(new data)
+# job, now with streaming-native triggering.
+# --------------------------------------------------------------------------
+STREAM_IVM_BATCHES = 4
+
+
+def _stream_ivm_revenue_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return ORACLES["revenue_by_nation_ivm"]
+
+
+@register("stream_ivm_revenue", oracle=None)  # composed below
+def stream_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hdfs_with_pyspark_spark.session import scratch_dir
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ensure_session(spark)
+    sf_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = scratch_dir(spark, f"stream_ivm_revenue_{sf_key}")
+    shutil.rmtree(root, ignore_errors=True)
+    sim = tempfile.mkdtemp(prefix="stream_ivm_sim_")
+    in_dir, ckpt = os.path.join(sim, "in"), os.path.join(sim, "ckpt")
+    os.makedirs(in_dir)
+
+    orders = read_table(spark, sf_dir, "orders")
+    base_t = 1_700_000_000
+    for k in range(STREAM_IVM_BATCHES):
+        stage = os.path.join(sim, f"stage{k}")
+        (orders.where(F.col("o_orderkey") % STREAM_IVM_BATCHES == k)
+               .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+        shutil.rmtree(stage)
+
+    def snap(k: int) -> str:
+        return os.path.join(root, f"snapshot_{k}")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        customer = (read_table(sp, sf_dir, "customer")
+                    .select("c_custkey", "c_nationkey"))
+        nation = read_table(sp, sf_dir, "nation").select("n_nationkey",
+                                                         "n_name")
+        cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        delta = (batch_df
+                 .join(F.broadcast(customer),
+                       F.col("o_custkey") == F.col("c_custkey"))
+                 .join(F.broadcast(nation),
+                       F.col("c_nationkey") == F.col("n_nationkey"))
+                 .groupBy(F.col("n_name").alias("nation"))
+                 .agg(F.sum(cents).alias("d_rev"),
+                      F.count("*").alias("d_n")))
+        prev = (None if batch_id == 0
+                else _read_parquet_if_absent(sp, snap(batch_id - 1)))
+        if prev is None:
+            merged = delta.select(
+                "nation", F.col("d_rev").cast("long").alias("revenue_cents"),
+                F.col("d_n").cast("long").alias("n_orders"))
+        else:
+            b = prev.select("nation",
+                            F.col("revenue_cents").alias("b_rev"),
+                            F.col("n_orders").alias("b_n"))
+            merged = (b.join(delta, "nation", "full_outer")
+                       .select("nation",
+                               (F.coalesce("b_rev", F.lit(0))
+                                + F.coalesce("d_rev", F.lit(0)))
+                               .cast("long").alias("revenue_cents"),
+                               (F.coalesce("b_n", F.lit(0))
+                                + F.coalesce("d_n", F.lit(0)))
+                               .cast("long").alias("n_orders")))
+        merged.write.mode("overwrite").parquet(snap(batch_id))
+
+    try:
+        (spark.readStream.schema(orders.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir)
+              .writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch(ingest)
+              .trigger(availableNow=True)
+              .start()
+              .awaitTermination())
+    finally:
+        shutil.rmtree(sim, ignore_errors=True)
+
+    result = _read_parquet_if_absent(spark, snap(STREAM_IVM_BATCHES - 1))
+    if result is None:
+        return spark.createDataFrame(
+            [], "nation string, revenue_cents long, n_orders long")
+    return result.select("nation", "revenue_cents", "n_orders")
+
+
+register_deferred_oracle("stream_ivm_revenue", _stream_ivm_revenue_oracle)
