@@ -140,6 +140,9 @@ HEADLINE = [
     "supplier_concentration_hhi",
     "events_power_analysis",
     "channel_modularity_audit",
+    "stream_ivm_revenue",
+    "quality_logreg_train",
+    "ann_ivf_nprobe_curve",
 ]
 
 

@@ -3052,3 +3052,168 @@ def embedding_anisotropy_audit(spark: SparkSession,
         F.sum("ex2_u").cast("long").alias("mean_norm2_u"),
         F.expr("(1000000 * sum(mu2_u)) div greatest(sum(ex2_u), 1)")
          .cast("long").alias("anisotropy_ppm"))
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_nprobe_curve — the IVF tuning curve: recall@K against exact
+# brute-force truth at nprobe = 1, 2, 4, from ONE quantizer training,
+# ONE corpus assignment, and ONE candidate scoring pass (per-nprobe
+# top-K is a filter + rank over the shared probe-rank-annotated
+# candidate set). The latency/recall trade-off a vector store operator
+# reads before fixing nprobe for a 100 TB deployment — the ANN
+# companion of dedup_threshold_sweep's cutoff curve, same
+# measure-don't-guess contract as the recall evals.
+#
+# Determinism: centroid training, probe ranking, and candidate ranks
+# all inherit the IVF path's ROUND(cos,6) + id-ASC tie-breaks; recall
+# is an exact integer ppm division.
+#
+# 100 TB shape: the exact side is the bounded query sample broadcast
+# against one corpus scan (the price of measuring, eval-only); the
+# approximate side reuses the IVF probe shape with the probe rank
+# carried; every window partitions on (nprobe, query).
+# --------------------------------------------------------------------------
+IVF_CURVE_PROBES = (1, 2, 4)
+
+_SQL_CURVE_PROBES = ", ".join(f"({p})" for p in IVF_CURVE_PROBES)
+_CURVE_MAX_PROBE = max(IVF_CURVE_PROBES)
+
+
+@register("ann_ivf_nprobe_curve", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_KMEANS_CTES},
+cent AS (SELECT cid, cv FROM {_SQL_KMEANS_FINAL}),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY ROUND(list_dot_product(b.v, c.cv)
+                            / (sqrt(list_dot_product(b.v, b.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v b CROSS JOIN cent c
+  ) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid, rn AS probe_rank FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, c.cv)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {_CURVE_MAX_PROBE}),
+scored AS (
+  SELECT p.query_id, p.probe_rank, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, a.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS c
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+lv(nprobe) AS (VALUES {_SQL_CURVE_PROBES}),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT lv.nprobe, s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY lv.nprobe, s.query_id
+                              ORDER BY s.c DESC, s.neighbor_id ASC) AS rnk
+    FROM lv JOIN scored s ON s.probe_rank <= lv.nprobe
+  ) WHERE rnk <= {TOP_K}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, a.v)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(a.v, a.v))), 6) DESC,
+                      a.vec_id ASC) AS rnk
+    FROM v q CROSS JOIN v a
+    WHERE q.vec_id < {N_QUERIES} AND a.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K})
+SELECT CAST(lv.nprobe AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST((1000000 * COUNT(ap.neighbor_id)) // COUNT(*) AS BIGINT)
+         AS recall_ppm
+FROM lv CROSS JOIN exact e
+LEFT JOIN approx ap ON ap.nprobe = lv.nprobe
+                   AND ap.query_id = e.query_id
+                   AND ap.neighbor_id = e.neighbor_id
+GROUP BY lv.nprobe
+""")
+def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
+    cent = _with_norm(
+        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
+                              "cid long, cv array<double>"),
+        "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+
+    def rank_centroids(side, id_col, keep, keep_rank=False):
+        scored = (side.join(F.broadcast(cent), F.lit(True))
+                      .select(id_col, "v", "nv", "cid", cos_c.alias("c")))
+        w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
+                                               F.col("cid").asc())
+        out = (scored.withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") <= keep))
+        if keep_rank:
+            return out.withColumnRenamed("__rn", "probe_rank").drop("c")
+        return out.drop("__rn", "c")
+
+    assign = rank_centroids(v2, "vec_id", 1)
+    q2 = (v2.where(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "v", "nv"))
+    probes = (rank_centroids(q2, "query_id", _CURVE_MAX_PROBE,
+                             keep_rank=True)
+              .select("query_id", F.col("v").alias("qv"),
+                      F.col("nv").alias("qnv"), "cid", "probe_rank"))
+    # One scoring pass for the nprobe superset; per-level top-K is a
+    # filter + rank over this persisted candidate frame.
+    scored = (F.broadcast(probes)
+              .join(assign, "cid")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "probe_rank",
+                      F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6)
+                       .alias("c"))
+              .persist())
+    _pin(spark, "ann_ivf_nprobe_curve", scored)
+    lv = spark.createDataFrame([(p,) for p in IVF_CURVE_PROBES],
+                               "nprobe long")
+    w_ap = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id").asc())
+    approx = (F.broadcast(lv)
+              .join(scored, F.col("probe_rank") <= F.col("nprobe"))
+              .withColumn("rnk", F.row_number().over(w_ap))
+              .where(F.col("rnk") <= TOP_K)
+              .select("nprobe", "query_id", "neighbor_id",
+                      F.lit(1).alias("hit")))
+    qx = (v2.where(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"), F.col("nv").alias("qnv")))
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id").asc())
+    exact = (F.broadcast(qx)
+             .join(v2, F.col("vec_id") != F.col("query_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(F.expr(_sql_dot_cols("qv", "v"))
+                             / (F.col("qnv") * F.col("nv")), 6)
+                      .alias("c"))
+             .withColumn("rnk", F.row_number().over(w_ex))
+             .where(F.col("rnk") <= TOP_K)
+             .select("query_id", "neighbor_id"))
+    return (F.broadcast(lv).crossJoin(exact)
+            .join(F.broadcast(approx),
+                  ["nprobe", "query_id", "neighbor_id"], "left")
+            .groupBy("nprobe")
+            .agg(F.count("*").cast("long").alias("n_true"),
+                 F.count("hit").cast("long").alias("n_overlap"),
+                 F.expr("(1000000 * count(hit)) div count(*)")
+                  .cast("long").alias("recall_ppm")))

@@ -2703,3 +2703,131 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("quality_outlier_mad", _quality_outlier_mad_oracle)
+
+
+# --------------------------------------------------------------------------
+# quality_logreg_train — DISTRIBUTED SUPERVISED TRAINING as a query:
+# batch-gradient-descent logistic regression predicting lang == 'en'
+# from the quality signals (intercept, stopword_ratio, distinct_ratio),
+# LOGREG_ITERS full-batch iterations at a fixed learning rate. The
+# capability family the engine lacked: gradient-based model fitting
+# executed as Catalyst aggregates (ivf_kmeans_centroids covers
+# unsupervised Lloyd's; this is the supervised GD loop), the shape of
+# every "train a small router/scorer on corpus signals" job a data
+# pipeline runs without reaching for an ML framework.
+#
+# Determinism (the power-iteration discipline, applied to GD): weights
+# live on an exact integer NANO grid between iterations; z is a
+# fixed-order double chain over exact literals and 4-dp features; the
+# sigmoid SNAPS to 6 dp BEFORE the per-row gradient contribution snaps
+# to integer nano-units (a 1-ulp libm exp() divergence between JVM and
+# DuckDB moves p by ~1e-16 — far inside the 5e-7 snap guard band — so
+# both engines sum IDENTICAL integers); the update rounds back to the
+# nano grid. Training accuracy thresholds on z >= 0 — pure arithmetic,
+# no exp in the readout.
+#
+# 100 TB shape: the feature frame persists once; each iteration is ONE
+# map-side-partial aggregate producing 3 longs to the driver (the
+# bounded-driver-state contract ivf_kmeans follows); the corpus never
+# shuffles. Iterations scale O(ITERS x scan), exactly the distributed
+# full-batch GD a 1000-executor cluster runs.
+# --------------------------------------------------------------------------
+LOGREG_ITERS = 5
+LOGREG_LR = 1.0
+
+
+def _logreg_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    lr = LOGREG_LR
+
+    def z(a: str, b: str, c: str) -> str:
+        return (f"(CAST({a} AS DOUBLE) / 1000000000"
+                f" + (CAST({b} AS DOUBLE) / 1000000000 * f.x1))"
+                f" + (CAST({c} AS DOUBLE) / 1000000000 * f.x2)")
+
+    ctes = [f"""q AS ({ORACLES["text_quality_score"]}),
+f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             stopword_ratio AS x1, distinct_ratio AS x2
+      FROM q),
+w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS c)"""]
+    for t in range(LOGREG_ITERS):
+        zz = z(f"w{t}.a", f"w{t}.b", f"w{t}.c")
+        p = f"ROUND(1.0 / (1.0 + exp(-({zz}))), 6)"
+        ctes.append(f"""w{t + 1} AS (
+  SELECT w{t}.a + CAST(ROUND({lr} * (SUM(CAST(ROUND((f.y - {p})
+               * 1000000000) AS BIGINT))::DOUBLE / COUNT(*))) AS BIGINT)
+           AS a,
+         w{t}.b + CAST(ROUND({lr} * (SUM(CAST(ROUND(((f.y - {p}) * f.x1)
+               * 1000000000) AS BIGINT))::DOUBLE / COUNT(*))) AS BIGINT)
+           AS b,
+         w{t}.c + CAST(ROUND({lr} * (SUM(CAST(ROUND(((f.y - {p}) * f.x2)
+               * 1000000000) AS BIGINT))::DOUBLE / COUNT(*))) AS BIGINT)
+           AS c
+  FROM f, w{t}
+  GROUP BY w{t}.a, w{t}.b, w{t}.c)""")
+    wf = f"w{LOGREG_ITERS}"
+    zz = z(f"{wf}.a", f"{wf}.b", f"{wf}.c")
+    return f"""
+WITH {','.join(ctes)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX({wf}.a) AS BIGINT) AS w0_nano,
+       CAST(MAX({wf}.b) AS BIGINT) AS w1_nano,
+       CAST(MAX({wf}.c) AS BIGINT) AS w2_nano,
+       CAST((1000000 * SUM(CASE WHEN ({zz} >= 0) = (f.y = 1.0)
+                                THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS train_acc_ppm
+FROM f, {wf}
+"""
+
+
+@register("quality_logreg_train", oracle=None)  # composed below
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    q = text_quality_score(spark, sf_dir)
+    f = q.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.col("stopword_ratio").alias("x1"),
+        F.col("distinct_ratio").alias("x2")).persist()
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "quality_logreg_train:features", f)
+
+    wu = [0, 0, 0]  # nano-grid weights (driver state: 3 longs)
+    n = None
+    for _ in range(LOGREG_ITERS):
+        w = [v / 1e9 for v in wu]
+        zz = ((F.lit(w[0]) + (F.lit(w[1]) * F.col("x1")))
+              + (F.lit(w[2]) * F.col("x2")))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zz)), 6)
+        row = f.agg(
+            F.count("*").alias("n"),
+            F.sum(F.round((F.col("y") - p) * F.lit(1e9)).cast("long"))
+             .alias("g0"),
+            F.sum(F.round(((F.col("y") - p) * F.col("x1")) * F.lit(1e9))
+                   .cast("long")).alias("g1"),
+            F.sum(F.round(((F.col("y") - p) * F.col("x2")) * F.lit(1e9))
+                   .cast("long")).alias("g2")).first()
+        n = row["n"]
+        import math
+
+        def round_half_away(x: float) -> int:
+            # SQL ROUND semantics (half away from zero), NOT Python's
+            # banker's rounding — the update must match the oracle.
+            return int(math.floor(x + 0.5) if x >= 0
+                       else math.ceil(x - 0.5))
+
+        for j, g in enumerate((row["g0"], row["g1"], row["g2"])):
+            wu[j] += round_half_away(LOGREG_LR * (float(g) / n))
+    w = [v / 1e9 for v in wu]
+    return f.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.lit(wu[0]).cast("long").alias("w0_nano"),
+        F.lit(wu[1]).cast("long").alias("w1_nano"),
+        F.lit(wu[2]).cast("long").alias("w2_nano"),
+        F.expr(f"(1000000 * sum(CASE WHEN (({w[0]!r} + ({w[1]!r} * x1))"
+               f" + ({w[2]!r} * x2) >= 0) = (y = 1.0D)"
+               " THEN 1 ELSE 0 END)) div count(*)")
+         .cast("long").alias("train_acc_ppm"))
+
+
+_reg_deferred("quality_logreg_train", _logreg_oracle)

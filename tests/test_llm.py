@@ -1444,3 +1444,48 @@ def test_anisotropy_known_vectors(spark, monkeypatch):
                         lambda s, d, n: frame([e1, e1]))
     r = s2.embedding_anisotropy_audit(spark, "ignored").first()
     assert r.anisotropy_ppm == 1_000_000
+
+
+def test_logreg_learns_separable_signal(spark, monkeypatch):
+    """On a linearly separable hand corpus (en docs = all stopwords,
+    others = all-distinct novel words) five GD iterations must find a
+    positive stopword coefficient and classify the training set
+    (near-)perfectly; weights stay on the exact nano grid."""
+    from hdfs_with_pyspark_spark.llm import text as tx
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "s", "en", "the the the a a of"))
+        else:
+            rows.append((i, "s", "de",
+                         " ".join(f"w{i}_{k}" for k in range(6))))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.quality_logreg_train(spark, "x").first()
+    assert r.n_docs == 20
+    assert r.w1_nano > 0            # stopword_ratio predicts en
+    assert r.w2_nano < 0            # all-distinct text predicts not-en
+    assert r.train_acc_ppm >= 900_000
+
+
+def test_nprobe_curve_monotone_and_consistent(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe, each recall equals its
+    own overlap ratio, and the nprobe = NPROBE row must agree with
+    ann_topk_ivf's verified hit count against brute force."""
+    rows = {r.nprobe: r
+            for r in sim.ann_ivf_nprobe_curve(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(sim.IVF_CURVE_PROBES)
+    probes = sorted(rows)
+    for a, b in zip(probes, probes[1:]):
+        assert rows[a].recall_ppm <= rows[b].recall_ppm
+    for r in rows.values():
+        assert 0 <= r.n_overlap <= r.n_true
+        assert r.recall_ppm == (1_000_000 * r.n_overlap) // r.n_true
+    if sim.NPROBE in rows:
+        ivf = sim.ann_topk_ivf(spark, sf_dir).select(
+            "query_id", "neighbor_id")
+        exact = sim.ann_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id")
+        hits = ivf.join(exact, ["query_id", "neighbor_id"]).count()
+        assert rows[sim.NPROBE].n_overlap == hits
