@@ -143,6 +143,7 @@ HEADLINE = [
     "stream_ivm_revenue",
     "quality_logreg_train",
     "ann_ivf_nprobe_curve",
+    "quality_psi_drift",
 ]
 
 

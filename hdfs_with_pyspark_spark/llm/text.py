@@ -2831,3 +2831,123 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("quality_logreg_train", _logreg_oracle)
+
+
+# --------------------------------------------------------------------------
+# quality_psi_drift — Population Stability Index of the quality-score
+# distribution between two corpus snapshots (md5 parity of the doc id
+# stands in for "last ingest vs this ingest" — NOT raw doc_id % 2,
+# which on this testdata is collinear with source and would leave each
+# source a single half), per source: PSI = sum over 10 fixed-width
+# score bins of
+# (pA - pB) * ln(pA / pB), Laplace-smoothed so empty bins are defined.
+# PSI is THE production scorecard drift metric (0.1 = investigate,
+# 0.25 = act); this completes the drift family — centroid drift watches
+# the embedding space, PSI watches the scoring pipeline.
+#
+# Determinism: bin counts are exact integers over the 4-dp score;
+# every bin is explicitly enumerated (a bin empty in both halves still
+# contributes its smoothed term, identically in both engines); the
+# smoothed proportions are single IEEE divisions of exact integers; the
+# per-bin contribution snaps to integer NANO before the sum, so the
+# ~1-ulp libm ln() divergence (relative 1e-16) sits ~7 orders inside
+# the snap guard band and no accumulation order exists to diverge.
+#
+# 100 TB shape: one doc scan -> groupBy(source, half, bin) map-side
+# partial; everything after runs on the |sources| x 10 x 2 spine.
+# --------------------------------------------------------------------------
+PSI_BINS = 10
+PSI_INVESTIGATE_NANO = 100_000_000  # PSI 0.1
+
+
+def _quality_psi_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (SELECT d.source,
+             ('0x' || substr(md5('snap:' || CAST(d.doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 2 AS half,
+             LEAST(CAST(ROUND(q.quality_score * 10000) AS BIGINT) // 1000,
+                   {PSI_BINS - 1}) AS bin
+      FROM q JOIN documents d USING (doc_id)),
+cnt AS (SELECT source, half, bin, COUNT(*) AS c FROM j GROUP BY 1, 2, 3),
+n AS (SELECT source, half, SUM(c) AS n FROM cnt GROUP BY 1, 2),
+spine AS (SELECT DISTINCT source FROM j),
+bins AS (SELECT UNNEST(generate_series(0, {PSI_BINS - 1})) AS bin),
+g AS (
+  SELECT s.source, b.bin,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+         na.n AS n_a, nb.n AS n_b
+  FROM spine s CROSS JOIN bins b
+  JOIN n na ON na.source = s.source AND na.half = 0
+  JOIN n nb ON nb.source = s.source AND nb.half = 1
+  LEFT JOIN cnt ca ON ca.source = s.source AND ca.half = 0
+                  AND ca.bin = b.bin
+  LEFT JOIN cnt cb ON cb.source = s.source AND cb.half = 1
+                  AND cb.bin = b.bin),
+t AS (
+  SELECT source, n_a, n_b,
+         CAST(ROUND((CAST(ca + 1 AS DOUBLE) / (n_a + {PSI_BINS})
+                     - CAST(cb + 1 AS DOUBLE) / (n_b + {PSI_BINS}))
+                    * ln((CAST(ca + 1 AS DOUBLE) / (n_a + {PSI_BINS}))
+                         / (CAST(cb + 1 AS DOUBLE) / (n_b + {PSI_BINS})))
+                    * 1000000000) AS BIGINT) AS contrib_nano
+  FROM g)
+SELECT source,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(contrib_nano) AS BIGINT) AS psi_nano,
+       SUM(contrib_nano) > {PSI_INVESTIGATE_NANO} AS drifted
+FROM t GROUP BY source
+"""
+
+
+@register("quality_psi_drift", oracle=None)  # composed below
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    half = hash64(F.concat(F.lit("snap:"),
+                           F.col("doc_id").cast("string"))) % 2
+    j = (q.join(docs, "doc_id")
+          .select("source", half.alias("half"),
+                  F.least(F.expr(
+                      "CAST(ROUND(quality_score * 10000) AS BIGINT)"
+                      " div 1000"), F.lit(PSI_BINS - 1)).alias("bin")))
+    cnt = (j.groupBy("source", "half", "bin").agg(F.count("*").alias("c"))
+            .persist())
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "quality_psi_drift:cnt", cnt)
+    n = cnt.groupBy("source", "half").agg(F.sum("c").alias("n"))
+    spine = (cnt.select("source").distinct()
+                .crossJoin(F.broadcast(spark.range(PSI_BINS)
+                                        .select(F.col("id").alias("bin")))))
+    na = n.where(F.col("half") == 0).select("source",
+                                            F.col("n").alias("n_a"))
+    nb = n.where(F.col("half") == 1).select("source",
+                                            F.col("n").alias("n_b"))
+    ca = cnt.where(F.col("half") == 0).select("source", "bin",
+                                              F.col("c").alias("ca"))
+    cb = cnt.where(F.col("half") == 1).select("source", "bin",
+                                              F.col("c").alias("cb"))
+    g = (spine.join(F.broadcast(na), "source")
+              .join(F.broadcast(nb), "source")
+              .join(F.broadcast(ca), ["source", "bin"], "left")
+              .join(F.broadcast(cb), ["source", "bin"], "left")
+              .select("source", "n_a", "n_b",
+                      F.coalesce("ca", F.lit(0)).alias("ca"),
+                      F.coalesce("cb", F.lit(0)).alias("cb")))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("n_a") + PSI_BINS)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("n_b") + PSI_BINS)
+    contrib = F.round((pa - pb) * F.log(pa / pb) * F.lit(1e9)).cast("long")
+    return (g.select("source", "n_a", "n_b",
+                     contrib.alias("contrib_nano"))
+             .groupBy("source")
+             .agg(F.max("n_a").cast("long").alias("n_a"),
+                  F.max("n_b").cast("long").alias("n_b"),
+                  F.sum("contrib_nano").cast("long").alias("psi_nano"),
+                  (F.sum("contrib_nano") > PSI_INVESTIGATE_NANO)
+                   .alias("drifted")))
+
+
+_reg_deferred("quality_psi_drift", _quality_psi_oracle)

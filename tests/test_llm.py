@@ -1489,3 +1489,43 @@ def test_nprobe_curve_monotone_and_consistent(spark, sf_dir):
             "query_id", "neighbor_id")
         hits = ivf.join(exact, ["query_id", "neighbor_id"]).count()
         assert rows[sim.NPROBE].n_overlap == hits
+
+
+def test_psi_zero_on_identical_halves_and_large_on_disjoint(spark,
+                                                            monkeypatch):
+    """Identical score distributions in both md5-parity snapshots give
+    exactly PSI 0 (equal smoothed proportions in every bin); disjoint
+    distributions cross the 0.1 investigate line."""
+    import hashlib
+
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    def parity(did: int) -> int:
+        return int(hashlib.md5(f"snap:{did}".encode()).hexdigest()[:15],
+                   16) % 2
+
+    ids = {0: [], 1: []}
+    d = 0
+    while len(ids[0]) < 5 or len(ids[1]) < 5:
+        ids[parity(d)].append(d)
+        d += 1
+    lo = "a a"                                  # low quality score
+    hi = " ".join(f"w{k}" for k in range(120))  # high quality score
+
+    def frame(texts0, texts1):
+        rows = ([(i, "s", "en", t) for i, t in zip(ids[0][:5], texts0)]
+                + [(i, "s", "en", t) for i, t in zip(ids[1][:5], texts1)])
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, text string")
+
+    monkeypatch.setattr(tx, "read_table",
+                        lambda s, d_, n: frame([lo, lo, hi, hi, hi],
+                                               [lo, lo, hi, hi, hi]))
+    r = tx.quality_psi_drift(spark, "x").first()
+    assert (r.n_a, r.n_b) == (5, 5)
+    assert r.psi_nano == 0 and not r.drifted
+
+    monkeypatch.setattr(tx, "read_table",
+                        lambda s, d_, n: frame([lo] * 5, [hi] * 5))
+    r = tx.quality_psi_drift(spark, "x").first()
+    assert r.psi_nano > tx.PSI_INVESTIGATE_NANO and r.drifted
