@@ -144,6 +144,8 @@ HEADLINE = [
     "quality_logreg_train",
     "ann_ivf_nprobe_curve",
     "quality_psi_drift",
+    "orders_schema_evolution_read",
+    "dsir_reweighting_eval",
 ]
 
 

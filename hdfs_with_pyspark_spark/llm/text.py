@@ -2951,3 +2951,136 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("quality_psi_drift", _quality_psi_oracle)
+
+
+# --------------------------------------------------------------------------
+# dsir_reweighting_eval — did the importance weighting WORK? Selects the
+# DSIR_EVAL_K highest-dsir_logweight docs (rank selection, the greedy
+# variant of importance resampling) and measures KL(target || profile)
+# of the hashed-bigram bucket distribution for (a) the full raw corpus
+# and (b) the selected subset. The selection is proven useful exactly
+# when kl_selected < kl_corpus — the measure-don't-guess companion of
+# text_dsir_weights, same contract as the ANN/dedup recall evals: every
+# approximate/selective path carries a query that measures it.
+#
+# Determinism: selection ranks on the already-deterministic integer-
+# derived logweight (doc_id tie-break, TakeOrderedAndProject); all
+# three profiles come from ONE conditional aggregate over the feature
+# stream; every KL term uses Laplace-smoothed proportions of exact
+# integers with the per-bucket contribution snapped to integer NANO
+# before the sum (the PSI ln() guard-band discipline), and all
+# DSIR_BUCKETS buckets are explicitly enumerated so empty buckets
+# contribute identically in both engines.
+#
+# 100 TB shape: the corpus-sized feature explode runs twice (once
+# inside text_dsir_weights, once for the profile aggregate); everything
+# after runs on the 1024-row bucket spine.
+#
+# Measured finding on this synthetic corpus: improved = FALSE — every
+# lang shares one English-ish vocabulary by construction, so the
+# target-vs-corpus gap (KL ~0.022) is smaller than the sampling noise a
+# 100-doc subset introduces (KL ~0.048). That is the eval doing its
+# job: on data where the target is not distributionally distinct, DSIR
+# selection cannot help, and this query says so with a number instead
+# of letting the pipeline assume otherwise.
+# --------------------------------------------------------------------------
+DSIR_EVAL_K = 100
+
+
+def _dsir_eval_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    nb = DSIR_BUCKETS
+    return f"""
+WITH w AS ({ORACLES["text_dsir_weights"]}),
+sel AS (SELECT doc_id FROM w
+        ORDER BY dsir_logweight DESC, doc_id ASC LIMIT {DSIR_EVAL_K}),
+t AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents),
+big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t),
+feat AS (SELECT doc_id, lang, {_SQL_BG_HASH} % {nb} AS b FROM big),
+cnt AS (
+  SELECT b,
+         COUNT(*) AS n_all,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+           AS n_t,
+         SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_sel
+  FROM feat f LEFT JOIN sel s USING (doc_id)
+  GROUP BY b),
+spine AS (SELECT UNNEST(generate_series(0, {nb - 1})) AS b),
+g AS (
+  SELECT sp.b,
+         COALESCE(c.n_all, 0) AS n_all,
+         COALESCE(c.n_t, 0) AS n_t,
+         COALESCE(c.n_sel, 0) AS n_sel
+  FROM spine sp LEFT JOIN cnt c ON c.b = sp.b),
+tot AS (SELECT SUM(n_all) AS s_all, SUM(n_t) AS s_t, SUM(n_sel) AS s_sel
+        FROM g),
+term AS (
+  SELECT CAST(ROUND((CAST(g.n_t + 1 AS DOUBLE) / (tot.s_t + {nb}))
+                    * ln((CAST(g.n_t + 1 AS DOUBLE) / (tot.s_t + {nb}))
+                         / (CAST(g.n_all + 1 AS DOUBLE)
+                            / (tot.s_all + {nb})))
+                    * 1000000000) AS BIGINT) AS kc,
+         CAST(ROUND((CAST(g.n_t + 1 AS DOUBLE) / (tot.s_t + {nb}))
+                    * ln((CAST(g.n_t + 1 AS DOUBLE) / (tot.s_t + {nb}))
+                         / (CAST(g.n_sel + 1 AS DOUBLE)
+                            / (tot.s_sel + {nb})))
+                    * 1000000000) AS BIGINT) AS ks
+  FROM g, tot)
+SELECT CAST({DSIR_EVAL_K} AS BIGINT) AS k_selected,
+       CAST(SUM(kc) AS BIGINT) AS kl_corpus_nano,
+       CAST(SUM(ks) AS BIGINT) AS kl_selected_nano,
+       SUM(ks) < SUM(kc) AS improved
+FROM term
+"""
+
+
+@register("dsir_reweighting_eval", oracle=None)  # composed below
+def dsir_reweighting_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    nb = DSIR_BUCKETS
+    sel = (text_dsir_weights(spark, sf_dir)
+           .orderBy(F.col("dsir_logweight").desc(), F.col("doc_id").asc())
+           .limit(DSIR_EVAL_K)
+           .select("doc_id", F.lit(1).alias("in_sel")))
+    docs = read_table(spark, sf_dir, "documents")
+    big = spread(docs).select("doc_id", "lang",
+                              F.explode(shingles(tokens(F.col("text")), 2))
+                               .alias("bg"))
+    feat = (big.select("doc_id", "lang",
+                       (hash64(F.col("bg")) % nb).alias("b"))
+               .join(F.broadcast(sel), "doc_id", "left"))
+    cnt = feat.groupBy("b").agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0))
+         .alias("n_t"),
+        F.sum(F.when(F.col("in_sel").isNotNull(), 1).otherwise(0))
+         .alias("n_sel"))
+    spine = spark.range(nb).select(F.col("id").alias("b"))
+    g = (spine.join(F.broadcast(cnt), "b", "left")
+              .select("b",
+                      F.coalesce("n_all", F.lit(0)).alias("n_all"),
+                      F.coalesce("n_t", F.lit(0)).alias("n_t"),
+                      F.coalesce("n_sel", F.lit(0)).alias("n_sel"))
+              .persist())
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "dsir_reweighting_eval:buckets", g)
+    tot = g.agg(F.sum("n_all").alias("s_all"), F.sum("n_t").alias("s_t"),
+                F.sum("n_sel").alias("s_sel"))
+    pt = (F.col("n_t") + 1).cast("double") / (F.col("s_t") + nb)
+    pc = (F.col("n_all") + 1).cast("double") / (F.col("s_all") + nb)
+    ps = (F.col("n_sel") + 1).cast("double") / (F.col("s_sel") + nb)
+    kc = F.round(pt * F.log(pt / pc) * F.lit(1e9)).cast("long")
+    ks = F.round(pt * F.log(pt / ps) * F.lit(1e9)).cast("long")
+    return (g.crossJoin(F.broadcast(tot))
+             .select(kc.alias("kc"), ks.alias("ks"))
+             .agg(F.lit(DSIR_EVAL_K).cast("long").alias("k_selected"),
+                  F.sum("kc").cast("long").alias("kl_corpus_nano"),
+                  F.sum("ks").cast("long").alias("kl_selected_nano"),
+                  (F.sum("ks") < F.sum("kc")).alias("improved")))
+
+
+_reg_deferred("dsir_reweighting_eval", _dsir_eval_oracle)

@@ -512,3 +512,66 @@ def referential_integrity_audit(spark: SparkSession,
                         .cast("long").alias("orphan_ppm")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# orders_schema_evolution_read — SCHEMA EVOLUTION across parquet slices:
+# an "old ingest" slice written WITHOUT o_orderpriority and a "new
+# ingest" slice written WITH it are read back as ONE dataset via
+# mergeSchema; rows from the old slice surface the added column as NULL
+# and the audit rolls revenue up per (priority-or-MISSING). The
+# lakehouse capability every long-lived table eventually needs — a
+# column added mid-history must not fork the table into two reads — and
+# the registered-query contract proves the merged read end to end (the
+# oracle regenerates the same dataset from the orders table with the
+# slice rule inlined).
+#
+# Determinism: the slice assignment is o_orderkey parity; revenue is
+# exact integer cents; the merged schema is (old ∪ new) by Spark's
+# mergeSchema contract, asserted by the NULL->'MISSING' bucket.
+#
+# 100 TB shape: mergeSchema costs a footer read per file at planning
+# (bounded by file count, not rows); the aggregate is one map-side
+# partial groupBy on a low-cardinality key. The staging write is the
+# test fixture, not the measured shape.
+# --------------------------------------------------------------------------
+@register("orders_schema_evolution_read", oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE 'MISSING' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1
+""")
+def orders_schema_evolution_read(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from hdfs_with_pyspark_spark.session import scratch_dir
+
+    ensure_session(spark)
+    sf_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = scratch_dir(spark, f"schema_evolution_{sf_key}")
+    orders = read_table(spark, sf_dir, "orders")
+    # "Old ingest": the column does not exist yet. "New ingest": it
+    # does. Distinct physical schemas in one directory tree.
+    (orders.where(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey", "o_totalprice")
+           .write.mode("overwrite")
+           .parquet(os.path.join(root, "ingest=v1")))
+    (orders.where(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", "o_totalprice", "o_orderpriority")
+           .write.mode("overwrite")
+           .parquet(os.path.join(root, "ingest=v2")))
+    merged = (spark.read.option("mergeSchema", "true")
+                   .option("basePath", root)
+                   .parquet(os.path.join(root, "ingest=v1"),
+                            os.path.join(root, "ingest=v2")))
+    return (merged.groupBy(F.coalesce(F.col("o_orderpriority"),
+                                      F.lit("MISSING")).alias("priority"))
+                  .agg(F.count("*").cast("long").alias("n_orders"),
+                       F.sum(F.expr(
+                           "CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+                        .cast("long").alias("revenue_cents")))

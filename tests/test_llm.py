@@ -1529,3 +1529,25 @@ def test_psi_zero_on_identical_halves_and_large_on_disjoint(spark,
                         lambda s, d_, n: frame([lo] * 5, [hi] * 5))
     r = tx.quality_psi_drift(spark, "x").first()
     assert r.psi_nano > tx.PSI_INVESTIGATE_NANO and r.drifted
+
+
+def test_dsir_eval_selecting_everything_is_identity(spark, sf_dir,
+                                                    monkeypatch):
+    """KL terms are Gibbs-nonnegative up to nano snapping, and when the
+    selection covers the whole corpus (K >= n_docs) the selected
+    profile IS the corpus profile, so the two KLs must be equal."""
+    from hdfs_with_pyspark_spark.llm import text as tx
+    r = tx.dsir_reweighting_eval(spark, sf_dir).first()
+    # 1024 snapped terms, each within 0.5 nano of its exact value.
+    assert r.kl_corpus_nano >= -1024
+    assert r.kl_selected_nano >= -1024
+
+    docs = spark.createDataFrame(
+        [(i, "s", "en" if i % 2 == 0 else "de",
+          f"tok{i} tok{i + 1} tok{i + 2} tok{i + 3}")
+         for i in range(20)],
+        "doc_id long, source string, lang string, text string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.dsir_reweighting_eval(spark, "x").first()
+    assert r.kl_selected_nano == r.kl_corpus_nano
+    assert not r.improved
