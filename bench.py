@@ -146,6 +146,7 @@ HEADLINE = [
     "quality_psi_drift",
     "orders_schema_evolution_read",
     "dsir_reweighting_eval",
+    "dedup_containment",
 ]
 
 

@@ -1508,3 +1508,83 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("n_pairs"),
                   F.countDistinct(F.when(hit, F.col("doc_b")))
                    .cast("long").alias("n_dup_docs")))
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — ASYMMETRIC near-dup: containment C(A, B) =
+# |A ∩ B| / |A| over the 3-gram shingle sets, catching the
+# doc-inside-doc cases Jaccard structurally misses (a quoted article, a
+# README pasted into a larger page: inter/union is small when the
+# container is long, but inter/|contained| is ~1). The pair orients
+# (contained_doc, container_doc) by the smaller shingle set (doc_id
+# tie-break) and thresholds on the contained side's coverage — the
+# signal that drives "drop the quote, keep the source" curation, the
+# third dedup geometry after symmetric Jaccard and span-level overlap.
+#
+# Determinism: set sizes and intersections are exact integers over the
+# capped shingle universe (same SHINGLE_DF_CAP hot-shingle mitigation,
+# applied identically in both engines); the orientation rule is a total
+# order; the output rounds the exact ratio to 6.
+#
+# 100 TB shape: the same bounded inverted-index co-occurrence join as
+# dedup_ngram_jaccard_capped (per-key fan-out bounded by df_cap^2);
+# nothing new shuffles.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register("dedup_containment", oracle=f"""
+WITH {_sql_shingles()},
+hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > {SHINGLE_DF_CAP}),
+shc AS (SELECT doc_id, h FROM shh WHERE h NOT IN (SELECT h FROM hot)),
+n AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+j AS (
+  SELECT co.doc_a, co.doc_b, co.inter, na.n AS na, nb.n AS nb
+  FROM co
+  JOIN n na ON na.doc_id = co.doc_a
+  JOIN n nb ON nb.doc_id = co.doc_b)
+SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_a ELSE doc_b END AS contained_doc,
+       CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS container_doc,
+       ROUND(inter * 1.0 / LEAST(na, nb), 6) AS containment
+FROM j
+WHERE inter * 1.0 / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    # Same hot-shingle cap discipline as _jaccard_pairs(df_cap=...):
+    hot = (shh.groupBy("h").agg(F.count("*").alias("df"))
+              .where(F.col("df") > SHINGLE_DF_CAP).select("h"))
+    hot_hashes = [r["h"] for r in hot.limit(10_001).collect()]
+    shc = shh
+    if len(hot_hashes) <= 10_000:
+        if hot_hashes:
+            shc = shh.where(~F.col("h").isin(hot_hashes))
+    else:
+        shc = shh.join(hot, "h", "left_anti")
+    counts = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    co = (shc.alias("a")
+             .join(shc.alias("b"),
+                   (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    j = (co.join(counts.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+           .join(counts.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b"))
+    a_contained = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
+    raw = F.col("inter") / F.least("na", "nb")
+    return (j.where(raw >= CONTAINMENT_THRESHOLD)
+             .select(F.when(a_contained, F.col("doc_a"))
+                      .otherwise(F.col("doc_b")).alias("contained_doc"),
+                     F.when(a_contained, F.col("doc_b"))
+                      .otherwise(F.col("doc_a")).alias("container_doc"),
+                     F.round(raw, 6).alias("containment")))

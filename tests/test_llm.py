@@ -1551,3 +1551,27 @@ def test_dsir_eval_selecting_everything_is_identity(spark, sf_dir,
     r = tx.dsir_reweighting_eval(spark, "x").first()
     assert r.kl_selected_nano == r.kl_corpus_nano
     assert not r.improved
+
+
+def test_containment_hand_case_and_orientation(spark, monkeypatch):
+    """A short doc fully quoted inside a long doc must surface as
+    (contained=short, container=long) with containment 1.0 even though
+    its Jaccard is far below the near-dup threshold; two unrelated docs
+    must not pair."""
+    short = "alpha beta gamma delta epsilon"          # 3 shingles
+    long_ = short + " " + " ".join(f"z{k} z{k}x y{k}" for k in range(12))
+    other = " ".join(f"q{k} r{k} s{k}" for k in range(10))
+    docs = spark.createDataFrame(
+        [(1, "s", "en", short), (2, "s", "en", long_),
+         (3, "s", "en", other)],
+        "doc_id long, source string, lang string, text string")
+    from hdfs_with_pyspark_spark.llm import dedup as dd2
+    monkeypatch.setattr(dd2, "read_table", lambda s, d, n: docs)
+    rows = dd2.dedup_containment(spark, "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.contained_doc, r.container_doc) == (1, 2)
+    assert r.containment == 1.0
+    # And symmetric Jaccard on the same pair sits far below ITS gate:
+    jac = dd2.dedup_ngram_jaccard(spark, "x").collect()
+    assert not any({p.doc_a, p.doc_b} == {1, 2} for p in jac)
