@@ -147,6 +147,8 @@ HEADLINE = [
     "orders_schema_evolution_read",
     "dsir_reweighting_eval",
     "dedup_containment",
+    "score_lift_table",
+    "channel_conductance_audit",
 ]
 
 

@@ -3084,3 +3084,123 @@ def dsir_reweighting_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("dsir_reweighting_eval", _dsir_eval_oracle)
+
+
+# --------------------------------------------------------------------------
+# score_lift_table — the decile gains/lift table for the quality score
+# as a ranker of the lang == 'en' target: corpus ranked by score into
+# ten equal-population bands (boundaries from the VALUE HISTOGRAM, the
+# quality_outlier_mad discipline — never a global NTILE sort), each
+# decile reporting its positive count, rate, cumulative capture, and
+# lift vs the base rate. The model-eval artifact a ranking-based
+# curation pipeline reads next to AUC (threshold-free) and the
+# calibration bins (probability quality): "how much of the target do
+# the top-k% of docs capture".
+#
+# Determinism: decile boundaries are "smallest score value whose
+# cumulative frequency reaches ceil(d*n/10)" over the <= 10001-value
+# histogram — integer-exact, tie-free; rows with equal scores land in
+# the SAME decile (bands are half-open value ranges, so the table is
+# invariant to row order, unlike NTILE); all rates are ppm floor
+# divisions.
+#
+# 100 TB shape: one doc scan -> (qu, y) histogram groupBy; boundaries,
+# bands, and the final table all run on <= 10001-row frames; cumulative
+# windows order distinct score values only.
+# --------------------------------------------------------------------------
+LIFT_DECILES = 10
+
+
+def _score_lift_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    nd = LIFT_DECILES
+    return f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (SELECT CAST(ROUND(quality_score * 10000) AS BIGINT) AS qu,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM q),
+h AS (SELECT qu, COUNT(*) AS f, SUM(y) AS pos FROM j GROUP BY qu),
+n AS (SELECT SUM(f) AS n_total, SUM(pos) AS pos_total FROM h),
+c AS (SELECT qu, f, pos,
+             SUM(f) OVER (ORDER BY qu DESC) AS cum
+      FROM h),
+d AS (SELECT ds.d, MAX(c.qu) AS lo
+      FROM (SELECT UNNEST(generate_series(1, {nd})) AS d) ds
+      CROSS JOIN n CROSS JOIN c
+      WHERE c.cum >= (ds.d * n.n_total + {nd - 1}) // {nd}
+      GROUP BY ds.d),
+band AS (
+  SELECT c.qu, c.f, c.pos,
+         MIN(d.d) AS decile
+  FROM c JOIN d ON c.qu >= d.lo
+  GROUP BY c.qu, c.f, c.pos),
+agg AS (
+  SELECT decile, SUM(f) AS n_docs, SUM(pos) AS n_pos
+  FROM band GROUP BY decile),
+cumagg AS (
+  SELECT decile, n_docs, n_pos,
+         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos
+  FROM agg)
+SELECT CAST(a.decile AS BIGINT) AS decile,
+       CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.n_pos AS BIGINT) AS n_pos,
+       CAST((1000000 * a.n_pos) // a.n_docs AS BIGINT) AS pos_rate_ppm,
+       CAST((1000000 * a.cum_pos) // GREATEST(n.pos_total, 1) AS BIGINT)
+         AS cum_capture_ppm,
+       CAST(((1000000 * a.n_pos) // a.n_docs) * n.n_total
+            // GREATEST(n.pos_total, 1) AS BIGINT) AS lift_ppm
+FROM cumagg a CROSS JOIN n
+"""
+
+
+@register("score_lift_table", oracle=None)  # composed below
+def score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    nd = LIFT_DECILES
+    q = text_quality_score(spark, sf_dir)
+    j = q.select(F.expr("CAST(ROUND(quality_score * 10000) AS BIGINT)")
+                  .alias("qu"),
+                 F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    h = (j.groupBy("qu").agg(F.count("*").alias("f"),
+                             F.sum("y").alias("pos"))
+          .persist())
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, "score_lift_table:hist", h)
+    n = h.agg(F.sum("f").alias("n_total"),
+              F.sum("pos").alias("pos_total"))
+    w_c = (Window.orderBy(F.col("qu").desc())
+                 .rangeBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    c = h.withColumn("cum", F.sum("f").over(w_c))
+    ds = spark.range(1, nd + 1).select(F.col("id").alias("d"))
+    # lo(d) = the LOWEST score value whose descending-cumulative count
+    # reaches ceil(d*n/10): docs with qu >= lo(d) are "the top d/10".
+    d = (F.broadcast(ds).crossJoin(F.broadcast(n)).crossJoin(c)
+         .where(F.col("cum")
+                >= F.expr(f"(d * n_total + {nd - 1}) div {nd}"))
+         .groupBy("d").agg(F.max("qu").alias("lo")))
+    band = (c.join(F.broadcast(d), F.col("qu") >= F.col("lo"))
+             .groupBy("qu", "f", "pos")
+             .agg(F.min("d").alias("decile")))
+    agg = (band.groupBy("decile")
+               .agg(F.sum("f").alias("n_docs"),
+                    F.sum("pos").alias("n_pos")))
+    w_cum = (Window.orderBy("decile")
+                   .rangeBetween(Window.unboundedPreceding,
+                                 Window.currentRow))
+    cumagg = agg.withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+    return (cumagg.crossJoin(F.broadcast(n))
+            .select(F.col("decile").cast("long").alias("decile"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    F.expr("(1000000 * n_pos) div n_docs").cast("long")
+                     .alias("pos_rate_ppm"),
+                    F.expr("(1000000 * cum_pos)"
+                           " div greatest(pos_total, 1)")
+                     .cast("long").alias("cum_capture_ppm"),
+                    F.expr("((1000000 * n_pos) div n_docs) * n_total"
+                           " div greatest(pos_total, 1)").cast("long")
+                     .alias("lift_ppm")))
+
+
+_reg_deferred("score_lift_table", _score_lift_oracle)

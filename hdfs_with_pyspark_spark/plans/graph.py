@@ -998,3 +998,126 @@ def channel_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("m_intra"),
                       F.col("d_c").cast("long").alias("degree_total"),
                       q.cast("long").alias("q_contrib_ppm")))
+
+
+# --------------------------------------------------------------------------
+# channel_conductance_audit — the CUT-side partition metric next to
+# channel_modularity_audit's density side: conductance phi(c) =
+# cut(c) / min(vol(c), vol(rest)) per primary-channel community over
+# the capped co-membership graph, where cut(c) counts edges with
+# exactly one endpoint in c and vol is the community's degree mass. Low
+# conductance = a real cluster (few escaping edges); modularity can
+# reward size where conductance exposes leaky boundaries — reading both
+# is the standard partition-quality practice.
+#
+# Determinism: same capped edge set, same min-channel partition, exact
+# integer edge/degree counts; phi is a ppm floor division with the
+# min() denominator guarded to 1.
+#
+# 100 TB shape: shares channel_modularity_audit's bounded machinery
+# (cap^2 edge fan-out per channel, one groupBy(user) partition, two
+# narrow user-keyed joins); the cut classification is a map-side
+# equality on the already-joined endpoints.
+# --------------------------------------------------------------------------
+@register("channel_conductance_audit", oracle=f"""
+WITH subs AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS channel
+  FROM events
+  WHERE event_type = 'signup'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+capped AS (
+  SELECT user_id, channel FROM (
+    SELECT user_id, channel,
+           ROW_NUMBER() OVER (PARTITION BY channel
+                              ORDER BY user_id ASC) AS rn
+    FROM subs)
+  WHERE rn <= {PR_CHANNEL_CAP}),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM capped a JOIN capped b USING (channel)
+  WHERE a.user_id < b.user_id),
+part AS (SELECT user_id, MIN(channel) AS community FROM subs
+         GROUP BY user_id),
+lab AS (
+  SELECT pu.community AS cu, pv.community AS cv
+  FROM edges e
+  JOIN part pu ON pu.user_id = e.u
+  JOIN part pv ON pv.user_id = e.v),
+tot AS (SELECT 2 * COUNT(*) AS vol_all FROM lab),
+stats AS (
+  SELECT community,
+         SUM(intra) AS m_intra, SUM(cut) AS cut_edges,
+         SUM(vol) AS volume
+  FROM (
+    SELECT cu AS community,
+           CASE WHEN cu = cv THEN 1 ELSE 0 END AS intra,
+           CASE WHEN cu = cv THEN 0 ELSE 1 END AS cut,
+           CASE WHEN cu = cv THEN 2 ELSE 1 END AS vol
+    FROM lab
+    UNION ALL
+    SELECT cv, 0, CASE WHEN cu = cv THEN 0 ELSE 1 END,
+           CASE WHEN cu = cv THEN 0 ELSE 1 END
+    FROM lab)
+  GROUP BY community)
+SELECT s.community,
+       CAST(s.m_intra AS BIGINT) AS m_intra,
+       CAST(s.cut_edges AS BIGINT) AS cut_edges,
+       CAST(s.volume AS BIGINT) AS volume,
+       CAST((1000000 * s.cut_edges)
+            // GREATEST(LEAST(s.volume, t.vol_all - s.volume), 1)
+            AS BIGINT) AS conductance_ppm
+FROM stats s CROSS JOIN tot t
+""")
+def channel_conductance_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    ev = read_table(spark, sf_dir, "events")
+    channel = F.get_json_object("props", "$.k").cast("long")
+    subs = (ev.where((F.col("event_type") == "signup")
+                     & channel.isNotNull())
+              .select("user_id", channel.alias("channel"))
+              .distinct())
+    w_cap = Window.partitionBy("channel").orderBy(F.col("user_id").asc())
+    capped = (subs.withColumn("__rn", F.row_number().over(w_cap))
+                  .where(F.col("__rn") <= PR_CHANNEL_CAP)
+                  .drop("__rn"))
+    edges = (capped.alias("a")
+             .join(capped.alias("b"), "channel")
+             .where(F.col("a.user_id") < F.col("b.user_id"))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct())
+    part = subs.groupBy("user_id").agg(F.min("channel").alias("community"))
+    pu = part.select(F.col("user_id").alias("u"),
+                     F.col("community").alias("cu"))
+    pv = part.select(F.col("user_id").alias("v"),
+                     F.col("community").alias("cv"))
+    lab = (edges.join(pu, "u").join(pv, "v")
+                .select("cu", "cv")
+                .persist())
+    _pin_result(spark, "channel_conductance_audit:lab", lab)
+    tot = lab.agg((2 * F.count("*")).alias("vol_all"))
+    intra = F.when(F.col("cu") == F.col("cv"), 1).otherwise(0)
+    cut = F.when(F.col("cu") == F.col("cv"), 0).otherwise(1)
+    side_u = lab.select(F.col("cu").alias("community"),
+                        intra.alias("intra"), cut.alias("cut"),
+                        F.when(F.col("cu") == F.col("cv"), 2).otherwise(1)
+                         .alias("vol"))
+    side_v = lab.select(F.col("cv").alias("community"),
+                        F.lit(0).alias("intra"), cut.alias("cut"),
+                        F.when(F.col("cu") == F.col("cv"), 0).otherwise(1)
+                         .alias("vol"))
+    stats = (side_u.unionByName(side_v)
+                   .groupBy("community")
+                   .agg(F.sum("intra").alias("m_intra"),
+                        F.sum("cut").alias("cut_edges"),
+                        F.sum("vol").alias("volume")))
+    return (stats.crossJoin(F.broadcast(tot))
+            .select("community",
+                    F.col("m_intra").cast("long").alias("m_intra"),
+                    F.col("cut_edges").cast("long").alias("cut_edges"),
+                    F.col("volume").cast("long").alias("volume"),
+                    F.expr("(1000000 * cut_edges) div"
+                           " greatest(least(volume, vol_all - volume), 1)")
+                     .cast("long").alias("conductance_ppm")))

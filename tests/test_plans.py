@@ -1255,3 +1255,46 @@ def test_hhi_bounds(spark, sf_dir):
         assert r.hhi_ppm >= (r.top_share_ppm * r.top_share_ppm) // 1_000_000
         if r.n_suppliers == 1:
             assert r.hhi_ppm == 1_000_000
+
+
+def test_conductance_hand_graph_and_volume_identity(spark, monkeypatch):
+    # Same hand graph as the modularity test: communities 1 = {1, 2},
+    # 2 = {3}; edges (1,2) intra, (2,3) cut. vol(c) must equal
+    # 2*m_intra + cut, and the single cut edge is maximally leaky for
+    # both sides (phi = 1e6 against the min-side volume).
+    from hdfs_with_pyspark_spark.plans import graph as g
+    rows = [(1, "signup", 1, '{"k": 1}'), (2, "signup", 2, '{"k": 1}'),
+            (3, "signup", 2, '{"k": 2}'), (4, "signup", 3, '{"k": 2}')]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, props string")
+    monkeypatch.setattr(g, "read_table", lambda s, d, n: ev)
+    out = {r.community: r for r in
+           g.channel_conductance_audit(spark, "x").collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.volume == 2 * r.m_intra + r.cut_edges
+    assert (out[1].m_intra, out[1].cut_edges, out[1].volume) == (1, 1, 3)
+    assert (out[2].m_intra, out[2].cut_edges, out[2].volume) == (0, 1, 1)
+    assert out[1].conductance_ppm == 1_000_000
+    assert out[2].conductance_ppm == 1_000_000
+
+
+def test_lift_table_accounting(spark, sf_dir):
+    # Deciles partition the corpus (doc counts sum to n), positives sum
+    # to the corpus positive count, cumulative capture is monotone and
+    # ends at 1e6, and each decile holds >= 1/20 of the corpus (equal
+    # bands up to value-tie spill).
+    from hdfs_with_pyspark_spark.llm import text as tx
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(tx.score_lift_table(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_pos = docs.where(F.col("lang") == "en").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.n_pos for r in rows) == n_pos
+    caps = [r.cum_capture_ppm for r in rows]
+    assert caps == sorted(caps)
+    assert caps[-1] == 1_000_000
