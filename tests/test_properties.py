@@ -22,12 +22,20 @@ SLOW = settings(max_examples=8, deadline=None,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 
-def _haversine(lat1, lon1, lat2, lon2):
+def _hav_kernel(lat1, lon1, lat2, lon2):
+    """The engine's ACTUAL argmin key (operators/spatial.py): the
+    pre-asin haversine kernel a = sin^2(dlat/2) + cos cos sin^2(dlon/2),
+    with the engine's exact operation order. Modeling the full
+    2R*asin(sqrt(a)) distance instead is WRONG at float boundaries:
+    asin(sqrt(.)) compresses near-ties, so two cities whose kernels
+    differ can round to bit-equal distances — the model would then
+    apply its id tiebreak where the engine (correctly, more precisely)
+    still sees a strict order. Hypothesis found exactly that case
+    (cities 1.19e-07 degrees apart)."""
     k = math.pi / 180
-    a = (math.sin((lat2 - lat1) * k / 2) ** 2
-         + math.cos(lat1 * k) * math.cos(lat2 * k)
-         * math.sin((lon2 - lon1) * k / 2) ** 2)
-    return 2 * 6371.0 * math.asin(math.sqrt(a))
+    s1 = math.sin((lat1 - lat2) * k / 2.0)
+    s2 = math.sin((lon1 - lon2) * k / 2.0)
+    return s1 ** 2 + math.cos(lat1 * k) * math.cos(lat2 * k) * s2 ** 2
 
 
 coord = st.tuples(st.floats(min_value=-80, max_value=80),
@@ -48,12 +56,13 @@ def test_nearest_city_total_and_argmin(spark, points, cities):
            for r in nearest_city(pts, cts).collect()}
     # total: every point assigned exactly once
     assert set(out) == set(range(len(points)))
-    # argmin with lowest-id tiebreak matches the Python model
+    # argmin with lowest-id tiebreak matches the Python model of the
+    # engine's kernel comparison (lexicographic min over (a, id) —
+    # exactly the struct least() the engine emits)
     for i, (la, lo) in enumerate(points):
-        dists = [(_haversine(la, lo, cla, clo), cid)
+        dists = [(_hav_kernel(la, lo, cla, clo), cid)
                  for cid, (cla, clo) in enumerate(cities)]
-        best = min(dists)[0]
-        want = min(cid for d, cid in dists if d == best)
+        want = min(dists)[1]
         assert out[i] == want
 
 
@@ -510,3 +519,23 @@ def test_token_gini_matches_python_model(spark, monkeypatch, lengths):
     t = sum((i + 1) * x for i, x in enumerate(xs))
     assert (r["n_docs"], r["total_tokens"]) == (n, s)
     assert r["gini_ppm"] == (1_000_000 * (2 * t - (n + 1) * s)) // (n * s)
+
+
+def test_nearest_city_kernel_beats_distance_rounding(spark):
+    """The Hypothesis-found float-boundary case, pinned: two cities
+    1.192e-07 degrees apart from a point at (8, 0). Their full
+    asin(sqrt(.)) distances round to bit-equal doubles, but the
+    kernel sees the strict order — the engine must pick the TRULY
+    nearer city (id 1 at lon 0.0), not the lower id."""
+    pts = spark.createDataFrame([(0, 8.0, 0.0)],
+                                "pid int, lat double, lon double")
+    cts = spark.createDataFrame(
+        [(0, "c0", 0.0, 1.192092896e-07), (1, "c1", 0.0, 0.0)],
+        "city_id int, city string, city_lat double, city_lon double")
+    out = {r["pid"]: r["city_id"] for r in nearest_city(pts, cts).collect()}
+    a0 = _hav_kernel(8.0, 0.0, 0.0, 1.192092896e-07)
+    a1 = _hav_kernel(8.0, 0.0, 0.0, 0.0)
+    assert a1 < a0                       # the kernel sees the order
+    d = lambda a: 2 * 6371.0 * math.asin(math.sqrt(a))
+    assert d(a0) == d(a1)                # the distance rounds it away
+    assert out[0] == 1
