@@ -1716,8 +1716,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: percent_rank is (rank-1)/(n-1) over integer counts with
 # ties sharing a rank — identical in both engines, no float-order
-# hazard. Scale: one shuffle on source (low cardinality -> AQE skew
-# splitting applies); the quality signals themselves are map-side.
+# hazard.
+#
+# Scale (the customer_value_ranks class, r8 lowcard-sweep finding): the
+# oracle's window form partitions doc-level rows by source — a constant
+# ~19-value key, so one task sorts ~N/19 docs at any scale. But
+# percent_rank with tie-shared ranks is CONSTANT within a
+# (source, quality_score) value group: rank = rows-strictly-below + 1,
+# so calibrated = n_below / (n - 1) computes entirely on the per-source
+# score HISTOGRAM (bounded by the score grid, not by |docs|) and
+# broadcast-joins back. No fact-scale window; values bit-identical.
 # --------------------------------------------------------------------------
 QUALITY_CAL_DROP = 0.2
 
@@ -1746,10 +1754,25 @@ def quality_score_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy("quality_score")
-    return (q.join(src, "doc_id")
-             .withColumn("calibrated",
-                         F.round(F.percent_rank().over(w), 4))
+    j = q.join(src, "doc_id")
+    hist = (j.groupBy("source", "quality_score")
+             .agg(F.count("*").alias("g_n")))
+    wv = Window.partitionBy("source").orderBy("quality_score")
+    seg = (hist.select("source", "quality_score",
+                       (F.sum("g_n").over(wv) - F.col("g_n"))
+                        .alias("n_below"),
+                       F.sum("g_n").over(
+                           wv.rangeBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing))
+                        .alias("n"))
+               .withColumn("calibrated",
+                           F.round(F.when(F.col("n") > 1,
+                                          F.col("n_below")
+                                          / (F.col("n") - 1))
+                                    .otherwise(F.lit(0.0)), 4)))
+    return (j.join(F.broadcast(seg.select(
+                       "source", "quality_score", "calibrated")),
+                   ["source", "quality_score"])
              .select("doc_id", "source", "quality_score", "calibrated",
                      (F.col("calibrated") >= F.lit(QUALITY_CAL_DROP))
                       .cast("int").alias("keep")))

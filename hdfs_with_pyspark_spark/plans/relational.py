@@ -608,9 +608,29 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # customer_value_ranks — the ranking-function family the reference never
 # uses (SURVEY.md §2.5 "absent" list): ntile quartiles, percent_rank,
-# cume_dist, and lead, all over one window spec — ONE sort per partition
-# serves all four functions (they share the (mktsegment, acctbal, custkey)
-# ordering, so Catalyst plans a single Window node).
+# cume_dist, and lead, for every customer ordered by
+# (mktsegment, acctbal, custkey).
+#
+# Scale (VERDICT r7 item 1): the earlier form windowed the WHOLE customer
+# dimension over `Window.partitionBy(c_mktsegment)` — a 5-value key, so at
+# 100x the dim each segment (~N/5 rows) sorts through ONE task: the same
+# failure class as the fixed RFM ntile, hidden behind a constant-cardinality
+# partition key instead of an `Exchange SinglePartition`. This form derives
+# identical values without any fact-scale low-cardinality window:
+#   1. ONE aggregate builds the (segment, acctbal) value-group frame —
+#      bounded by the 2-dp balance grid, not by |customer|;
+#   2. running counts / next-group-first over THAT post-aggregate frame
+#      (the score-group trick the AUC family uses);
+#   3. each customer's global row number = rows-in-groups-below + its
+#      rank WITHIN its value group (windowed by the high-cardinality
+#      (segment, acctbal) composite — small groups at any scale);
+#   4. ntile/percent_rank/cume_dist are closed-form in (row_number, n):
+#      Spark's NTile assigns the first n%k buckets ceil(n/k) rows, so
+#      tile is integer arithmetic; custkey makes the order total, so
+#      percent_rank = (rn-1)/(n-1) and cume_dist = rn/n exactly;
+#   5. lead(custkey) = next row in-group, else first custkey of the next
+#      value group (min custkey, since in-group order is custkey asc).
+# Values are bit-identical to the window form, which the oracle keeps.
 # --------------------------------------------------------------------------
 @register("customer_value_ranks", oracle="""
 SELECT c_custkey, c_mktsegment,
@@ -623,15 +643,44 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """)
 def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    w = (Window.partitionBy("c_mktsegment")
-               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
-    return cust.select(
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    grp = (cust.groupBy("c_mktsegment", "c_acctbal")
+               .agg(F.count("*").alias("g_n"),
+                    F.min("c_custkey").alias("g_first")))
+    wv = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc())
+    grp = grp.select(
+        "c_mktsegment", "c_acctbal",
+        (F.sum("g_n").over(wv) - F.col("g_n")).alias("n_before"),
+        F.lead("g_first").over(wv).alias("next_grp_first"))
+    seg_n = cust.groupBy("c_mktsegment").agg(F.count("*").alias("seg_n"))
+    win = (Window.partitionBy("c_mktsegment", "c_acctbal")
+                 .orderBy(F.col("c_custkey").asc()))
+    rows = (cust.join(grp, ["c_mktsegment", "c_acctbal"])
+                .join(F.broadcast(seg_n), "c_mktsegment")
+                .select("c_custkey", "c_mktsegment", "seg_n",
+                        "next_grp_first",
+                        (F.col("n_before")
+                         + F.row_number().over(win)).cast("long").alias("rn"),
+                        F.lead("c_custkey").over(win).alias("in_lead")))
+    # NTILE(4): q = floor(n/4) rows per bucket, first r = n%4 buckets get
+    # one extra. `div` keeps everything integer-exact at any n.
+    tile = F.expr("""
+        CASE WHEN rn <= (seg_n % 4) * ((seg_n div 4) + 1)
+             THEN (rn - 1) div ((seg_n div 4) + 1) + 1
+             ELSE (seg_n % 4)
+                  + (rn - (seg_n % 4) * ((seg_n div 4) + 1) - 1)
+                    div (seg_n div 4) + 1
+        END""")
+    return rows.select(
         "c_custkey", "c_mktsegment",
-        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.lead("c_custkey", 1, -1).over(w).alias("next_custkey"))
+        tile.cast("long").alias("balance_quartile"),
+        F.round(F.when(F.col("seg_n") > 1,
+                       (F.col("rn") - 1) / (F.col("seg_n") - 1))
+                 .otherwise(F.lit(0.0)), 6).alias("pct_rank"),
+        F.round(F.col("rn") / F.col("seg_n"), 6).alias("cume"),
+        F.coalesce("in_lead", "next_grp_first", F.lit(-1).cast("long"))
+         .alias("next_custkey"))
 
 
 # --------------------------------------------------------------------------
@@ -738,7 +787,16 @@ def pricing_totals_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer row carries its segment's poorest and richest customer. The
 # default frame (unbounded preceding -> current row) would make
 # last_value degenerate; the explicit full frame is the classic gotcha
-# this query pins.
+# this query pins (the oracle keeps that window form).
+#
+# Scale (the customer_value_ranks class, r8 lowcard-sweep finding): a
+# full-frame window partitioned by c_mktsegment — 5 values forever —
+# funnels ~N/5 customers through one sort task at any scale. But a
+# whole-partition FIRST/LAST over (acctbal, custkey) order is just the
+# per-segment argmin/argmax: ONE 5-row min/max-of-struct aggregate,
+# broadcast-joined back — no fact-scale window at all, bit-identical
+# values (struct ordering is lexicographic on (c_acctbal, c_custkey),
+# exactly the window's ORDER BY, and custkey makes it total).
 # --------------------------------------------------------------------------
 @register("segment_balance_span", oracle="""
 SELECT c_custkey, c_mktsegment,
@@ -751,14 +809,16 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """)
 def segment_balance_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    w = (Window.partitionBy("c_mktsegment")
-               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-               .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    return cust.select(
-        "c_custkey", "c_mktsegment",
-        F.first("c_custkey").over(w).alias("poorest_custkey"),
-        F.last("c_custkey").over(w).alias("richest_custkey"))
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    span = (cust.groupBy("c_mktsegment")
+                .agg(F.min(F.struct("c_acctbal", "c_custkey"))
+                      .getField("c_custkey").alias("poorest_custkey"),
+                     F.max(F.struct("c_acctbal", "c_custkey"))
+                      .getField("c_custkey").alias("richest_custkey")))
+    return (cust.join(F.broadcast(span), "c_mktsegment")
+                .select("c_custkey", "c_mktsegment",
+                        "poorest_custkey", "richest_custkey"))
 
 
 # --------------------------------------------------------------------------

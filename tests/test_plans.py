@@ -1046,6 +1046,162 @@ def test_sweep_no_unbounded_single_partition_exchange(spark, sf_dir):
     assert not failures, failures
 
 
+# ---------------------------------------------------------------------------
+# Low-cardinality-window sweep (VERDICT r7 item 2): the SinglePartition
+# regex above cannot see a window partitioned by a CONSTANT-cardinality
+# key — the plan shows an ordinary hash exchange, but at 100x the data
+# every one of the ~k partitions sorts ~N/k rows through one task (the
+# old customer_value_ranks shape: Window.partitionBy(c_mktsegment), a
+# 5-value key, over the raw customer dim). Mechanically: walk each
+# registered query's optimized logical plan; a Window node whose input
+# is NOT bounded (some scan leaf reaches it without crossing an
+# Aggregate / Limit / Deduplicate on that path) and whose partition
+# expressions reference ONLY base columns with a combined distinct
+# count below the core count is a scale defect. Column cardinalities
+# are measured from the sf corpus itself AT TWO scale factors: a key
+# is constant-domain only if its distinct count stays flat from the
+# small sf to the 10x sf (c_mktsegment: 5 -> 5). A key whose count
+# grows with the data (user_id: ~15 -> ~150) partitions finer as N
+# grows and is never a bottleneck, so it must not flag even though
+# the small-sf snapshot alone looks tiny. Derived/aliased partition
+# columns are unknown-cardinality and never flagged (the sweep targets
+# the silent base-column case).
+# ---------------------------------------------------------------------------
+_LOWCARD_THRESHOLD = 32  # local[32]: fewer partitions than cores
+_BOUNDING_LOGICAL = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+
+def _jseq(seq):
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _subtree_bounded(node) -> bool:
+    """True iff every leaf-to-here path crosses a row-bounding node."""
+    if node.nodeName() in _BOUNDING_LOGICAL:
+        return True
+    kids = _jseq(node.children())
+    if not kids:
+        return False
+    return all(_subtree_bounded(k) for k in kids)
+
+
+def _lowcard_window_sites(df, col_card: dict[str, int]) -> list[str]:
+    """Walks the ANALYZED plan: after cache substitution a persisted
+    post-aggregate frame becomes an InMemoryRelation LEAF that hides its
+    Aggregate, so the optimized plan would false-flag every window over a
+    pinned histogram (quality_outlier_mad, score_lift_table)."""
+    bad = []
+
+    def visit(node):
+        if node.nodeName() == "Window" and not all(
+                _subtree_bounded(k) for k in _jseq(node.children())):
+            attrs = {r.name()
+                     for e in _jseq(node.partitionSpec())
+                     for r in _jseq(e.references().toSeq())}
+            card = 1
+            for a in sorted(attrs):
+                card *= col_card.get(a, _LOWCARD_THRESHOLD)
+            if card < _LOWCARD_THRESHOLD:
+                bad.append(f"Window partitionBy{sorted(attrs)} "
+                           f"~{card} groups over unbounded input")
+        for k in _jseq(node.children()):
+            visit(k)
+
+    visit(df._jdf.queryExecution().analyzed())
+    return bad
+
+
+_COL_CARD_CACHE: dict[str, dict[str, int]] = {}
+
+
+def _column_cardinalities_one(spark, sf_dir: str) -> dict[str, int]:
+    """name -> max approx distinct count across all corpus tables (max:
+    a name is low-card only if EVERY table agrees, avoiding collisions)."""
+    import os
+
+    from pyspark.sql import functions as F
+    out: dict[str, int] = {}
+    for tbl in ("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        df = spark.read.parquet(path)
+        atomic = [f.name for f in df.schema.fields
+                  if f.dataType.typeName() not in
+                  ("array", "map", "struct", "binary")]
+        if not atomic:
+            continue
+        row = df.agg(*[F.approx_count_distinct(c).alias(c)
+                       for c in atomic]).collect()[0]
+        for c in atomic:
+            out[c] = max(out.get(c, 0), row[c])
+    return out
+
+
+def _bigger_sibling_sf(sf_dir: str) -> str | None:
+    """/root/testdata/sf0.001 -> /root/testdata/sf0.01 if it exists."""
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    if not m:
+        return None
+    bigger = sf_dir[: m.start(1)] + f"{float(m.group(1)) * 10:g}"
+    return bigger if os.path.isdir(bigger) else None
+
+
+def _column_cardinalities(spark, sf_dir: str) -> dict[str, int]:
+    """Constant-domain cardinality per column: the 10x-sf count when the
+    count stays flat (<2x growth) across scale factors, else "scales with
+    data" (mapped to the threshold so it never flags)."""
+    if sf_dir in _COL_CARD_CACHE:
+        return _COL_CARD_CACHE[sf_dir]
+    small = _column_cardinalities_one(spark, sf_dir)
+    bigger = _bigger_sibling_sf(sf_dir)
+    if bigger is None:
+        out = small  # single-sf fallback: the raw snapshot counts
+    else:
+        big = _column_cardinalities_one(spark, bigger)
+        out = {c: (big[c] if big.get(c, n) < 2 * max(n, 1)
+                   else _LOWCARD_THRESHOLD)
+               for c, n in small.items()}
+    _COL_CARD_CACHE[sf_dir] = out
+    return out
+
+
+def test_lowcard_detector_flags_known_bad_plan(spark, sf_dir):
+    # Self-test on the pre-fix customer_value_ranks shape: ntile over
+    # partitionBy(c_mktsegment) — 5 values — on the raw dim MUST flag.
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    df = cust.select("c_custkey",
+                     F.ntile(4).over(w).alias("balance_quartile"))
+    card = _column_cardinalities(spark, sf_dir)
+    assert card["c_mktsegment"] < _LOWCARD_THRESHOLD <= card["c_custkey"]
+    assert _lowcard_window_sites(df, card)
+    # ...and the same window over a value-group aggregate must NOT flag.
+    grp = cust.groupBy("c_mktsegment", "c_acctbal").count()
+    wg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    ok = grp.select("c_mktsegment", F.sum("count").over(wg).alias("running"))
+    assert not _lowcard_window_sites(ok, card)
+
+
+def test_sweep_no_lowcard_fact_scale_windows(spark, sf_dir):
+    card = _column_cardinalities(spark, sf_dir)
+    failures = {}
+    for name in QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        sites = _lowcard_window_sites(df, card)
+        if sites:
+            failures[name] = sites
+    assert not failures, failures
+
+
 def test_link_prediction_hand_graph(spark, monkeypatch):
     # Channel 1 = {1, 2}; channel 2 = {2, 3}. Edges (1,2), (2,3);
     # the only non-adjacent common-neighbor pair is (1,3) through
