@@ -1415,7 +1415,10 @@ register_deferred_oracle("dedup_cross_source_matrix",
 #
 # Determinism: thresholds are fixed ppm integers; the verified Jaccard
 # compares as an exact integer ppm floor division; zero-pair thresholds
-# keep their row (conditional aggregate, not filter-then-group).
+# keep their row — the aggregate LEFT-JOINS back onto the threshold
+# spine with 0/0 fills, so the sweep emits |thresholds| rows even when
+# the banded candidate set is empty (an empty corpus or a band scheme
+# that produces no collisions), in both engines.
 #
 # 100 TB shape: identical to dedup_minhash_lsh up through the verify;
 # the sweep itself touches |candidates| x |thresholds| conditional
@@ -1449,14 +1452,19 @@ jac AS (SELECT c.doc_a, c.doc_b,
           ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         JOIN n na ON na.doc_id = c.doc_a
         JOIN n nb ON nb.doc_id = c.doc_b),
-thr(threshold_ppm) AS (VALUES {_SQL_SWEEP_T})
+thr(threshold_ppm) AS (VALUES {_SQL_SWEEP_T}),
+agg AS (
+  SELECT thr.threshold_ppm,
+         SUM(CASE WHEN j.j_ppm >= thr.threshold_ppm THEN 1 ELSE 0 END)
+           AS n_pairs,
+         COUNT(DISTINCT CASE WHEN j.j_ppm >= thr.threshold_ppm
+                             THEN j.doc_b END) AS n_dup_docs
+  FROM thr CROSS JOIN jac j
+  GROUP BY thr.threshold_ppm)
 SELECT CAST(thr.threshold_ppm AS BIGINT) AS threshold_ppm,
-       CAST(SUM(CASE WHEN j.j_ppm >= thr.threshold_ppm THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_pairs,
-       CAST(COUNT(DISTINCT CASE WHEN j.j_ppm >= thr.threshold_ppm
-                                THEN j.doc_b END) AS BIGINT) AS n_dup_docs
-FROM thr CROSS JOIN jac j
-GROUP BY thr.threshold_ppm
+       CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(a.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+FROM thr LEFT JOIN agg a ON a.threshold_ppm = thr.threshold_ppm
 """)
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
@@ -1502,12 +1510,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = spark.createDataFrame([(t,) for t in SWEEP_THRESHOLDS_PPM],
                               "threshold_ppm long")
     hit = F.col("j_ppm") >= F.col("threshold_ppm")
-    return (F.broadcast(t).crossJoin(jac)
-             .groupBy("threshold_ppm")
-             .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long")
-                   .alias("n_pairs"),
-                  F.countDistinct(F.when(hit, F.col("doc_b")))
-                   .cast("long").alias("n_dup_docs")))
+    agg = (F.broadcast(t).crossJoin(jac)
+            .groupBy("threshold_ppm")
+            .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                  .alias("p"),
+                 F.countDistinct(F.when(hit, F.col("doc_b")))
+                  .cast("long").alias("d")))
+    return (t.join(agg, "threshold_ppm", "left")
+             .select("threshold_ppm",
+                     F.coalesce("p", F.lit(0)).cast("long")
+                      .alias("n_pairs"),
+                     F.coalesce("d", F.lit(0)).cast("long")
+                      .alias("n_dup_docs")))
 
 
 # --------------------------------------------------------------------------

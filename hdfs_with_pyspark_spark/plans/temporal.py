@@ -1778,6 +1778,7 @@ SELECT CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b,
        CAST(s.conv_b AS BIGINT) AS conv_b,
        CASE WHEN s.n_a > 0 AND s.n_b > 0
                  AND s.conv_a * s.n_b <> s.conv_b * s.n_a
+                 AND z.p1 <> z.p2
                  AND s.conv_a + s.conv_b > 0
                  AND s.conv_a + s.conv_b < s.n_a + s.n_b THEN
          CAST(CEIL((z.num * z.num)
@@ -1810,9 +1811,15 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
            + F.lit(Z_BETA_80)
            * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)))
     n_req = F.ceil((num * num) / ((p2 - p1) * (p2 - p1)))
+    # Both guards are needed: the integer cross-multiplication is the
+    # exact zero-lift test, but rationally distinct rates can still
+    # round to bit-equal DOUBLES — and it's the double (p2 - p1) that
+    # divides, so a double-equal pair would CEIL(Infinity) and error
+    # under ANSI in both engines rather than yield NULL.
     ok = ((F.col("n_a") > 0) & (F.col("n_b") > 0)
           & (F.col("conv_a") * F.col("n_b")
              != F.col("conv_b") * F.col("n_a"))
+          & (p1 != p2)
           & (F.col("conv_a") + F.col("conv_b") > 0)
           & (F.col("conv_a") + F.col("conv_b")
              < F.col("n_a") + F.col("n_b")))

@@ -895,11 +895,22 @@ def stream_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(sim, ignore_errors=True)
 
-    result = _read_parquet_if_absent(spark, snap(STREAM_IVM_BATCHES - 1))
-    if result is None:
-        return spark.createDataFrame(
-            [], "nation string, revenue_cents long, n_orders long")
-    return result.select("nation", "revenue_cents", "n_orders")
+    # The availableNow run NORMALLY produces exactly STREAM_IVM_BATCHES
+    # micro-batches (one file each under maxFilesPerTrigger=1), but a
+    # runtime is free to coalesce files into fewer triggers; every batch
+    # is folded into its snapshot either way, so the FINAL state is the
+    # highest-numbered snapshot present — resolve it instead of assuming
+    # the count, and fail loudly if the stream produced nothing (an
+    # environment fault, not an empty result).
+    last = max((int(os.path.basename(p).rsplit("_", 1)[1])
+                for p in glob.glob(os.path.join(root, "snapshot_*"))),
+               default=None)
+    if last is None:
+        raise RuntimeError(
+            f"stream_ivm_revenue: no snapshot written under {root} — the "
+            "availableNow stream ran zero micro-batches")
+    return (_read_parquet_if_absent(spark, snap(last))
+            .select("nation", "revenue_cents", "n_orders"))
 
 
 register_deferred_oracle("stream_ivm_revenue", _stream_ivm_revenue_oracle)

@@ -1396,9 +1396,9 @@ def test_training_order_audit_conservation(spark, sf_dir):
 
 
 def test_quality_outlier_mad_hand_case(spark, sf_dir, monkeypatch):
-    """Known histogram: scores 0.1 x4 and 0.9 x1 in one source.
-    n=5 -> lower median at rank 3 = 1000; deviations {0 x4, 8000 x1}
-    -> MAD at rank 3 = 0; the single 8000 deviation exceeds 3*0 and is
+    """Known histogram: scores 0.26 x4 and 0.9 x1 in one source.
+    n=5 -> lower median at rank 3 = qu 2600; deviations {0 x4, 6400 x1}
+    -> MAD at rank 3 = 0; the single 6400 deviation exceeds 3*0 and is
     the only outlier."""
     from hdfs_with_pyspark_spark.llm import text as tx
     docs = spark.createDataFrame(

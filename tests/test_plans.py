@@ -1400,6 +1400,24 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
     assert at_prod.n_pairs == lsh_pairs
 
 
+def test_threshold_sweep_empty_candidates_keep_rows(spark, monkeypatch):
+    # Documented contract (r8 ADVICE fix): a corpus whose bands never
+    # collide still emits one 0/0 row PER THRESHOLD — the aggregate
+    # left-joins back onto the threshold spine instead of vanishing
+    # with the empty candidate set.
+    from hdfs_with_pyspark_spark.llm import dedup as dd
+    docs = spark.createDataFrame(
+        [(1, "s1", "en", "alpha beta gamma delta epsilon zeta"),
+         (2, "s1", "en", "one two three four five six seven")],
+        "doc_id long, source string, lang string, text string")
+    monkeypatch.setattr(dd, "read_table", lambda s, d, n: docs)
+    rows = sorted(dd.dedup_threshold_sweep(spark, "x").collect(),
+                  key=lambda r: r.threshold_ppm)
+    assert [r.threshold_ppm for r in rows] == sorted(
+        dd.SWEEP_THRESHOLDS_PPM)
+    assert all(r.n_pairs == 0 and r.n_dup_docs == 0 for r in rows)
+
+
 def test_hhi_bounds(spark, sf_dir):
     # HHI lives in (0, 1e6]; the top supplier's squared share is a
     # lower bound; a single-supplier nation (if any) maxes out.
