@@ -247,10 +247,45 @@ def test_pillow_decoder_fallback_without_pil(spark):
         assert got[k]["frame_count"] == dflt[k]["frame_count"]
 
 
-def test_pillow_decoder_real_image_when_available(spark):
-    """When Pillow IS importable, a real PNG decodes and n_tokens is
-    the 16x16 patch count of the true pixel dimensions; skipped (not
-    silently passed) where the container has no codec."""
+def _make_bmp(w: int, h: int) -> bytes:
+    """Minimal valid 24bpp bottom-up BMP (BITMAPINFOHEADER), built with
+    stdlib struct only — the image twin of the audio test's wave-written
+    fixture."""
+    import struct
+    row = (w * 3 + 3) // 4 * 4
+    pix = b"\x00" * (row * h)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return hdr + dib + pix
+
+
+def test_image_decoder_real_bmp_always_runs(spark):
+    """A real BMP decodes and n_tokens is the 16x16 patch count of the
+    true pixel dimensions. ALWAYS runs (VERDICT r7 item 3): the
+    decoder's stdlib-struct BMP branch parses the header with zero
+    dependencies, so the real-decode path executes even in this
+    codec-less container; when PIL IS importable the same assertions
+    cover the Pillow branch instead (Pillow reads BMP natively)."""
+    bmp = _make_bmp(33, 16)
+    out = mm.pillow_image_decoder(bmp, "image")
+    assert out == {"n_tokens": 3 * 1, "frame_count": None}   # ceil(33/16)*1
+    # top-down row order (negative height) must parse identically
+    import struct
+    neg = bytearray(bmp)
+    neg[14 + 8:14 + 12] = struct.pack("<i", -16)
+    assert mm.pillow_image_decoder(bytes(neg), "image")["n_tokens"] == 3
+    # driven through the executor seam too
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [3], "modality": ["image"], "blob": [bmp]})
+    rows = list(mm._featurize_batches(mm.pillow_image_decoder)(iter([pdf])))
+    assert rows[0]["n_tokens"].iloc[0] == 3
+
+
+def test_pillow_decoder_real_png_when_available(spark):
+    """When Pillow IS importable, a real PNG decodes too; skipped (not
+    silently passed) where the container has no codec — the BMP test
+    above keeps the seam exercised regardless."""
     PIL = pytest.importorskip("PIL.Image")
     import io
     buf = io.BytesIO()
@@ -258,11 +293,6 @@ def test_pillow_decoder_real_image_when_available(spark):
     png = buf.getvalue()
     out = mm.pillow_image_decoder(png, "image")
     assert out == {"n_tokens": 3 * 1, "frame_count": None}   # ceil(33/16)*1
-    # driven through the executor seam too
-    import pandas as pd
-    pdf = pd.DataFrame({"doc_id": [3], "modality": ["image"], "blob": [png]})
-    rows = list(mm._featurize_batches(mm.pillow_image_decoder)(iter([pdf])))
-    assert rows[0]["n_tokens"].iloc[0] == 3
 
 
 def test_codec_decoder_routes_through_stub(spark):
