@@ -458,8 +458,11 @@ def _train_kmeans(vdf: DataFrame, k: int,
     IVF coarse quantizer, subvector slices for the PQ codebooks."""
     spark = vdf.sparkSession
     v2 = _with_norm(vdf, "v", "nv")
-    init = (v2.where(F.col("vec_id") < k).select("vec_id", "v")
-              .orderBy("vec_id").collect())
+    # Init = the k LOWEST vec_ids (TakeOrdered, scale-safe). For the
+    # dense 0..N corpora this is exactly the historical `vec_id < k`
+    # rule every oracle unrolls; for id-offset subsets (the incremental
+    # index trains on vec_id >= INCR_VEC_SPLIT) it stays well-defined.
+    init = (v2.select("vec_id", "v").orderBy("vec_id").limit(k).collect())
     cents: list[tuple[int, list[float]]] = [(int(r["vec_id"]), list(r["v"]))
                                             for r in init]
     for _ in range(iters):
@@ -3217,3 +3220,262 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("hit").cast("long").alias("n_overlap"),
                  F.expr("(1000000 * count(hit)) div count(*)")
                   .cast("long").alias("recall_ppm")))
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_incremental — ingest-time IVF index maintenance, the
+# similarity twin of dedup_incremental's band store (VERDICT r7 item
+# 5): a new embedding batch (vec_id < INCR_VEC_SPLIT) is assigned to
+# the PERSISTED coarse quantizer trained on the existing corpus
+# (vec_id >= INCR_VEC_SPLIT) — no retraining per ingest. The quantizer
+# and the corpus inverted lists round-trip through a parquet sink
+# exactly as a nightly vector-store ingest persists them; the batch
+# probes the re-read centroids with ONE broadcast NLJ + per-vector
+# argmax window. Per-batch cost is O(|batch| x k); the corpus
+# contributes one (vec_id, cid) row of state per vector and is never
+# re-scanned at ingest.
+#
+# Determinism: training is the standard unrolled Lloyd's (init = the k
+# lowest corpus vec_ids, ROUND(cos,6) + cid-ASC assignment, 6-dp
+# means); batch assignment uses the identical ranking rule.
+#
+# 100 TB shape: the centroid set is k x dim doubles (broadcast
+# everywhere); the ingest job never touches the stored lists except to
+# APPEND the batch's assignments — the rebuild decision is a separate,
+# measured query (ann_ivf_incr_recall_eval below, with
+# embedding_centroid_drift as the standing trigger metric).
+# --------------------------------------------------------------------------
+INCR_VEC_SPLIT = 100  # vec_id < 100 arrives as the new batch
+
+_INCR_KM_CTES, _INCR_KM_FINAL = _sql_kmeans(
+    vcte="icv", prefix="iv", k=INCR_VEC_SPLIT + N_CENTROIDS)
+
+# The corpus CTE + trained-quantizer CTE chain shared by the ingest
+# oracle and the recall eval below.
+_SQL_INCR_CENT = f"""
+icv AS (SELECT vec_id, v FROM v WHERE vec_id >= {INCR_VEC_SPLIT}),
+{_INCR_KM_CTES},
+icent AS (SELECT cid, cv FROM {_INCR_KM_FINAL})"""
+
+
+def train_incr_corpus_centroids(
+        spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Lloyd's over the pre-ingest corpus only (vec_id >= split) —
+    memoized like train_ivf_centroids, keyed separately so the full
+    and corpus-trained quantizers coexist in one session."""
+    key = (spark.sparkContext.applicationId, sf_dir,
+           "incr", INCR_VEC_SPLIT, N_CENTROIDS, KMEANS_ITERS)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    corpus = _vectors(spark, sf_dir).where(
+        F.col("vec_id") >= INCR_VEC_SPLIT)
+    cents = _train_kmeans(corpus, N_CENTROIDS, KMEANS_ITERS)
+    if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+    _CENTROID_CACHE[key] = cents
+    return cents
+
+
+def _assign_nearest(side: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """(vec_id, cid, cos_sim): each vector's nearest centroid under the
+    standard ROUND(cos,6) DESC, cid ASC rule — one broadcast NLJ +
+    argmax window, the assignment kernel every IVF consumer shares."""
+    v2 = _with_norm(side, "v", "nv")
+    c2 = _with_norm(cent_df, "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(),
+                                             F.col("cid").asc())
+    return (v2.join(F.broadcast(c2), F.lit(True))
+              .select("vec_id", "cid", cos_c.alias("cos_sim"))
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .drop("__rn"))
+
+
+def _incr_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from hdfs_with_pyspark_spark.session import scratch_dir
+    sf_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return (scratch_dir(spark, f"ivf_index_cent_{sf_key}"),
+            scratch_dir(spark, f"ivf_index_lists_{sf_key}"))
+
+
+@register("ann_ivf_incremental", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_INCR_CENT},
+ibatch AS (SELECT vec_id, v FROM v WHERE vec_id < {INCR_VEC_SPLIT}),
+iassign AS (
+  SELECT vec_id, cid, c FROM (
+    SELECT b.vec_id, c.cid, {_SQL_COS_BC} AS c,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_SQL_COS_BC} DESC, c.cid ASC) AS rn
+    FROM ibatch b CROSS JOIN icent c) WHERE rn = 1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, c AS cos_sim
+FROM iassign
+""")
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.sources.io import write_parquet
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.where(F.col("vec_id") >= INCR_VEC_SPLIT)
+    batch = v.where(F.col("vec_id") < INCR_VEC_SPLIT)
+    cent_df = spark.createDataFrame(
+        train_incr_corpus_centroids(spark, sf_dir),
+        "cid long, cv array<double>")
+    # Persist the index state a real ingest maintains between batches:
+    # the quantizer + the corpus inverted lists, through the parquet
+    # sink (the band-store discipline).
+    cent_path, lists_path = _incr_index_paths(spark, sf_dir)
+    write_parquet(cent_df, cent_path)
+    write_parquet(_assign_nearest(corpus, cent_df).select("vec_id", "cid"),
+                  lists_path)
+    cent_store = spark.read.parquet(cent_path)
+    return (_assign_nearest(batch, cent_store)
+            .select("vec_id", F.col("cid").cast("long").alias("cid"),
+                    "cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_incr_recall_eval — the REBUILD GATE: per-query recall@K of the
+# incrementally-maintained index (quantizer frozen at corpus-training
+# time, batch appended to its lists) vs the fully-rebuilt index
+# (quantizer retrained on corpus + batch, i.e. ann_topk_ivf), both
+# against exact brute-force truth. `rebuild_gain` is the recall a
+# rebuild would buy — the measured signal an operator thresholds
+# (alongside embedding_centroid_drift's distribution-shift trigger)
+# before paying a full 100 TB retrain. Same evaluation-as-a-query
+# contract as the LSH/PQ/int8 recall evals: the eval itself is
+# oracle-checked.
+#
+# 100 TB shape: eval-only — the exact side is the bounded query sample
+# broadcast against one corpus scan; both approximate sides reuse the
+# IVF probe shape (broadcast probes, per-list candidate scoring, top-K
+# windows over per-query groups).
+# --------------------------------------------------------------------------
+_SQL_INCR_TOPK = f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_INCR_CENT},
+iall AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_SQL_COS_BC} DESC, c.cid ASC) AS rn
+    FROM v b CROSS JOIN icent c) WHERE rn = 1),
+iprobes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_SQL_COS_BC} DESC, c.cid ASC) AS rn
+    FROM v b CROSS JOIN icent c WHERE b.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}),
+iscored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, a.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+  FROM iprobes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN iall a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+iranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM iscored)
+SELECT query_id, neighbor_id FROM iranked WHERE rank <= {TOP_K}"""
+
+
+def _incr_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id
+            FROM ({ORACLES["ann_topk_bruteforce"]})),
+i AS (SELECT bf.query_id, COUNT(x.neighbor_id) AS n_hit
+      FROM bf LEFT JOIN ({_SQL_INCR_TOPK}) x
+        ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id),
+r AS (SELECT bf.query_id, COUNT(x.neighbor_id) AS n_hit
+      FROM bf LEFT JOIN ({ORACLES["ann_topk_ivf"]}) x
+        ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id)
+SELECT i.query_id,
+       CAST(i.n_hit AS BIGINT) AS n_hit_incr,
+       ROUND(i.n_hit * 1.0 / {TOP_K}, 4) AS recall_incr,
+       CAST(r.n_hit AS BIGINT) AS n_hit_rebuild,
+       ROUND(r.n_hit * 1.0 / {TOP_K}, 4) AS recall_rebuild,
+       ROUND((r.n_hit - i.n_hit) * 1.0 / {TOP_K}, 4) AS rebuild_gain
+FROM i JOIN r ON r.query_id = i.query_id
+"""
+
+
+def _incr_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K under the incrementally-maintained index: corpus-trained
+    centroids, ALL vectors (corpus + appended batch) in the lists."""
+    v = _vectors(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        train_incr_corpus_centroids(spark, sf_dir),
+        "cid long, cv array<double>")
+    v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
+    cent = _with_norm(cent_df, "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+
+    def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = (side.join(F.broadcast(cent), F.lit(True))
+                      .select(id_col, "v", "nv", "cid", cos_c.alias("c")))
+        w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
+                                               F.col("cid").asc())
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") <= keep)
+                      .drop("__rn", "c"))
+
+    assign = rank_centroids(v2, "vec_id", 1)
+    probes = (rank_centroids(v2.where(F.col("vec_id") < N_QUERIES)
+                               .select(F.col("vec_id").alias("query_id"),
+                                       "v", "nv"),
+                             "query_id", NPROBE)
+              .select("query_id", F.col("v").alias("qv"),
+                      F.col("nv").alias("qnv"), "cid"))
+    scored = (F.broadcast(probes)
+              .join(assign, "cid")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id"))
+
+
+@register("ann_ivf_incr_recall_eval", oracle=None)  # composed below
+def ann_ivf_incr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    incr = (_incr_index_topk(spark, sf_dir)
+            .withColumn("__hit", F.lit(1)))
+    reb = (ann_topk_ivf(spark, sf_dir)
+           .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    i = (bf.join(incr, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count("__hit").alias("n_hit")))
+    r = (bf.join(reb, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count("__hit").alias("n_hit")))
+    return (i.alias("i").join(r.alias("r"), "query_id")
+             .select("query_id",
+                     F.col("i.n_hit").cast("long").alias("n_hit_incr"),
+                     F.round(F.col("i.n_hit") / TOP_K, 4)
+                      .alias("recall_incr"),
+                     F.col("r.n_hit").cast("long").alias("n_hit_rebuild"),
+                     F.round(F.col("r.n_hit") / TOP_K, 4)
+                      .alias("recall_rebuild"),
+                     F.round((F.col("r.n_hit") - F.col("i.n_hit")) / TOP_K, 4)
+                      .alias("rebuild_gain")))
+
+
+_OR["ann_ivf_incr_recall_eval"] = _incr_recall_oracle()

@@ -1521,6 +1521,60 @@ def test_nprobe_curve_monotone_and_consistent(spark, sf_dir):
         assert rows[sim.NPROBE].n_overlap == hits
 
 
+def test_ivf_incremental_index_consistency(spark, sf_dir):
+    """The ingest assigns every batch vector to a corpus-trained
+    centroid under the standard ranking rule; the persisted index state
+    (quantizer + corpus inverted lists) round-trips through parquet and
+    covers exactly the corpus; the eval's recalls are internally
+    consistent with its hit counts and rebuild_gain identity."""
+    out = {r.vec_id: r
+           for r in sim.ann_ivf_incremental(spark, sf_dir).collect()}
+    batch_n = (sim._vectors(spark, sf_dir)
+               .where(f"vec_id < {sim.INCR_VEC_SPLIT}").count())
+    assert len(out) == batch_n
+    cids = {cid for cid, _ in
+            sim.train_incr_corpus_centroids(spark, sf_dir)}
+    assert all(r.cid in cids for r in out.values())
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in out.values())
+    # the persisted state: quantizer rows == k, lists rows == |corpus|
+    cent_path, lists_path = sim._incr_index_paths(spark, sf_dir)
+    assert spark.read.parquet(cent_path).count() == sim.N_CENTROIDS
+    corpus_n = (sim._vectors(spark, sf_dir)
+                .where(f"vec_id >= {sim.INCR_VEC_SPLIT}").count())
+    lists = spark.read.parquet(lists_path)
+    assert lists.count() == corpus_n
+    assert lists.select("vec_id").distinct().count() == corpus_n
+    # batch re-assigned against the RE-READ store matches the output
+    cent_store = spark.read.parquet(cent_path)
+    batch = sim._vectors(spark, sf_dir).where(
+        f"vec_id < {sim.INCR_VEC_SPLIT}")
+    again = {r.vec_id: r.cid for r in
+             sim._assign_nearest(batch, cent_store).collect()}
+    assert again == {k: r.cid for k, r in out.items()}
+
+
+def test_ivf_incr_recall_eval_identities(spark, sf_dir):
+    rows = sim.ann_ivf_incr_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == sim.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hit_incr <= sim.TOP_K
+        assert 0 <= r.n_hit_rebuild <= sim.TOP_K
+        assert r.recall_incr == round(r.n_hit_incr / sim.TOP_K, 4)
+        assert r.recall_rebuild == round(r.n_hit_rebuild / sim.TOP_K, 4)
+        assert r.rebuild_gain == round(
+            (r.n_hit_rebuild - r.n_hit_incr) / sim.TOP_K, 4)
+    # the rebuild side IS ann_topk_ivf: hit counts must agree with a
+    # direct join against brute force
+    ivf = sim.ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = sim.ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    hits = {r.query_id: r["count"] for r in
+            ivf.join(exact, ["query_id", "neighbor_id"])
+               .groupBy("query_id").count().collect()}
+    for r in rows:
+        assert r.n_hit_rebuild == hits.get(r.query_id, 0)
+
+
 def test_psi_zero_on_identical_halves_and_large_on_disjoint(spark,
                                                             monkeypatch):
     """Identical score distributions in both md5-parity snapshots give
