@@ -139,9 +139,21 @@ DRIVER_PRIORITY = [
     # baseline the in-window recall evals are defined against; the
     # apriori-pruned market-basket lift join is a capability family —
     # association mining — the window otherwise lacked.)
+    # (round 8: dedup_embedding_lsh demoted for quality_logreg_train —
+    # the window carried FOUR LSH-shaped entries (minhash-LSH dedup,
+    # multiprobe ANN, knn-graph build, embedding-LSH dedup) and the
+    # embedding-LSH banded hyperplane-bucket candidate join shares its
+    # shape with in-window ann_topk_lsh_multiprobe (same sign-bucket
+    # machinery, same banded equi-join), while gradient-based model
+    # training — distributed full-batch logistic-regression GD executed
+    # as Catalyst aggregates with bounded driver state, the supervised
+    # twin of in-window ivf_kmeans_centroids — is a capability family
+    # the window lacked entirely (VERDICT r7 item 6).
+    # dedup_embedding_lsh stays registered and parity-checked below,
+    # with its seeded-random variant and measured recall eval.)
     "basket_part_affinity", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
     "ann_topk_pq", "ivf_kmeans_centroids", "distinct_sketch_audit",
-    "dedup_embedding_lsh",
+    "quality_logreg_train",
     # text analysis / training-prep family (quality_filter is the
     # composed C4/Gopher keep-drop verdict over the signal queries;
     # round 3: text_token_stats demoted for bpe_merges — per-doc token
