@@ -149,6 +149,13 @@ HEADLINE = [
     "dedup_containment",
     "score_lift_table",
     "channel_conductance_audit",
+    # round 8: incremental ANN maintenance, hybrid retrieval, held-out
+    # LM eval, streaming vector ingest
+    "ann_ivf_incremental",
+    "ann_ivf_incr_recall_eval",
+    "hybrid_rrf_retrieval",
+    "corpus_heldout_bigram_eval",
+    "stream_ann_ingest",
 ]
 
 

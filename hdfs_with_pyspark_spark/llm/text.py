@@ -3227,3 +3227,118 @@ def score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("score_lift_table", _score_lift_oracle)
+
+
+# --------------------------------------------------------------------------
+# corpus_heldout_bigram_eval — the TRAIN/EVAL discipline applied to the
+# corpus LM: a bigram model with add-one smoothing trains on one
+# md5-parity half of the corpus and is scored on the OTHER half —
+# per-source held-out mean logprob plus out-of-vocabulary-context
+# coverage. This is the generalization twin of corpus_bigram_logprob
+# (which scores the corpus against itself and cannot see overfitting):
+# the number a curation pipeline tracks per source to catch templated
+# or machine-generated feeds whose self-scores look fine but whose
+# held-out scores collapse.
+#
+# Split: md5('heldout:' || doc_id) parity, never doc_id % 2 — the
+# testdata doc_id is collinear with source/lang, so a modulus split
+# would train on systematically different sources than it evaluates
+# (the documented snapshot-split trap).
+#
+# Smoothing (both engines, identical op order): P(t | prev) =
+# (c_train(prev t) + 1) / (c_train(prev .) + V), V = |train unigram
+# vocabulary|; unseen contexts get c = 0 on both sides of the ratio.
+# Per-DISTINCT-eval-bigram logprob snaps to integer micro-log10 units
+# BEFORE multiplying by the eval count and summing — partial-agg order
+# cannot flip a bit.
+#
+# 100 TB shape: two vocab-sized aggregates from the train half
+# (bigram, context) broadcast onto the eval half's distinct-bigram
+# frame; the eval half shuffles once (per-(source, bg) re-agg); V is a
+# 1-row aggregate. Everything after runs on vocab-sized frames.
+# --------------------------------------------------------------------------
+def _heldout_half(prefix: str = "heldout"):
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{prefix}:"),
+                       F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 2)
+
+
+_SQL_HELDOUT_HALF = ("('0x' || substr(md5('heldout:' || "
+                     "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2")
+
+
+@register("corpus_heldout_bigram_eval", oracle=f"""
+WITH d AS (SELECT doc_id, source, {_sql_tokens()} AS toks,
+                  {_SQL_HELDOUT_HALF} AS half
+           FROM documents),
+tr_uni AS (SELECT DISTINCT unnest(toks) AS tok FROM d WHERE half = 0),
+vsz AS (SELECT COUNT(*) AS vocab FROM tr_uni),
+tr_big AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM d WHERE half = 0),
+c2 AS (SELECT bg, COUNT(*) AS n2 FROM tr_big GROUP BY bg),
+c1 AS (SELECT string_split(bg, ' ')[1] AS ctx, SUM(n2) AS n1
+       FROM c2 GROUP BY 1),
+ev AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM d WHERE half = 1),
+evg AS (SELECT source, bg, COUNT(*) AS n_ev FROM ev GROUP BY 1, 2),
+scored AS (
+  SELECT e.source, e.n_ev,
+         CASE WHEN c1.n1 IS NULL THEN 1 ELSE 0 END AS oov_ctx,
+         CAST(ROUND(log10((COALESCE(c2.n2, 0) + 1)
+                          / (COALESCE(c1.n1, 0) + v.vocab)::DOUBLE)
+                    * 1000000) AS BIGINT) AS logp_u
+  FROM evg e
+  LEFT JOIN c2 ON c2.bg = e.bg
+  LEFT JOIN c1 ON c1.ctx = string_split(e.bg, ' ')[1]
+  CROSS JOIN vsz v)
+SELECT source,
+       CAST(SUM(n_ev) AS BIGINT) AS n_eval_bigrams,
+       CAST(SUM(oov_ctx * n_ev) AS BIGINT) AS n_oov_ctx,
+       ROUND(SUM(logp_u * n_ev) * 1.0 / (SUM(n_ev) * 1000000), 4)
+         AS avg_logprob
+FROM scored GROUP BY source
+""")
+def corpus_heldout_bigram_eval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks"),
+        _heldout_half().alias("half"))
+    train = docs.where(F.col("half") == 0)
+    vsz = (train.select(F.explode("toks").alias("tok")).distinct()
+                .agg(F.count("*").alias("vocab")))
+    c2 = (train.select(F.explode(shingles(F.col("toks"), 2)).alias("bg"))
+               .groupBy("bg").agg(F.count("*").alias("n2")))
+    c1 = (c2.withColumn("ctx", F.split("bg", " ").getItem(0))
+            .groupBy("ctx").agg(F.sum("n2").alias("n1")))
+    evg = (docs.where(F.col("half") == 1)
+               .select("source",
+                       F.explode(shingles(F.col("toks"), 2)).alias("bg"))
+               .groupBy("source", "bg").agg(F.count("*").alias("n_ev")))
+    logp_u = F.round(
+        F.log10((F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1))
+                / (F.coalesce(F.col("n1"), F.lit(0))
+                   + F.col("vocab")).cast("double")) * 1e6).cast("long")
+    scored = (evg.join(F.broadcast(c2), "bg", "left")
+                 .join(F.broadcast(
+                     c1.withColumnRenamed("ctx", "__ctx")),
+                     F.split(F.col("bg"), " ").getItem(0)
+                     == F.col("__ctx"), "left")
+                 .crossJoin(F.broadcast(vsz))
+                 .select("source", "n_ev",
+                         F.when(F.col("n1").isNull(), 1).otherwise(0)
+                          .alias("oov_ctx"),
+                         logp_u.alias("logp_u")))
+    return (scored.groupBy("source")
+                  .agg(F.sum("n_ev").cast("long").alias("n_eval_bigrams"),
+                       F.sum(F.col("oov_ctx") * F.col("n_ev")).cast("long")
+                        .alias("n_oov_ctx"),
+                       F.round(F.sum(F.col("logp_u") * F.col("n_ev"))
+                               / (F.sum("n_ev") * F.lit(1e6)), 4)
+                        .alias("avg_logprob")))

@@ -241,9 +241,12 @@ def finalize_order(strict: bool = True) -> None:
         try:
             ORACLES[name] = build()
             del DEFERRED_ORACLES[name]
-        except KeyError:
-            # a referenced oracle hasn't registered yet (partial import
-            # order); stays deferred for the next, strict finalize
+        except (KeyError, ImportError):
+            # a referenced oracle hasn't registered yet, or the builder
+            # back-imports a module that is itself mid-import (entering
+            # the package via a query module, e.g. `import llm.text`,
+            # re-enters this registry before that module finishes);
+            # stays deferred for the next, strict finalize
             if strict:
                 raise
     missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]

@@ -914,3 +914,122 @@ def stream_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register_deferred_oracle("stream_ivm_revenue", _stream_ivm_revenue_oracle)
+
+
+# --------------------------------------------------------------------------
+# stream_ann_ingest — streaming vector-store ingest: micro-batches of
+# new embeddings arrive as files and each batch is assigned to the
+# PERSISTED corpus-trained IVF quantizer inside foreachBatch, appending
+# (vec_id, cid) rows to the inverted-list store — the streaming twin of
+# ann_ivf_incremental exactly as stream_incremental_dedup is the
+# streaming twin of the band-store probe. The quantizer trains ONCE
+# before the stream starts (the nightly-build artifact) and every
+# micro-batch pays O(|batch| x k): one broadcast-NLJ + argmax window
+# over the batch only; the corpus lists are never read at ingest.
+#
+# Idempotency: per-batch-id hive-style overwrite slices (the r4
+# discipline) — a replayed micro-batch rewrites its own slice. The
+# `batch` partition column is replay bookkeeping and is dropped on
+# read.
+#
+# Oracle: assignment is per-vector independent, so the streamed ingest
+# must equal the batch assignment of every streamed vector to the same
+# corpus-trained centroids — the exact kmeans-CTE oracle of
+# ann_ivf_incremental, projected to (vec_id, cid). Any divergence
+# (lost batch, double-append, wrong quantizer snapshot) breaks parity.
+# --------------------------------------------------------------------------
+STREAM_ANN_BATCHES = 4
+
+
+def _stream_ann_ingest_oracle() -> str:
+    from hdfs_with_pyspark_spark.llm.similarity import (
+        _SQL_COS_BC, _SQL_INCR_CENT, _SQL_VECTORS, INCR_VEC_SPLIT)
+    return f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_INCR_CENT},
+ibatch AS (SELECT vec_id, v FROM v WHERE vec_id < {INCR_VEC_SPLIT}),
+iassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_SQL_COS_BC} DESC, c.cid ASC) AS rn
+    FROM ibatch b CROSS JOIN icent c) WHERE rn = 1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM iassign
+"""
+
+
+@register("stream_ann_ingest", oracle=None)  # composed below
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hdfs_with_pyspark_spark.llm.similarity import (
+        INCR_VEC_SPLIT, _assign_nearest, train_incr_corpus_centroids)
+    from hdfs_with_pyspark_spark.session import scratch_dir
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    ensure_session(spark)
+    sf_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = scratch_dir(spark, f"stream_ann_ingest_{sf_key}")
+    cent_store = os.path.join(root, "quantizer")
+    lists_store = os.path.join(root, "lists")
+    shutil.rmtree(root, ignore_errors=True)
+    sim = tempfile.mkdtemp(prefix="stream_ann_sim_")
+    in_dir, ckpt = os.path.join(sim, "in"), os.path.join(sim, "ckpt")
+    os.makedirs(in_dir)
+
+    # The nightly-build artifact: corpus-trained quantizer, persisted
+    # BEFORE any batch arrives (what a deployment reads from the DFS).
+    spark.createDataFrame(
+        train_incr_corpus_centroids(spark, sf_dir),
+        "cid long, cv array<double>") \
+        .write.mode("overwrite").parquet(cent_store)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") < INCR_VEC_SPLIT)
+    base_t = 1_700_000_000
+    for k in range(STREAM_ANN_BATCHES):
+        stage = os.path.join(sim, f"stage{k}")
+        (new.where(F.col("vec_id") % STREAM_ANN_BATCHES == k)
+            .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+        shutil.rmtree(stage)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cent = sp.read.parquet(cent_store)
+        vecs = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        (_assign_nearest(vecs, cent)
+            .select("vec_id", F.col("cid").cast("long").alias("cid"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(lists_store, f"batch={batch_id}")))
+
+    try:
+        (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir)
+              .writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch(ingest)
+              .trigger(availableNow=True)
+              .start()
+              .awaitTermination())
+    finally:
+        shutil.rmtree(sim, ignore_errors=True)
+
+    result = _read_parquet_if_absent(spark, lists_store)
+    if result is None:
+        raise RuntimeError(
+            f"stream_ann_ingest: no list slice written under {lists_store}"
+            " — the availableNow stream ran zero micro-batches")
+    return result.select("vec_id", "cid")
+
+
+register_deferred_oracle("stream_ann_ingest", _stream_ann_ingest_oracle)

@@ -1659,3 +1659,114 @@ def test_containment_hand_case_and_orientation(spark, monkeypatch):
     # And symmetric Jaccard on the same pair sits far below ITS gate:
     jac = dd2.dedup_ngram_jaccard(spark, "x").collect()
     assert not any({p.doc_a, p.doc_b} == {1, 2} for p in jac)
+
+
+def test_hybrid_rrf_identities(spark, sf_dir):
+    """RRF score must equal its own closed form from the two source
+    ranks; ranks must order by (rrf_u DESC, doc_id ASC); each source's
+    rank-1 doc must appear in the fused table (1e6//61 from one source
+    alone already beats any doc ranked >= ~16 in both)."""
+    rows = sorted(sim.hybrid_rrf_retrieval(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert len(rows) == sim.HYBRID_TOPK
+    k = sim.HYBRID_RRF_K
+    for r in rows:
+        expect = ((1_000_000 // (k + r.lex_rank) if r.lex_rank else 0)
+                  + (1_000_000 // (k + r.vec_rank) if r.vec_rank else 0))
+        assert r.rrf_u == expect
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rrf_u, -a.doc_id) >= (b.rrf_u, -b.doc_id)
+        assert a.rrf_u > b.rrf_u or a.doc_id < b.doc_id
+    # full model check: recompute the fusion in Python from the two
+    # source rankings and compare the entire table.
+    from hdfs_with_pyspark_spark.llm.text import BM25_TOPK, bm25_topk
+    lex = {r.doc_id: r.rank for r in bm25_topk(spark, sf_dir).collect()}
+    import pyspark.sql.functions as F
+    v = sim._vectors(spark, sf_dir)
+    qv = v.where(F.col("vec_id") == sim.HYBRID_QUERY_VEC).first().v
+
+    def cos(a, b):
+        import math
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(dot / (math.sqrt(sum(x * x for x in a))
+                            * math.sqrt(sum(y * y for y in b))), 6)
+    sims = sorted(((cos(r.v, qv), -r.vec_id) for r in v.collect()
+                   if r.vec_id != sim.HYBRID_QUERY_VEC), reverse=True)
+    vec = {-nid: i + 1 for i, (_, nid) in enumerate(sims[:BM25_TOPK])}
+    fused = sorted(
+        ((sum(1_000_000 // (k + rk) for rk in (lex.get(d), vec.get(d))
+              if rk), d)
+         for d in set(lex) | set(vec)),
+        key=lambda t: (-t[0], t[1]))[:sim.HYBRID_TOPK]
+    assert [(r.doc_id, r.rrf_u) for r in rows] == \
+        [(d, s) for s, d in fused]
+
+
+def test_heldout_bigram_hand_case(spark, monkeypatch):
+    """Two-doc corpus with ids chosen so md5 parity puts one doc in each
+    half. Train 'x y x z': c2 = {xy:1, yx:1, xz:1}, c1 = {x:2, y:1},
+    V = 3. Eval 'x y q': P(y|x) = (1+1)/(2+3) = 0.4; P(q|y) = (0+1)/
+    (1+3) = 0.25; no unseen contexts -> n_oov_ctx = 0."""
+    import hashlib
+    import math
+
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    def parity(did: int) -> int:
+        return int(hashlib.md5(f"heldout:{did}".encode())
+                   .hexdigest()[:15], 16) % 2
+    train_id = next(d for d in range(100) if parity(d) == 0)
+    eval_id = next(d for d in range(100) if parity(d) == 1)
+    docs = spark.createDataFrame(
+        [(train_id, "s1", "en", "x y x z"),
+         (eval_id, "s1", "en", "x y q")],
+        "doc_id long, source string, lang string, text string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.corpus_heldout_bigram_eval(spark, "ignored").first()
+    assert r.source == "s1"
+    assert r.n_eval_bigrams == 2
+    assert r.n_oov_ctx == 0
+    lp = (round(math.log10(0.4) * 1e6) + round(math.log10(0.25) * 1e6))
+    assert r.avg_logprob == round(lp / (2 * 1e6), 4)
+
+
+def test_heldout_bigram_oov_context(spark, monkeypatch):
+    """An eval bigram whose context never appears in training counts as
+    OOV context and scores (0+1)/(0+V)."""
+    import hashlib
+    import math
+
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    def parity(did: int) -> int:
+        return int(hashlib.md5(f"heldout:{did}".encode())
+                   .hexdigest()[:15], 16) % 2
+    train_id = next(d for d in range(100) if parity(d) == 0)
+    eval_id = next(d for d in range(100) if parity(d) == 1)
+    docs = spark.createDataFrame(
+        [(train_id, "s1", "en", "a b"),       # V = {a, b} -> 2
+         (eval_id, "s1", "en", "zz ww")],     # ctx zz unseen
+        "doc_id long, source string, lang string, text string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.corpus_heldout_bigram_eval(spark, "ignored").first()
+    assert (r.n_eval_bigrams, r.n_oov_ctx) == (1, 1)
+    assert r.avg_logprob == round(
+        round(math.log10((0 + 1) / (0 + 2)) * 1e6) / 1e6, 4)
+
+
+def test_stream_ann_ingest_equals_batch_assignment(spark, sf_dir):
+    """The streamed ingest's final list store must equal the one-shot
+    batch assignment of every streamed vector to the same corpus-trained
+    quantizer — lost batches, double-appends, or a drifted quantizer
+    snapshot all break this identity."""
+    from hdfs_with_pyspark_spark.streaming import ops as so
+    got = {(r.vec_id, r.cid)
+           for r in so.stream_ann_ingest(spark, sf_dir).collect()}
+    cent = spark.createDataFrame(
+        sim.train_incr_corpus_centroids(spark, sf_dir),
+        "cid long, cv array<double>")
+    batch = sim._vectors(spark, sf_dir).where(
+        f"vec_id < {sim.INCR_VEC_SPLIT}")
+    want = {(r.vec_id, r.cid)
+            for r in sim._assign_nearest(batch, cent).collect()}
+    assert got == want
