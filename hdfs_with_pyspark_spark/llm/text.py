@@ -3290,8 +3290,13 @@ evg AS (SELECT source, bg, COUNT(*) AS n_ev FROM ev GROUP BY 1, 2),
 scored AS (
   SELECT e.source, e.n_ev,
          CASE WHEN c1.n1 IS NULL THEN 1 ELSE 0 END AS oov_ctx,
+         -- GREATEST(vocab, 1): an EMPTY train half would otherwise
+         -- make the smoothed ratio (0+1)/(0+0) and the two engines'
+         -- infinity-to-BIGINT casts diverge; with the floor the
+         -- degenerate model scores every bigram log10(1) = 0.
          CAST(ROUND(log10((COALESCE(c2.n2, 0) + 1)
-                          / (COALESCE(c1.n1, 0) + v.vocab)::DOUBLE)
+                          / (COALESCE(c1.n1, 0)
+                             + GREATEST(v.vocab, 1))::DOUBLE)
                     * 1000000) AS BIGINT) AS logp_u
   FROM evg e
   LEFT JOIN c2 ON c2.bg = e.bg
@@ -3324,7 +3329,8 @@ def corpus_heldout_bigram_eval(spark: SparkSession,
     logp_u = F.round(
         F.log10((F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1))
                 / (F.coalesce(F.col("n1"), F.lit(0))
-                   + F.col("vocab")).cast("double")) * 1e6).cast("long")
+                   + F.greatest(F.col("vocab"), F.lit(1)))
+                .cast("double")) * 1e6).cast("long")
     scored = (evg.join(F.broadcast(c2), "bg", "left")
                  .join(F.broadcast(
                      c1.withColumnRenamed("ctx", "__ctx")),

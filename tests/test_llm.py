@@ -1754,6 +1754,27 @@ def test_heldout_bigram_oov_context(spark, monkeypatch):
         round(math.log10((0 + 1) / (0 + 2)) * 1e6) / 1e6, 4)
 
 
+def test_heldout_bigram_empty_train_half(spark, monkeypatch):
+    """A corpus whose every doc lands in the eval half degrades to the
+    floored vocabulary (V >= 1): each bigram scores log10(1/1) = 0
+    instead of diverging on an infinity cast."""
+    import hashlib
+
+    from hdfs_with_pyspark_spark.llm import text as tx
+
+    def parity(did: int) -> int:
+        return int(hashlib.md5(f"heldout:{did}".encode())
+                   .hexdigest()[:15], 16) % 2
+    eval_ids = [d for d in range(200) if parity(d) == 1][:2]
+    docs = spark.createDataFrame(
+        [(d, "s1", "en", "p q r") for d in eval_ids],
+        "doc_id long, source string, lang string, text string")
+    monkeypatch.setattr(tx, "read_table", lambda s, d, n: docs)
+    r = tx.corpus_heldout_bigram_eval(spark, "ignored").first()
+    assert (r.n_eval_bigrams, r.n_oov_ctx) == (4, 4)
+    assert r.avg_logprob == 0.0
+
+
 def test_stream_ann_ingest_equals_batch_assignment(spark, sf_dir):
     """The streamed ingest's final list store must equal the one-shot
     batch assignment of every streamed vector to the same corpus-trained
