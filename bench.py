@@ -153,7 +153,6 @@ HEADLINE = [
     # LM eval, streaming vector ingest
     "ann_ivf_incremental",
     "ann_ivf_incr_recall_eval",
-    "hybrid_rrf_retrieval",
     "corpus_heldout_bigram_eval",
     "stream_ann_ingest",
 ]

@@ -3479,114 +3479,3 @@ def ann_ivf_incr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["ann_ivf_incr_recall_eval"] = _incr_recall_oracle()
-
-
-# --------------------------------------------------------------------------
-# hybrid_rrf_retrieval — hybrid lexical + vector retrieval with
-# reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): the
-# retrieval shape every RAG / training-data-curation stack runs. One
-# request = the BM25 term set (the in-repo lexical ranker, bm25_topk)
-# plus one query embedding (vec_id = HYBRID_QUERY_VEC); each side
-# contributes its top-N ranking and the fused score is
-# sum(1e6 // (K_RRF + rank)) over the sources that returned the doc —
-# rank-only fusion, so the two engines' incomparable score scales
-# (BM25 micro-units vs cosine) never meet.
-#
-# Determinism: both input rankings are already exact (integer BM25
-# micro-scores; ROUND(cos,6) + id tie-break); the RRF score is an
-# integer floor-division sum; the final rank orders (rrf_u DESC,
-# doc_id ASC).
-#
-# 100 TB shape: each side is its own proven scale path (BM25:
-# broadcast idf + TakeOrderedAndProject; vector: bounded query
-# broadcast against the corpus — swap in the IVF probe at deployment
-# scale); the fusion itself touches 2 x N candidate rows. The final
-# window runs over the <= 2N fused frame only.
-# --------------------------------------------------------------------------
-HYBRID_QUERY_VEC = 0     # the request's query embedding
-HYBRID_RRF_K = 60        # the standard RRF damping constant
-HYBRID_TOPK = 10
-
-_SQL_VEC_TOPN = f"""
-SELECT vec_id AS doc_id,
-       ROW_NUMBER() OVER (ORDER BY c DESC, vec_id ASC) AS vrank
-FROM (
-  SELECT b.vec_id,
-         ROUND(list_dot_product(b.v, q.v)
-               / (sqrt(list_dot_product(b.v, b.v))
-                  * sqrt(list_dot_product(q.v, q.v))), 6) AS c
-  FROM ({_SQL_VECTORS}) b
-  CROSS JOIN (SELECT v FROM ({_SQL_VECTORS})
-              WHERE vec_id = {HYBRID_QUERY_VEC}) q
-  WHERE b.vec_id <> {HYBRID_QUERY_VEC})
-QUALIFY vrank <= {{topn}}"""
-
-
-def _hybrid_rrf_oracle() -> str:
-    from hdfs_with_pyspark_spark.plans.registry import ORACLES
-    from hdfs_with_pyspark_spark.llm.text import BM25_TOPK
-    vec_topn = _SQL_VEC_TOPN.format(topn=BM25_TOPK)
-    return f"""
-WITH lex AS (SELECT doc_id, rank AS lrank FROM ({ORACLES["bm25_topk"]})),
-vec AS ({vec_topn}),
-fused AS (
-  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-         lex.lrank, vec.vrank,
-         COALESCE(1000000 // ({HYBRID_RRF_K} + lex.lrank), 0)
-         + COALESCE(1000000 // ({HYBRID_RRF_K} + vec.vrank), 0) AS rrf_u
-  FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id ASC) AS rank
-  FROM fused)
-SELECT doc_id,
-       CAST(rank AS BIGINT) AS rank,
-       CAST(rrf_u AS BIGINT) AS rrf_u,
-       CAST(lrank AS BIGINT) AS lex_rank,
-       CAST(vrank AS BIGINT) AS vec_rank
-FROM ranked WHERE rank <= {HYBRID_TOPK}
-"""
-
-
-@register("hybrid_rrf_retrieval", oracle=None)  # composed above (deferred)
-def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_session(spark)
-    from hdfs_with_pyspark_spark.llm.text import BM25_TOPK, bm25_topk
-
-    lex = bm25_topk(spark, sf_dir).select("doc_id",
-                                          F.col("rank").alias("lrank"))
-    v2 = _with_norm(_vectors(spark, sf_dir), "v", "nv")
-    q = (v2.where(F.col("vec_id") == HYBRID_QUERY_VEC)
-           .select(F.col("v").alias("qv"), F.col("nv").alias("qnv")))
-    scored = (v2.where(F.col("vec_id") != HYBRID_QUERY_VEC)
-                .crossJoin(F.broadcast(q))
-                .select(F.col("vec_id").alias("doc_id"),
-                        F.round(F.expr(_sql_dot_cols("v", "qv"))
-                                / (F.col("nv") * F.col("qnv")), 6)
-                         .alias("c")))
-    # TakeOrderedAndProject keeps the corpus out of any single
-    # partition; the rank window then runs over the N-row frame only.
-    vtop = scored.orderBy(F.col("c").desc(), F.col("doc_id").asc()) \
-                 .limit(BM25_TOPK)
-    wv = Window.orderBy(F.col("c").desc(), F.col("doc_id").asc())
-    vec = vtop.select("doc_id", "c") \
-              .withColumn("vrank", F.row_number().over(wv)).drop("c")
-    rrf = (F.coalesce(F.expr(f"1000000 div ({HYBRID_RRF_K} + lrank)"),
-                      F.lit(0))
-           + F.coalesce(F.expr(f"1000000 div ({HYBRID_RRF_K} + vrank)"),
-                        F.lit(0)))
-    fused = (lex.join(vec, "doc_id", "full_outer")
-                .select("doc_id", "lrank", "vrank", rrf.alias("rrf_u")))
-    top = fused.orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc()) \
-               .limit(HYBRID_TOPK)
-    w = Window.orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
-    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
-               .select("doc_id", "rank",
-                       F.col("rrf_u").cast("long").alias("rrf_u"),
-                       F.col("lrank").cast("long").alias("lex_rank"),
-                       F.col("vrank").cast("long").alias("vec_rank")))
-
-
-from hdfs_with_pyspark_spark.plans.registry import (  # noqa: E402
-    register_deferred_oracle as _reg_def)
-
-_reg_def("hybrid_rrf_retrieval", _hybrid_rrf_oracle)

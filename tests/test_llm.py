@@ -1661,47 +1661,6 @@ def test_containment_hand_case_and_orientation(spark, monkeypatch):
     assert not any({p.doc_a, p.doc_b} == {1, 2} for p in jac)
 
 
-def test_hybrid_rrf_identities(spark, sf_dir):
-    """RRF score must equal its own closed form from the two source
-    ranks; ranks must order by (rrf_u DESC, doc_id ASC); each source's
-    rank-1 doc must appear in the fused table (1e6//61 from one source
-    alone already beats any doc ranked >= ~16 in both)."""
-    rows = sorted(sim.hybrid_rrf_retrieval(spark, sf_dir).collect(),
-                  key=lambda r: r.rank)
-    assert len(rows) == sim.HYBRID_TOPK
-    k = sim.HYBRID_RRF_K
-    for r in rows:
-        expect = ((1_000_000 // (k + r.lex_rank) if r.lex_rank else 0)
-                  + (1_000_000 // (k + r.vec_rank) if r.vec_rank else 0))
-        assert r.rrf_u == expect
-    for a, b in zip(rows, rows[1:]):
-        assert (a.rrf_u, -a.doc_id) >= (b.rrf_u, -b.doc_id)
-        assert a.rrf_u > b.rrf_u or a.doc_id < b.doc_id
-    # full model check: recompute the fusion in Python from the two
-    # source rankings and compare the entire table.
-    from hdfs_with_pyspark_spark.llm.text import BM25_TOPK, bm25_topk
-    lex = {r.doc_id: r.rank for r in bm25_topk(spark, sf_dir).collect()}
-    import pyspark.sql.functions as F
-    v = sim._vectors(spark, sf_dir)
-    qv = v.where(F.col("vec_id") == sim.HYBRID_QUERY_VEC).first().v
-
-    def cos(a, b):
-        import math
-        dot = sum(x * y for x, y in zip(a, b))
-        return round(dot / (math.sqrt(sum(x * x for x in a))
-                            * math.sqrt(sum(y * y for y in b))), 6)
-    sims = sorted(((cos(r.v, qv), -r.vec_id) for r in v.collect()
-                   if r.vec_id != sim.HYBRID_QUERY_VEC), reverse=True)
-    vec = {-nid: i + 1 for i, (_, nid) in enumerate(sims[:BM25_TOPK])}
-    fused = sorted(
-        ((sum(1_000_000 // (k + rk) for rk in (lex.get(d), vec.get(d))
-              if rk), d)
-         for d in set(lex) | set(vec)),
-        key=lambda t: (-t[0], t[1]))[:sim.HYBRID_TOPK]
-    assert [(r.doc_id, r.rrf_u) for r in rows] == \
-        [(d, s) for s, d in fused]
-
-
 def test_heldout_bigram_hand_case(spark, monkeypatch):
     """Two-doc corpus with ids chosen so md5 parity puts one doc in each
     half. Train 'x y x z': c2 = {xy:1, yx:1, xz:1}, c1 = {x:2, y:1},
