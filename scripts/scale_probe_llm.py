@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Engine-only scale probe for the LLM-pipeline workhorses: dedup and
+ANN at 100-500x the sf0.1 testdata.
+
+The registered queries are correctness-gated at sf<=0.1 (5000 docs /
+2000 vectors); the 100 TB design claims — banded LSH dedup never goes
+quadratic, the incremental band-store probe is O(batch), IVF
+assignment is O(n x k) with bounded driver state — are plan-shape
+arguments until measured. This script builds a synthetic corpus with
+Spark expressions (no driver-side rows), PLANTS near-duplicates at a
+known rate, and times the library operators themselves on it:
+
+  1. band-store build over the corpus (the nightly dedup state write)
+  2. banded candidate generation + exact-Jaccard verify (the
+     dedup_minhash_lsh core) — with the found-pair count asserted
+     against the planted rate, so the timing is of a RUN THAT WORKED
+  3. incremental probe of a fresh batch against the persisted store
+     (the dedup_incremental shape)
+  4. IVF k-means training (k scaled per dedup_ivf_k) + batch
+     assignment to the trained quantizer (the ann_ivf_incremental
+     shape)
+
+Prints one JSON line. Sized by --docs / --vecs; defaults finish in
+minutes on local[32].
+
+Usage: SPARK_DRIVER_MEMORY=32g python scripts/scale_probe_llm.py \
+           [--docs 1000000] [--vecs 1000000] [--batch 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DUP_EVERY = 100          # doc_id % 100 == 1 near-duplicates doc_id - 1
+DOC_TOKENS = 40
+VOCAB = 50_000
+
+
+def gen_docs(spark, n_docs: int, batch: int):
+    """Synthetic corpus, pure Spark expressions: ~DOC_TOKENS-token docs
+    drawn from a VOCAB-token vocabulary, deterministic per doc. Every
+    DUP_EVERY-th doc re-generates another doc's text with the LAST
+    token changed (a >=0.9-Jaccard planted near-dup): corpus-side dups
+    copy their predecessor (in-corpus pairs for the LSH probe);
+    batch-side dups (doc_id < batch) copy a corpus doc half the id
+    space away (cross-split pairs, so the incremental probe has real
+    matches to find). The +1 on the cross offset keeps the copied seed
+    off the dup-id lattice. Everything else is seed-unique, so random
+    band collisions are negligible."""
+    from pyspark.sql import functions as F
+
+    is_dup = (F.col("id") % DUP_EVERY) == 1
+    cross = F.col("id") + F.lit(n_docs // 2 + 1)
+    seed = (F.when(is_dup & (F.col("id") < batch), cross)
+             .when(is_dup, F.col("id") - 1)
+             .otherwise(F.col("id")))
+    body = F.transform(
+        F.sequence(F.lit(1), F.lit(DOC_TOKENS - 1)),
+        lambda i: F.concat(F.lit("t"),
+                           F.pmod(F.xxhash64(seed, i), F.lit(VOCAB))
+                            .cast("string")))
+    tail = F.when(is_dup, F.lit("dupmark")).otherwise(
+        F.concat(F.lit("t"), F.pmod(F.xxhash64(seed, F.lit(DOC_TOKENS)),
+                                    F.lit(VOCAB)).cast("string")))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat(body, F.array(tail))).alias("text"))
+
+
+def gen_vecs(spark, n_vecs: int, dim: int):
+    from pyspark.sql import functions as F
+    v = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001))
+                   - F.lit(1000)).cast("double") / F.lit(1000.0))
+    return spark.range(n_vecs).select(F.col("id").alias("vec_id"),
+                                      v.alias("v"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vecs", type=int, default=200_000)
+    ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--k", type=int, default=256,
+                    help="IVF coarse-quantizer size for the probe (a "
+                         "fixed realistic k, NOT dedup_ivf_k's SemDedup "
+                         "cluster-size scaling, which targets ~64-vector "
+                         "clusters and would put k in the tens of "
+                         "thousands at 1M vectors)")
+    ap.add_argument("--workdir", default="/tmp/scale_probe_llm")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from hdfs_with_pyspark_spark.llm.dedup import (
+        JACCARD_THRESHOLD, _shingle_hashes, _verified_jaccard,
+        dedup_incremental, minhash_band_store)
+    from hdfs_with_pyspark_spark.llm.similarity import (
+        _assign_nearest, _train_kmeans)
+    from hdfs_with_pyspark_spark.session import get_spark
+
+    spark = get_spark("scale-probe-llm")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    result = {"n_docs": args.docs, "n_vecs": args.vecs,
+              "batch": args.batch}
+
+    # Corpus lands on disk first so every probe times the operator, not
+    # the generator.
+    docs_path = os.path.join(args.workdir, "docs")
+    gen_docs(spark, args.docs, args.batch).write.mode("overwrite") \
+        .parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    corpus = docs.where(F.col("doc_id") >= args.batch)
+    batch = docs.where(F.col("doc_id") < args.batch)
+
+    # 1. band-store build (corpus only — the standing state)
+    store_path = os.path.join(args.workdir, "band_store")
+    t0 = time.time()
+    minhash_band_store(corpus).write.mode("overwrite").parquet(store_path)
+    result["band_store_build_sec"] = round(time.time() - t0, 1)
+    store = spark.read.parquet(store_path)
+
+    # 2. full banded self-join + exact verify over the whole corpus
+    t0 = time.time()
+    cand = (store.alias("x")
+            .join(store.alias("y"),
+                  (F.col("x.band") == F.col("y.band"))
+                  & (F.col("x.bkey") == F.col("y.bkey"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    touched = (cand.select(F.col("doc_a").alias("doc_id"))
+                   .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                   .distinct())
+    shh = _shingle_hashes(corpus.join(touched, "doc_id", "left_semi"))
+    n_pairs = (_verified_jaccard(cand, shh)
+               .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD).count())
+    result["lsh_verify_sec"] = round(time.time() - t0, 1)
+    result["near_dup_pairs"] = n_pairs
+    # planted pairs living entirely inside the corpus split: one per
+    # DUP_EVERY ids, minus any whose base doc fell into the batch
+    planted = sum(1 for s in range(0, args.docs - 1, DUP_EVERY)
+                  if s >= args.batch)
+    result["planted_pairs"] = planted
+    if not planted * 0.95 <= n_pairs <= planted * 1.10:
+        raise SystemExit(f"recall sanity failed: {n_pairs} found vs "
+                         f"{planted} planted")
+
+    # 3. incremental probe: fresh batch vs the persisted store
+    t0 = time.time()
+    n_incr = dedup_incremental(batch, store, spread_input=False).count()
+    result["incremental_probe_sec"] = round(time.time() - t0, 1)
+    result["incremental_candidates"] = n_incr
+    planted_cross = sum(1 for i in range(1, args.batch, DUP_EVERY))
+    result["planted_cross_pairs"] = planted_cross
+    # banding is probabilistic: at ~0.86 planted Jaccard a pair misses
+    # all bands with p ~ 1e-4, so allow a short tail on either side
+    if not planted_cross * 0.95 <= n_incr <= planted_cross * 1.10 + 10:
+        raise SystemExit(f"incremental sanity failed: {n_incr} candidates"
+                         f" vs {planted_cross} planted cross-split dups")
+
+    # 4. IVF: train scaled-k quantizer on the vectors, assign a batch
+    vecs_path = os.path.join(args.workdir, "vecs")
+    gen_vecs(spark, args.vecs, 64).write.mode("overwrite").parquet(vecs_path)
+    vecs = spark.read.parquet(vecs_path)
+    k = args.k
+    t0 = time.time()
+    cents = _train_kmeans(vecs.where(F.col("vec_id") >= args.batch),
+                          k, iters=2)
+    result["ivf_train_sec"] = round(time.time() - t0, 1)
+    result["ivf_k"] = k
+    cent_df = spark.createDataFrame(cents, "cid long, cv array<double>")
+    t0 = time.time()
+    n_assigned = _assign_nearest(
+        vecs.where(F.col("vec_id") < args.batch), cent_df).count()
+    result["ivf_batch_assign_sec"] = round(time.time() - t0, 1)
+    assert n_assigned == args.batch
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
