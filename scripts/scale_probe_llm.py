@@ -89,6 +89,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vecs", type=int, default=200_000)
     ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--iters", type=int, default=2,
+                    help="Lloyd's iterations (0 = init-only quantizer, "
+                         "enough for pure assignment-kernel timing)")
     ap.add_argument("--k", type=int, default=256,
                     help="IVF coarse-quantizer size for the probe (a "
                          "fixed realistic k, NOT dedup_ivf_k's SemDedup "
@@ -104,7 +107,7 @@ def main() -> None:
         JACCARD_THRESHOLD, _shingle_hashes, _verified_jaccard,
         dedup_incremental, minhash_band_store)
     from hdfs_with_pyspark_spark.llm.similarity import (
-        _assign_nearest, _train_kmeans)
+        _assign_nearest, _assign_nearest_arrow, _train_kmeans)
     from hdfs_with_pyspark_spark.session import get_spark
 
     spark = get_spark("scale-probe-llm")
@@ -175,7 +178,7 @@ def main() -> None:
     k = args.k
     t0 = time.time()
     cents = _train_kmeans(vecs.where(F.col("vec_id") >= args.batch),
-                          k, iters=2)
+                          k, iters=args.iters)
     result["ivf_train_sec"] = round(time.time() - t0, 1)
     result["ivf_k"] = k
     cent_df = spark.createDataFrame(cents, "cid long, cv array<double>")
@@ -184,6 +187,23 @@ def main() -> None:
         vecs.where(F.col("vec_id") < args.batch), cent_df).count()
     result["ivf_batch_assign_sec"] = round(time.time() - t0, 1)
     assert n_assigned == args.batch
+    # the vectorized GEMM kernel over the SAME batch + quantizer — and
+    # over the whole corpus, the size the NLJ kernel cannot afford
+    t0 = time.time()
+    n_fast = _assign_nearest_arrow(
+        vecs.where(F.col("vec_id") < args.batch), cents).count()
+    result["ivf_batch_assign_arrow_sec"] = round(time.time() - t0, 2)
+    assert n_fast == args.batch
+    t0 = time.time()
+    n_full = _assign_nearest_arrow(vecs, cents).count()
+    result["ivf_full_assign_arrow_sec"] = round(time.time() - t0, 1)
+    assert n_full == args.vecs
+    # GEMM-kernel training at the same (n, k, iters)
+    if args.iters:
+        t0 = time.time()
+        _train_kmeans(vecs.where(F.col("vec_id") >= args.batch),
+                      k, iters=args.iters, kernel="arrow")
+        result["ivf_train_arrow_sec"] = round(time.time() - t0, 1)
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     print(json.dumps(result))

@@ -1750,3 +1750,36 @@ def test_stream_ann_ingest_equals_batch_assignment(spark, sf_dir):
     want = {(r.vec_id, r.cid)
             for r in sim._assign_nearest(batch, cent).collect()}
     assert got == want
+
+
+def test_assign_nearest_arrow_equivalence(spark, sf_dir):
+    """The vectorized GEMM assignment kernel must agree with the exact
+    NLJ kernel on every corpus vector — same cid under the same
+    ROUND(cos,6) DESC, cid ASC rule, cos within one 6-dp step."""
+    cents = sim.train_incr_corpus_centroids(spark, sf_dir)
+    cent_df = spark.createDataFrame(cents, "cid long, cv array<double>")
+    v = sim._vectors(spark, sf_dir)
+    exact = {r.vec_id: (r.cid, r.cos_sim)
+             for r in sim._assign_nearest(v, cent_df).collect()}
+    fast = {r.vec_id: (r.cid, r.cos_sim)
+            for r in sim._assign_nearest_arrow(v, cents).collect()}
+    assert set(exact) == set(fast)
+    for vid, (cid, cos) in exact.items():
+        fcid, fcos = fast[vid]
+        assert fcid == cid, (vid, cid, fcid)
+        assert abs(fcos - cos) <= 1e-6 + 1e-12
+
+
+def test_train_kmeans_arrow_kernel_equivalence(spark, sf_dir):
+    """Training with the GEMM kernel must reproduce the exact kernel's
+    centroids on the gated corpus — same init, same assignment rule,
+    means agreeing at the 6-dp snap."""
+    v = sim._vectors(spark, sf_dir)
+    exact = sim._train_kmeans(v, sim.N_CENTROIDS, sim.KMEANS_ITERS)
+    fast = sim._train_kmeans(v, sim.N_CENTROIDS, sim.KMEANS_ITERS,
+                             kernel="arrow")
+    assert [c for c, _ in exact] == [c for c, _ in fast]
+    for (_, ev), (_, fv) in zip(exact, fast):
+        assert len(ev) == len(fv)
+        for a, b in zip(ev, fv):
+            assert abs(a - b) <= 1e-6 + 1e-12
