@@ -155,6 +155,7 @@ HEADLINE = [
     "ann_ivf_incr_recall_eval",
     "corpus_heldout_bigram_eval",
     "stream_ann_ingest",
+    "ann_kernel_agreement_audit",
 ]
 
 

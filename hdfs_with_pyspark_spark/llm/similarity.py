@@ -3595,3 +3595,36 @@ def _assign_nearest_arrow(side: DataFrame,
 
     return side.select("vec_id", "v").mapInPandas(
         run, "vec_id long, cid long, cos_sim double")
+
+
+# --------------------------------------------------------------------------
+# ann_kernel_agreement_audit — the GEMM kernel's standing gate: assign
+# every corpus vector with BOTH kernels (exact NLJ-window and Arrow
+# GEMM) and count disagreements. The oracle pins the invariant the
+# equivalence argument claims — zero cid mismatches — so the driver's
+# correctness gate now EXERCISES the vectorized path on every run and
+# fails loudly the day a corpus/numpy/JVM combination pushes a cosine
+# across a 6-dp boundary (the distinct_sketch_audit contract: audits
+# that gate-fail on drift, not dashboards that report it).
+# --------------------------------------------------------------------------
+@register("ann_kernel_agreement_audit", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(0 AS BIGINT) AS n_disagree
+FROM ({_SQL_VECTORS})
+""")
+def ann_kernel_agreement_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    cents = train_incr_corpus_centroids(spark, sf_dir)
+    cent_df = spark.createDataFrame(cents, "cid long, cv array<double>")
+    exact = (_assign_nearest(v, cent_df)
+             .select("vec_id", F.col("cid").alias("cid_exact")))
+    fast = (_assign_nearest_arrow(v, cents)
+            .select("vec_id", F.col("cid").alias("cid_fast")))
+    return (exact.join(fast, "vec_id")
+                 .agg(F.count("*").cast("long").alias("n_vectors"),
+                      F.sum(F.when(F.col("cid_exact")
+                                   != F.col("cid_fast"), 1)
+                             .otherwise(0)).cast("long")
+                       .alias("n_disagree")))
