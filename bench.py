@@ -156,6 +156,8 @@ HEADLINE = [
     "corpus_heldout_bigram_eval",
     "stream_ann_ingest",
     "ann_kernel_agreement_audit",
+    "ann_topk_ivfpq",
+    "ann_ivfpq_recall_eval",
 ]
 
 

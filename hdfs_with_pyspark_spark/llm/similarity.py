@@ -755,32 +755,20 @@ scored AS (
   WHERE c0.vec_id <> l0.query_id)"""
 
 
-@register("ann_topk_pq", oracle=f"""
-WITH v AS ({_SQL_VECTORS}),
-{_sql_pq_ctes()},
-{_sql_pq_scored().strip()},
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY pq_score DESC, neighbor_id ASC)
-            AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, pq_score
-FROM ranked WHERE rank <= {TOP_K}
-""")
-def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_session(spark)
-    v = _vectors(spark, sf_dir)
-    books = _pq_codebooks(spark, sf_dir)
+def _pq_codes_and_luts(spark: SparkSession, v: DataFrame,
+                       books) -> tuple[DataFrame, list[DataFrame]]:
+    """(codes wide frame, per-subspace query LUTs) — the PQ machinery
+    shared by the standalone ADC scan and the IVF+PQ composition.
 
-    # ONE encode pass for all subspaces: the corpus explodes into
-    # (vec_id, sub, subvector) long form, joins the broadcast tagged
-    # codebook union on `sub`, and a single (vec_id, sub) window takes
-    # the argmax — then one aggregate pivots the codes back to columns.
-    # Versus the naive per-subspace loop (M broadcast-NLJs + M windows +
-    # an (M-1)-way corpus self-join on vec_id) this is one window
-    # exchange + one aggregate, independent of M. Assignment math
-    # (ROUND(cos,6) DESC, cid ASC) is identical, so the oracle — which
-    # keeps the per-subspace form for CTE clarity — matches unchanged.
+    ONE encode pass for all subspaces: the corpus explodes into
+    (vec_id, sub, subvector) long form, joins the broadcast tagged
+    codebook union on `sub`, and a single (vec_id, sub) window takes
+    the argmax — then one aggregate pivots the codes back to columns.
+    Versus the naive per-subspace loop (M broadcast-NLJs + M windows +
+    an (M-1)-way corpus self-join on vec_id) this is one window
+    exchange + one aggregate, independent of M. Assignment math
+    (ROUND(cos,6) DESC, cid ASC) is identical, so the oracles — which
+    keep the per-subspace form for CTE clarity — match unchanged."""
     cents = _with_norm(
         spark.createDataFrame(
             [(s, cid, cv) for s, book in enumerate(books)
@@ -819,17 +807,43 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr(_sql_dot_cols("qv", "cv", PQ_SUB_DIM))
                          .alias(f"p{s}")))
         luts.append(lut)
+    return codes, luts
 
+
+def _pq_adc_score(codes: DataFrame, luts: list[DataFrame]) -> DataFrame:
+    """(query_id, vec_id, pq_score): the summed-table-lookup ADC score
+    of every (query, coded vector) pair the codes frame carries."""
     scored = codes.join(F.broadcast(luts[0]), "code0")
     for s in range(1, PQ_SUB):
         scored = scored.join(F.broadcast(luts[s]), ["query_id", f"code{s}"])
     adc = F.col("p0")
     for s in range(1, PQ_SUB):
         adc = adc + F.col(f"p{s}")
-    scored = (scored
-              .where(F.col("query_id") != F.col("vec_id"))
+    return (scored.where(F.col("query_id") != F.col("vec_id"))
+                  .select("query_id", "vec_id", F.round(adc, 6)
+                           .alias("pq_score")))
+
+
+@register("ann_topk_pq", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_sql_pq_ctes()},
+{_sql_pq_scored().strip()},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY pq_score DESC, neighbor_id ASC)
+            AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, pq_score
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    codes, luts = _pq_codes_and_luts(spark, v,
+                                     _pq_codebooks(spark, sf_dir))
+    scored = (_pq_adc_score(codes, luts)
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      F.round(adc, 6).alias("pq_score")))
+                      "pq_score"))
     w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -3628,3 +3642,123 @@ def ann_kernel_agreement_audit(spark: SparkSession,
                                    != F.col("cid_fast"), 1)
                              .otherwise(0)).cast("long")
                        .alias("n_disagree")))
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivfpq — the PRODUCTION vector-store composition the PQ
+# docstring promises (Jégou et al., TPAMI 2011 §IV): the IVF coarse
+# quantizer prunes the corpus to the query's NPROBE nearest inverted
+# lists, and the PQ/ADC table-lookup score ranks ONLY those candidates
+# — compressed-domain scoring over a pruned list instead of either
+# path's full scan. At 100 TB this is the whole economics of a vector
+# store: the scan touches nprobe/k of the CODES table (already ~128x
+# smaller than the floats), the codebooks + LUTs + probe sets are
+# kilobytes broadcast everywhere, and nothing corpus-sized shuffles at
+# query time.
+#
+# Determinism: both stages reuse their audited machinery unchanged —
+# coarse assignment/probes rank ROUND(cos,6) DESC, cid ASC; codes and
+# LUTs are the PQ encode; the ADC sum rounds to 6 before the top-K
+# rank. ann_ivfpq_recall_eval below measures what the composition
+# costs in recall vs each stage alone (the every-approximate-path-
+# ships-its-eval contract).
+# --------------------------------------------------------------------------
+def _sql_ivfpq_scored() -> str:
+    code_joins = "".join(
+        f"\n  JOIN code{s} c{s} ON c{s}.vec_id = cd.neighbor_id"
+        for s in range(PQ_SUB))
+    lut_joins = "".join(
+        f"\n  JOIN lut{s} l{s} ON l{s}.cid = c{s}.cid "
+        f"AND l{s}.query_id = cd.query_id" for s in range(PQ_SUB))
+    score = " + ".join(f"l{s}.p" for s in range(PQ_SUB))
+    return f"""
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, ROUND({score}, 6) AS pq_score
+  FROM cand cd{code_joins}{lut_joins})"""
+
+
+@register("ann_topk_ivfpq", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_ASSIGN},
+{_sql_pq_ctes()},
+{_sql_ivfpq_scored().strip()},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY pq_score DESC, neighbor_id ASC)
+            AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, pq_score
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
+    cent = _with_norm(
+        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
+                              "cid long, cv array<double>"),
+        "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+
+    def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = (side.join(F.broadcast(cent), F.lit(True))
+                      .select(id_col, "cid", cos_c.alias("c")))
+        w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
+                                               F.col("cid").asc())
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") <= keep)
+                      .drop("__rn", "c"))
+
+    assign = rank_centroids(v2, "vec_id", 1)
+    probes = rank_centroids(
+        v2.where(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), "v", "nv"),
+        "query_id", NPROBE)
+    cand = (F.broadcast(probes).join(assign, "cid")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "vec_id"))
+    codes, luts = _pq_codes_and_luts(spark, v,
+                                     _pq_codebooks(spark, sf_dir))
+    scored = (_pq_adc_score(codes, luts)
+              .join(cand, ["query_id", "vec_id"], "left_semi")
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      "pq_score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id", "rank", "pq_score"))
+
+
+def _ivfpq_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+SELECT bf.query_id,
+       CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(x.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+FROM (SELECT query_id, neighbor_id
+      FROM ({ORACLES["ann_topk_bruteforce"]})) bf
+LEFT JOIN ({ORACLES["ann_topk_ivfpq"]}) x
+  ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@register("ann_ivfpq_recall_eval", oracle=None)  # composed below
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    x = (ann_topk_ivfpq(spark, sf_dir)
+         .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    return (bf.join(x, ["query_id", "neighbor_id"], "left")
+              .groupBy("query_id")
+              .agg(F.count("__hit").cast("long").alias("n_hit"),
+                   F.round(F.count("__hit") / TOP_K, 4)
+                    .alias("recall_at_k")))
+
+
+_OR["ann_ivfpq_recall_eval"] = _ivfpq_recall_oracle()

@@ -1783,3 +1783,41 @@ def test_train_kmeans_arrow_kernel_equivalence(spark, sf_dir):
         assert len(ev) == len(fv)
         for a, b in zip(ev, fv):
             assert abs(a - b) <= 1e-6 + 1e-12
+
+
+def test_ivfpq_composition_properties(spark, sf_dir):
+    """Every IVF+PQ result must (a) lie inside the query's probed IVF
+    cells (the pruning really prunes) and (b) carry exactly the
+    standalone PQ path's ADC score for that (query, neighbor) — the
+    composition changes the candidate set, never the scoring."""
+    ivfpq = sim.ann_topk_ivfpq(spark, sf_dir).collect()
+    assert ivfpq
+    # (a) candidate containment: rebuild the probed-cell membership
+    v = sim._vectors(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        sim.train_ivf_centroids(spark, sf_dir),
+        "cid long, cv array<double>")
+    assign = {r.vec_id: r.cid
+              for r in sim._assign_nearest(v, cent_df).collect()}
+    probes = {}
+    from pyspark.sql import functions as F
+    q = v.where(F.col("vec_id") < sim.N_QUERIES)
+    c2 = sim._with_norm(cent_df, "cv", "cnv")
+    q2 = sim._with_norm(q, "v", "nv")
+    cos = F.round(F.expr(sim._sql_dot_cols("v", "cv"))
+                  / (F.col("nv") * F.col("cnv")), 6)
+    for r in (q2.join(F.broadcast(c2), F.lit(True))
+                .select("vec_id", "cid", cos.alias("c")).collect()):
+        probes.setdefault(r.vec_id, []).append((r.c, -r.cid))
+    probe_cells = {qid: {-nc for _, nc in
+                         sorted(vals, reverse=True)[:sim.NPROBE]}
+                   for qid, vals in probes.items()}
+    for r in ivfpq:
+        assert assign[r.neighbor_id] in probe_cells[r.query_id], r
+    # (b) score identity vs the standalone ADC scan
+    pq = {(r.query_id, r.neighbor_id): r.pq_score
+          for r in sim.ann_topk_pq(spark, sf_dir).collect()}
+    for r in ivfpq:
+        key = (r.query_id, r.neighbor_id)
+        if key in pq:
+            assert pq[key] == r.pq_score, (key, pq[key], r.pq_score)
