@@ -161,6 +161,56 @@ HEADLINE = [
 ]
 
 
+MOVER_RATIO = 1.5   # BASELINE.md drift protocol: movers past this line
+                    # need the paired-worktree A/B if their code changed
+
+
+def _compare_vs_previous_round(repo: str, timings: dict[str, float],
+                               sf) -> dict:
+    """Shared-set totals/median/movers vs the newest committed
+    BENCH_DETAIL_r{N}.json snapshot — the structural fix for the
+    stale-prose defect (VERDICT r7 item 2, r8 item 1): computed by the
+    same run that produced the timings, from the artifact it names."""
+    import glob
+    import statistics
+
+    snaps = {}
+    for p in glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
+        if m:
+            snaps[int(m.group(1))] = p
+    if not snaps:
+        return {"base": None, "note": "no BENCH_DETAIL_r{N}.json snapshot"}
+    base_round = max(snaps)
+    with open(snaps[base_round]) as f:
+        base = json.load(f)
+    prev = base.get("queries", {})
+    shared = sorted(set(prev) & set(timings))
+    ratios = {q: round(timings[q] / prev[q], 3)
+              for q in shared if prev[q] > 0}
+    cur_total = round(sum(timings[q] for q in shared), 3)
+    prev_total = round(sum(prev[q] for q in shared), 3)
+    movers = {q: {"prev_sec": prev[q], "cur_sec": timings[q], "ratio": r}
+              for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+              if r >= MOVER_RATIO or r <= 1.0 / MOVER_RATIO}
+    return {
+        "base_file": os.path.basename(snaps[base_round]),
+        "base_round": base_round,
+        "sf": sf,
+        "n_shared": len(shared),
+        "n_new": len([q for q in timings if q not in prev]),
+        "n_dropped": len([q for q in prev if q not in timings]),
+        "shared_total_prev_sec": prev_total,
+        "shared_total_cur_sec": cur_total,
+        "shared_sum_ratio": (round(cur_total / prev_total, 3)
+                             if prev_total else None),
+        "shared_median_ratio": (round(statistics.median(ratios.values()), 3)
+                                if ratios else None),
+        "mover_threshold": MOVER_RATIO,
+        "movers": movers,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -217,12 +267,25 @@ def main() -> None:
         out["bench_only_filter"] = sorted(only_set)
     # Full per-query detail: one line + a durable file for the judge.
     print(json.dumps(out))
+    repo = os.path.dirname(os.path.abspath(__file__))
     if only_set is None:
         try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_DETAIL.json"), "w") as f:
+            with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
                 json.dump(out, f, indent=1)
+        except OSError:
+            pass
+        # VERDICT r8 item 1 (same defect two rounds running): the
+        # cross-round shared-set comparison is now a GENERATED artifact
+        # written in the same run as BENCH_DETAIL.json, so BASELINE.md
+        # prose can never go stale against the file it cites — it
+        # copies (or just points at) BENCH_COMPARE.json. The base is
+        # the newest committed BENCH_DETAIL_r{N}.json snapshot; the
+        # round-close ritual copies the final BENCH_DETAIL.json to
+        # BENCH_DETAIL_r{thisround}.json for the next round.
+        try:
+            with open(os.path.join(repo, "BENCH_COMPARE.json"), "w") as f:
+                json.dump(_compare_vs_previous_round(repo, timings, sf),
+                          f, indent=1)
         except OSError:
             pass
     # VERDICT r5 item 1: the 76-query detail line overflowed the

@@ -478,6 +478,22 @@ def _train_kmeans(vdf: DataFrame, k: int, iters: int,
     init = (v2.select("vec_id", "v").orderBy("vec_id").limit(k).collect())
     cents: list[tuple[int, list[float]]] = [(int(r["vec_id"]), list(r["v"]))
                                             for r in init]
+    # ADVICE r8: the `vec_id < min + k` form the oracles unroll equals
+    # this k-lowest-ids rule ONLY when the k lowest ids are contiguous
+    # from the minimum. On a gapped id space the two inits silently
+    # diverge and every downstream IVF/PQ/incremental parity breaks —
+    # so fail LOUDLY here instead. (The testdata corpora are dense;
+    # a deployment on gapped ids must densify vec_id first, e.g.
+    # row_number() over the natural order.)
+    ids = [c[0] for c in cents]
+    if ids and ids != list(range(ids[0], ids[0] + len(ids))):
+        gaps = [i for a, b in zip(ids, ids[1:]) for i in (a,) if b != a + 1]
+        raise ValueError(
+            "k-means init requires dense contiguous vec_ids: the k lowest "
+            f"ids must be min..min+k-1, got gaps after {gaps[:5]} — the "
+            "SQL oracles' `vec_id < min+k` init CTE would pick a different "
+            "(possibly smaller) seed set and parity would silently break. "
+            "Densify vec_id (row_number) before training.")
     for _ in range(iters):
         if kernel == "arrow":
             means = _arrow_iteration_means(vdf, cents)
@@ -529,7 +545,7 @@ def _arrow_iteration_means(vdf: DataFrame, cents) -> list:
                 continue
             v = np.array(pdf["v"].tolist(), dtype=np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
-            cos = np.round(v @ cmat.T / np.outer(vn, cnorm), 6)
+            cos = _np_round_half_away(v @ cmat.T / np.outer(vn, cnorm))
             best = cos.argmax(axis=1)          # first max = lowest cid
             out_cid, out_dim, out_s, out_n = [], [], [], []
             for b in np.unique(best):
@@ -822,6 +838,28 @@ def _pq_adc_score(codes: DataFrame, luts: list[DataFrame]) -> DataFrame:
     return (scored.where(F.col("query_id") != F.col("vec_id"))
                   .select("query_id", "vec_id", F.round(adc, 6)
                            .alias("pq_score")))
+
+
+def _pq_adc_score_candidates(cand: DataFrame, codes: DataFrame,
+                             luts: list[DataFrame]) -> DataFrame:
+    """(query_id, vec_id, pq_score) for ONLY the (query, vector) pairs in
+    ``cand`` — the IVF-pruned composition's scorer (ADVICE r8): the
+    candidate set joins into the codes frame FIRST, so the broadcast LUT
+    lookups and the ADC sum run over |cand| rows, not |queries| x
+    |corpus|. Every LUT join (including subspace 0) keys on
+    (query_id, code_s) because cand already carries query_id. Same
+    ROUND(sum, 6) as _pq_adc_score — identical scores on the shared
+    pairs, so the oracle (which scores candidate-first too) is unmoved;
+    the old full-scan-then-semi-join shape contradicted the query's own
+    nprobe/k economics."""
+    scored = cand.join(codes, "vec_id")
+    for s in range(PQ_SUB):
+        scored = scored.join(F.broadcast(luts[s]), ["query_id", f"code{s}"])
+    adc = F.col("p0")
+    for s in range(1, PQ_SUB):
+        adc = adc + F.col(f"p{s}")
+    return scored.select("query_id", "vec_id",
+                         F.round(adc, 6).alias("pq_score"))
 
 
 @register("ann_topk_pq", oracle=f"""
@@ -3571,14 +3609,33 @@ _OR["ann_ivf_incr_recall_eval"] = _incr_recall_oracle()
 #   * _assign_nearest_arrow (mapInPandas + matmul) — centroids ride
 #     the closure (k x dim doubles, kilobytes), each Arrow batch does
 #     ONE n x k GEMM; no shuffle, no join node at all. Ranking applies
-#     the same ROUND(cos, 6) DESC, cid ASC rule; numpy's re-associated
-#     float sums can differ from the sequential chain by ~1-ulp
+#     the same ROUND(cos, 6) DESC, cid ASC rule — half-away-from-zero
+#     via _np_round_half_away, matching Spark/DuckDB HALF_UP rather
+#     than np.round's half-to-even (ADVICE r8; the helper's docstring
+#     names the 1-ulp scaling residue the audit gates); numpy's
+#     re-associated float sums can differ from the sequential chain by ~1-ulp
 #     (~1e-16 relative), far inside the 5e-7 guard band the 6-dp snap
 #     leaves (the quality_logreg_train argument), so assignments agree
 #     in practice — equivalence-TESTED, not assumed, on the gated
 #     corpora; deployments quantify on their own data before swapping
 #     it into a verified path.
 # --------------------------------------------------------------------------
+def _np_round_half_away(x, decimals: int = 6):
+    """Half-AWAY-from-zero rounding of a float ndarray — the mode Spark's
+    F.round (BigDecimal HALF_UP) and DuckDB's ROUND use, where
+    np.round is half-to-even (ADVICE r8: a cosine landing exactly on a
+    5e-7 boundary would round differently under np.round and could flip
+    the cid-ASC tie-break). Residual risk, named: the JVM/DuckDB round
+    the DECIMAL expansion of the exact binary double, while this scales
+    by 10^6 in binary first — the scaling itself can introduce a 1-ulp
+    difference at a representability edge. That residue is what
+    ann_kernel_agreement_audit gates on every correctness run."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _assign_nearest_arrow(side: DataFrame,
                           cents: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, cid, cos_sim) via per-batch numpy GEMM; `cents` is the
@@ -3598,7 +3655,7 @@ def _assign_nearest_arrow(side: DataFrame,
                 continue
             v = np.array(pdf["v"].tolist(), dtype=np.float64)
             vn = np.sqrt((v * v).sum(axis=1))
-            cos = np.round(v @ cmat.T / np.outer(vn, cnorm), 6)
+            cos = _np_round_half_away(v @ cmat.T / np.outer(vn, cnorm))
             # argmax over the cid-ASC-sorted axis: numpy returns the
             # FIRST max, which is exactly the lowest-cid tie-break.
             best = cos.argmax(axis=1)
@@ -3723,8 +3780,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id"))
     codes, luts = _pq_codes_and_luts(spark, v,
                                      _pq_codebooks(spark, sf_dir))
-    scored = (_pq_adc_score(codes, luts)
-              .join(cand, ["query_id", "vec_id"], "left_semi")
+    scored = (_pq_adc_score_candidates(cand, codes, luts)
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
                       "pq_score"))
     w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),

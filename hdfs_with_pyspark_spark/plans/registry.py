@@ -151,8 +151,20 @@ DRIVER_PRIORITY = [
     # the window lacked entirely (VERDICT r7 item 6).
     # dedup_embedding_lsh stays registered and parity-checked below,
     # with its seeded-random variant and measured recall eval.)
-    "basket_part_affinity", "ann_topk_lsh_multiprobe", "ann_topk_ivf",
-    "ann_topk_pq", "ivf_kmeans_centroids", "distinct_sketch_audit",
+    # (round 9: ann_topk_ivf and ann_topk_pq demoted for ann_topk_ivfpq
+    # and quality_psi_drift (VERDICT r8 item 6) — the IVF+PQ composition
+    # gates BOTH demoted queries' machinery in one slot: the trained
+    # coarse quantizer + probed-cell candidate join (IVF's shape) AND
+    # the subspace codebooks + broadcast-LUT ADC scoring (PQ's shape),
+    # now candidate-first so the pruning really bounds the compute
+    # (ADVICE r8). The freed slot gates distribution-drift monitoring —
+    # quality_psi_drift's per-source PSI over the quality-score
+    # histogram, the standing production trigger for retrain/recurate
+    # decisions — a capability family the window lacked entirely.
+    # Both demoted queries stay registered and parity-checked below,
+    # alongside their recall evals.)
+    "basket_part_affinity", "ann_topk_lsh_multiprobe", "ann_topk_ivfpq",
+    "quality_psi_drift", "ivf_kmeans_centroids", "distinct_sketch_audit",
     "quality_logreg_train",
     # text analysis / training-prep family (quality_filter is the
     # composed C4/Gopher keep-drop verdict over the signal queries;

@@ -1161,9 +1161,15 @@ def _column_cardinalities(spark, sf_dir: str) -> dict[str, int]:
         out = small  # single-sf fallback: the raw snapshot counts
     else:
         big = _column_cardinalities_one(spark, bigger)
-        out = {c: (big[c] if big.get(c, n) < 2 * max(n, 1)
-                   else _LOWCARD_THRESHOLD)
-               for c, n in small.items()}
+        # ADVICE r8: one lookup — a column present at this sf but absent
+        # from the bigger snapshot can't prove a constant domain, so it
+        # maps to the threshold (never flags) instead of KeyError-ing
+        # the sweep on schema-skewed corpora.
+        out = {}
+        for c, n in small.items():
+            b = big.get(c)
+            out[c] = (b if b is not None and b < 2 * max(n, 1)
+                      else _LOWCARD_THRESHOLD)
     _COL_CARD_CACHE[sf_dir] = out
     return out
 
