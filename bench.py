@@ -158,6 +158,10 @@ HEADLINE = [
     "ann_kernel_agreement_audit",
     "ann_topk_ivfpq",
     "ann_ivfpq_recall_eval",
+    # round 9: metadata-filtered vector search (predicate composed
+    # inside the IVF prune) + its filtered-truth recall eval
+    "ann_topk_ivf_filtered",
+    "ann_filtered_recall_eval",
 ]
 
 

@@ -771,10 +771,21 @@ scored AS (
   WHERE c0.vec_id <> l0.query_id)"""
 
 
-def _pq_codes_and_luts(spark: SparkSession, v: DataFrame,
-                       books) -> tuple[DataFrame, list[DataFrame]]:
-    """(codes wide frame, per-subspace query LUTs) — the PQ machinery
-    shared by the standalone ADC scan and the IVF+PQ composition.
+def _pq_tagged_codebooks(spark: SparkSession, books) -> DataFrame:
+    """The per-subspace codebooks as one broadcastable tagged frame
+    (sub, cid, cv, cnv) — M x K x sub_dim doubles, kilobytes."""
+    return _with_norm(
+        spark.createDataFrame(
+            [(s, cid, cv) for s, book in enumerate(books)
+             for cid, cv in book],
+            "sub int, cid long, cv array<double>"),
+        "cv", "cnv")
+
+
+def _pq_encode_codes(spark: SparkSession, v: DataFrame,
+                     books) -> DataFrame:
+    """INDEX-TIME half of the PQ machinery: the corpus's wide codes
+    frame (vec_id, code0..codeM-1) — what a vector store persists.
 
     ONE encode pass for all subspaces: the corpus explodes into
     (vec_id, sub, subvector) long form, joins the broadcast tagged
@@ -785,12 +796,7 @@ def _pq_codes_and_luts(spark: SparkSession, v: DataFrame,
     exchange + one aggregate, independent of M. Assignment math
     (ROUND(cos,6) DESC, cid ASC) is identical, so the oracles — which
     keep the per-subspace form for CTE clarity — match unchanged."""
-    cents = _with_norm(
-        spark.createDataFrame(
-            [(s, cid, cv) for s, book in enumerate(books)
-             for cid, cv in book],
-            "sub int, cid long, cv array<double>"),
-        "cv", "cnv")
+    cents = _pq_tagged_codebooks(spark, books)
     sub_slices = F.array(*[
         F.struct(F.lit(s).cast("int").alias("sub"),
                  F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sv"))
@@ -807,13 +813,19 @@ def _pq_codes_and_luts(spark: SparkSession, v: DataFrame,
                   .select("vec_id", "sub", "cid", cos_c.alias("__c"))
                   .withColumn("__rn", F.row_number().over(w_enc))
                   .where(F.col("__rn") == 1))
-    codes = codes_long.groupBy("vec_id").agg(
+    return codes_long.groupBy("vec_id").agg(
         *[F.max(F.when(F.col("sub") == s, F.col("cid")))
            .alias(f"code{s}") for s in range(PQ_SUB)])
 
+
+def _pq_query_luts(spark: SparkSession, v: DataFrame, books,
+                   n_queries: int = N_QUERIES) -> list[DataFrame]:
+    """QUERY-TIME half: per-subspace (query_id, code_s, p_s) lookup
+    tables — |queries| x K rows each, broadcast at the ADC joins."""
+    cents = _pq_tagged_codebooks(spark, books)
     luts = []
     for s in range(PQ_SUB):
-        lut = (v.where(F.col("vec_id") < N_QUERIES)
+        lut = (v.where(F.col("vec_id") < n_queries)
                 .select(F.col("vec_id").alias("query_id"),
                         F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
                          .alias("qv"))
@@ -823,7 +835,15 @@ def _pq_codes_and_luts(spark: SparkSession, v: DataFrame,
                         F.expr(_sql_dot_cols("qv", "cv", PQ_SUB_DIM))
                          .alias(f"p{s}")))
         luts.append(lut)
-    return codes, luts
+    return luts
+
+
+def _pq_codes_and_luts(spark: SparkSession, v: DataFrame,
+                       books) -> tuple[DataFrame, list[DataFrame]]:
+    """(codes wide frame, per-subspace query LUTs) — both halves in one
+    call, the shape the gated standalone ADC scan uses."""
+    return (_pq_encode_codes(spark, v, books),
+            _pq_query_luts(spark, v, books))
 
 
 def _pq_adc_score(codes: DataFrame, luts: list[DataFrame]) -> DataFrame:
@@ -3443,6 +3463,10 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sink (the band-store discipline).
     cent_path, lists_path = _incr_index_paths(spark, sf_dir)
     write_parquet(cent_df, cent_path)
+    # Gated query: the EXACT kernel, bit-matched to the unrolled SQL
+    # oracle. Production ingest calls the public assign_nearest
+    # dispatcher instead, whose default is the GEMM kernel (VERDICT r8
+    # item 5) — the agreement audit re-proves the two agree per run.
     write_parquet(_assign_nearest(corpus, cent_df).select("vec_id", "cid"),
                   lists_path)
     cent_store = spark.read.parquet(cent_path)
@@ -3668,6 +3692,75 @@ def _assign_nearest_arrow(side: DataFrame,
         run, "vec_id long, cid long, cos_sim double")
 
 
+def _rank_centroids_arrow(side: DataFrame,
+                          cents: list[tuple[int, list[float]]],
+                          id_col: str = "vec_id",
+                          keep: int = 1) -> DataFrame:
+    """Top-``keep`` centroids per vector via the GEMM kernel — the
+    multi-rank generalization of _assign_nearest_arrow (the IVF probe
+    shape needs nprobe cells per query, not just the argmax). Same
+    ROUND(cos,6) DESC, cid ASC rule: the cosine matrix's columns are
+    cid-ascending and the stable argsort of -cos keeps ascending column
+    order among ties."""
+    import numpy as np
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cids_sorted = np.array([int(cents[i][0]) for i in order],
+                           dtype=np.int64)
+    cmat = np.array([cents[i][1] for i in order], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vn = np.sqrt((vv * vv).sum(axis=1))
+            cos = _np_round_half_away(vv @ cmat.T / np.outer(vn, cnorm))
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(dtype="int64"),
+                                  top.shape[1]),
+                "cid": cids_sorted[top].reshape(-1),
+                "cos_sim": np.take_along_axis(cos, top, axis=1)
+                             .reshape(-1)})
+
+    return side.select(id_col, "v").mapInPandas(
+        run, f"{id_col} long, cid long, cos_sim double")
+
+
+ASSIGN_KERNEL_ENV = "SPARK_GRAFT_ASSIGN_KERNEL"
+
+
+def assign_nearest(side: DataFrame,
+                   cents: list[tuple[int, list[float]]],
+                   kernel: str | None = None) -> DataFrame:
+    """PUBLIC ingest-time assignment entry point (VERDICT r8 item 5):
+    (vec_id, cid, cos_sim) of each vector's nearest centroid.
+
+    ``kernel`` None reads $SPARK_GRAFT_ASSIGN_KERNEL, defaulting to
+    "arrow" — batch assignment is precisely where the measured ~22x
+    GEMM win matters (scripts/scale_probe_llm.py), and
+    ann_kernel_agreement_audit re-proves exact/arrow cid equivalence on
+    every correctness run. The oracle-GATED queries
+    (ann_ivf_incremental, stream_ann_ingest, the audit itself) pin
+    kernel="exact" explicitly so their plans stay bit-matched to the
+    unrolled SQL CTEs; deployments flip nothing to get the fast path
+    and set SPARK_GRAFT_ASSIGN_KERNEL=exact to force the NLJ form."""
+    import os
+
+    if kernel is None:
+        kernel = os.environ.get(ASSIGN_KERNEL_ENV, "arrow")
+    if kernel == "arrow":
+        return _assign_nearest_arrow(side, cents)
+    if kernel == "exact":
+        cent_df = side.sparkSession.createDataFrame(
+            cents, "cid long, cv array<double>")
+        return _assign_nearest(side, cent_df)
+    raise ValueError(f"unknown assignment kernel {kernel!r}")
+
+
 # --------------------------------------------------------------------------
 # ann_kernel_agreement_audit — the GEMM kernel's standing gate: assign
 # every corpus vector with BOTH kernels (exact NLJ-window and Arrow
@@ -3737,6 +3830,82 @@ scored AS (
   FROM cand cd{code_joins}{lut_joins})"""
 
 
+def ivfpq_search(spark: SparkSession, v: DataFrame, coarse_cents,
+                 books, *, n_queries: int = N_QUERIES,
+                 nprobe: int = NPROBE, top_k: int = TOP_K,
+                 kernel: str = "exact",
+                 codes: DataFrame | None = None,
+                 assign: DataFrame | None = None) -> DataFrame:
+    """The IVF+PQ composition over ANY (vec_id, v) frame — the
+    parameterized core the gated ann_topk_ivfpq query AND the scale
+    probe share (VERDICT r8 item 4: measure the composition, don't
+    re-implement it in the probe).
+
+    ``kernel`` picks the coarse ranking implementation — "exact" (the
+    broadcast-NLJ + window whose op order bit-matches the oracles;
+    every gated path) or "arrow" (the GEMM kernel, the measured scale
+    path). ``codes`` / ``assign`` let an index-time caller pass the
+    PRE-BUILT (e.g. parquet-persisted) PQ codes and coarse inverted
+    lists, so query-time measures only the query-side work: probe
+    ranking (|queries| x k), the broadcast candidate join against the
+    probed cells, the broadcast-LUT ADC over candidates, and the
+    per-query top-K window — nothing corpus-sized beyond the pruned
+    slice of the codes table."""
+    if assign is not None and kernel == "exact":
+        raise ValueError("pre-built assign is a persisted-index path; "
+                         "the exact kernel recomputes it by contract")
+    if kernel == "exact":
+        v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
+        cent = _with_norm(
+            spark.createDataFrame(coarse_cents, "cid long, cv array<double>"),
+            "cv", "cnv")
+        cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                        / (F.col("nv") * F.col("cnv")), 6)
+
+        def rank_centroids(side: DataFrame, id_col: str,
+                           keep: int) -> DataFrame:
+            scored = (side.join(F.broadcast(cent), F.lit(True))
+                          .select(id_col, "cid", cos_c.alias("c")))
+            w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
+                                                   F.col("cid").asc())
+            return (scored.withColumn("__rn", F.row_number().over(w))
+                          .where(F.col("__rn") <= keep)
+                          .drop("__rn", "c"))
+
+        assign = rank_centroids(v2, "vec_id", 1)
+        probes = rank_centroids(
+            v2.where(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("query_id"), "v", "nv"),
+            "query_id", nprobe)
+    elif kernel == "arrow":
+        if assign is None:
+            assign = _rank_centroids_arrow(v, coarse_cents).select(
+                "vec_id", "cid")
+        else:
+            assign = assign.select("vec_id", "cid")
+        probes = _rank_centroids_arrow(
+            v.where(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("query_id"), "v"),
+            coarse_cents, id_col="query_id", keep=nprobe).select(
+            "query_id", "cid")
+    else:
+        raise ValueError(f"unknown coarse-ranking kernel {kernel!r}")
+    cand = (F.broadcast(probes).join(assign, "cid")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "vec_id"))
+    if codes is None:
+        codes = _pq_encode_codes(spark, v, books)
+    luts = _pq_query_luts(spark, v, books, n_queries)
+    scored = (_pq_adc_score_candidates(cand, codes, luts)
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      "pq_score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= top_k)
+                  .select("query_id", "neighbor_id", "rank", "pq_score"))
+
+
 @register("ann_topk_ivfpq", oracle=f"""
 WITH v AS ({_SQL_VECTORS}),
 {_SQL_ASSIGN},
@@ -3752,42 +3921,9 @@ FROM ranked WHERE rank <= {TOP_K}
 """)
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    v = _vectors(spark, sf_dir)
-    v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
-    cent = _with_norm(
-        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
-                              "cid long, cv array<double>"),
-        "cv", "cnv")
-    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
-                    / (F.col("nv") * F.col("cnv")), 6)
-
-    def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
-        scored = (side.join(F.broadcast(cent), F.lit(True))
-                      .select(id_col, "cid", cos_c.alias("c")))
-        w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
-                                               F.col("cid").asc())
-        return (scored.withColumn("__rn", F.row_number().over(w))
-                      .where(F.col("__rn") <= keep)
-                      .drop("__rn", "c"))
-
-    assign = rank_centroids(v2, "vec_id", 1)
-    probes = rank_centroids(
-        v2.where(F.col("vec_id") < N_QUERIES)
-          .select(F.col("vec_id").alias("query_id"), "v", "nv"),
-        "query_id", NPROBE)
-    cand = (F.broadcast(probes).join(assign, "cid")
-            .where(F.col("query_id") != F.col("vec_id"))
-            .select("query_id", "vec_id"))
-    codes, luts = _pq_codes_and_luts(spark, v,
-                                     _pq_codebooks(spark, sf_dir))
-    scored = (_pq_adc_score_candidates(cand, codes, luts)
-              .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      "pq_score"))
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-                  .where(F.col("rank") <= TOP_K)
-                  .select("query_id", "neighbor_id", "rank", "pq_score"))
+    return ivfpq_search(spark, _vectors(spark, sf_dir),
+                        train_ivf_centroids(spark, sf_dir),
+                        _pq_codebooks(spark, sf_dir), kernel="exact")
 
 
 def _ivfpq_recall_oracle() -> str:
@@ -3818,3 +3954,187 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["ann_ivfpq_recall_eval"] = _ivfpq_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivf_filtered — METADATA-FILTERED vector search, the
+# production vector-store feature the ANN family lacked: per-query
+# top-K restricted to corpus vectors satisfying a predicate (here:
+# same `label` as the query — "search within the query's class", the
+# tenant/category/language filter every deployed vector store ships).
+# The filter composes INSIDE the IVF prune: candidates are the probed
+# cells' members equi-joined on label, so the predicate cuts the
+# scored set BEFORE the distance math instead of post-filtering a
+# label-blind top-K (which silently returns < K or misses same-label
+# neighbors ranked below the global top-K — the classic filtered-
+# search correctness trap).
+#
+# 100 TB shape: identical to ann_topk_ivf plus one broadcast-joined
+# label column on the candidate set — at scale the label lives IN the
+# inverted-list rows (partition or cluster key), so the equi-condition
+# is a scan-level pushdown, not a join. ann_filtered_recall_eval below
+# measures the composition against the filtered brute-force truth
+# (the every-approximate-path-ships-its-eval contract).
+#
+# Determinism: the standard ROUND(cos,6) DESC, neighbor ASC rule; the
+# label join is exact.
+# --------------------------------------------------------------------------
+_SQL_LABELS = "SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings"
+
+
+@register("ann_topk_ivf_filtered", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+lab AS ({_SQL_LABELS}),
+{_SQL_ASSIGN},
+scored AS (
+  SELECT p.query_id, lq.label, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, a.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN lab lq ON lq.vec_id = p.query_id
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN lab ln ON ln.vec_id = a.vec_id AND ln.label = lq.label),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, label, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    labels = (read_table(spark, sf_dir, "embeddings")
+              .select("vec_id", F.col("label").cast("long").alias("label")))
+    v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
+    cent = _with_norm(
+        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
+                              "cid long, cv array<double>"),
+        "cv", "cnv")
+    cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
+                    / (F.col("nv") * F.col("cnv")), 6)
+
+    def rank_centroids(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = (side.join(F.broadcast(cent), F.lit(True))
+                      .select(id_col, "v", "nv", "cid", cos_c.alias("c")))
+        w = Window.partitionBy(id_col).orderBy(F.col("c").desc(),
+                                               F.col("cid").asc())
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") <= keep)
+                      .drop("__rn", "c"))
+
+    # candidate lists carry the neighbor label (at scale: a stored
+    # column of the inverted list, i.e. scan pushdown, not a join)
+    assign = (rank_centroids(v2, "vec_id", 1)
+              .join(labels, "vec_id")
+              .select("vec_id", "v", "nv", "cid",
+                      F.col("label").alias("n_label")))
+    probes = (rank_centroids(v2.where(F.col("vec_id") < N_QUERIES)
+                               .select(F.col("vec_id").alias("query_id"),
+                                       "v", "nv"),
+                             "query_id", NPROBE)
+              .join(labels.select(F.col("vec_id").alias("query_id"),
+                                  "label"), "query_id")
+              .select("query_id", "label", F.col("v").alias("qv"),
+                      F.col("nv").alias("qnv"), "cid"))
+    scored = (F.broadcast(probes).alias("p")
+              .join(assign.alias("a"),
+                    (F.col("p.cid") == F.col("a.cid"))
+                    & (F.col("a.n_label") == F.col("p.label")))
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "label",
+                      F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.col("qnv") * F.col("nv")), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "label", "neighbor_id", "rank",
+                          "cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# ann_filtered_recall_eval — the filtered search's measured gate:
+# recall@K of the IVF-pruned filtered path against the FILTERED
+# brute-force truth (exact same-label top-K). Evaluating against the
+# unfiltered truth would conflate predicate semantics with pruning
+# loss; this isolates what nprobe costs under the filter, per query.
+# --------------------------------------------------------------------------
+_SQL_FILTERED_BF_TOPK = f"""
+fbf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, b.v)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                      b.vec_id ASC) AS rank
+    FROM v q
+    JOIN lab lq ON lq.vec_id = q.vec_id
+    JOIN lab lb ON lb.label = lq.label
+    JOIN v b ON b.vec_id = lb.vec_id AND b.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K})"""
+
+
+def _filtered_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH v AS ({_SQL_VECTORS}),
+lab AS ({_SQL_LABELS}),
+{_SQL_FILTERED_BF_TOPK.strip()}
+SELECT fbf.query_id,
+       CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(x.neighbor_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+FROM fbf
+LEFT JOIN ({ORACLES["ann_topk_ivf_filtered"]}) x
+  ON x.query_id = fbf.query_id AND x.neighbor_id = fbf.neighbor_id
+GROUP BY fbf.query_id
+"""
+
+
+def _filtered_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact same-label top-K — the truth side of the filtered eval."""
+    v = _vectors(spark, sf_dir)
+    labels = (read_table(spark, sf_dir, "embeddings")
+              .select("vec_id", F.col("label").cast("long").alias("label")))
+    q = (v.where(F.col("vec_id") < N_QUERIES)
+          .join(labels, "vec_id")
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("v").alias("qv"), "label"))
+    b = (v.join(labels, "vec_id")
+          .select("vec_id", "v", F.col("label").alias("n_label")))
+    scored = (F.broadcast(q)
+              .join(b, (F.col("n_label") == F.col("label"))
+                    & (F.col("vec_id") != F.col("query_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.round(F.expr(_sql_dot_cols("qv", "v"))
+                              / (F.expr(f"sqrt({_sql_dot_cols('qv', 'qv')})")
+                                 * F.expr(f"sqrt({_sql_dot_cols('v', 'v')})")),
+                              6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id"))
+
+
+@register("ann_filtered_recall_eval", oracle=None)  # composed below
+def ann_filtered_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = _filtered_bruteforce_topk(spark, sf_dir)
+    x = (ann_topk_ivf_filtered(spark, sf_dir)
+         .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    return (bf.join(x, ["query_id", "neighbor_id"], "left")
+              .groupBy("query_id")
+              .agg(F.count("__hit").cast("long").alias("n_hit"),
+                   F.round(F.count("__hit") / TOP_K, 4)
+                    .alias("recall_at_k")))
+
+
+_OR["ann_filtered_recall_eval"] = _filtered_recall_oracle()

@@ -481,23 +481,33 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # corpus_token_bins — sequence packing: assign documents to fixed
 # token-budget bins for batch assembly. True first-fit packing is
-# inherently sequential, so the DISTRIBUTED shape shards the corpus by
-# hash first (PACK_SHARDS independent streams) and packs contiguously
-# within each shard by running token count: a doc's bin is how many full
-# budgets precede its start offset. Each shard's cumulative-sum window
-# is independent — the plan is PACK_SHARDS-way parallel and never sees
-# a global sort, which is what makes this survive 100 TB (one
-# unpartitioned orderBy window would serialize the corpus through one
-# task). Bin boundaries may split a straddling doc's budget across two
-# bins — the downstream chunker (doc_chunks) already handles intra-doc
-# splitting, so packing only needs offsets, not exact fits.
+# inherently sequential, so the DISTRIBUTED shape shards the corpus
+# first (independent streams) and packs contiguously within each shard
+# by running token count: a doc's bin is how many full budgets precede
+# its start offset. Each shard's cumulative-sum window is independent —
+# the plan never sees a global sort. Bin boundaries may split a
+# straddling doc's budget across two bins — the downstream chunker
+# (doc_chunks) already handles intra-doc splitting, so packing only
+# needs offsets, not exact fits.
+#
+# Round 9 scale fix (the customer_value_ranks class, caught by hand —
+# the lowcard sweep is blind to DERIVED partition keys): the shard key
+# was doc_id % 8, a CONSTANT 8-value domain, so the packing window's
+# parallelism was capped at 8 tasks forever — at 100 TB that is 8 tasks
+# each sorting N/8 doc rows, exactly the serialization the sweep exists
+# to catch on base columns. The shard is now a contiguous doc-id RANGE
+# (doc_id // PACK_SHARD_DOCS): cardinality grows linearly with the
+# corpus, each window partition holds a bounded ~PACK_SHARD_DOCS rows
+# at ANY scale, and contiguous ranges preserve reading order within a
+# shard (hash-sharding interleaved them). Oracle updated in lockstep;
+# parity re-proven at sf0.001/0.01/0.1.
 # --------------------------------------------------------------------------
-PACK_BUDGET = 256   # tokens per bin
-PACK_SHARDS = 8
+PACK_BUDGET = 256       # tokens per bin
+PACK_SHARD_DOCS = 100   # docs per packing shard (bounded window input)
 
 
 @register("corpus_token_bins", oracle=f"""
-WITH t AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+WITH t AS (SELECT doc_id, doc_id // {PACK_SHARD_DOCS} AS shard,
                   len({_sql_tokens()}) AS n_tokens
            FROM documents),
 c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
@@ -515,7 +525,7 @@ def corpus_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.floor(F.col("doc_id") / PACK_SHARD_DOCS).alias("shard"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
     w = (Window.partitionBy("shard").orderBy("doc_id")
                .rowsBetween(Window.unboundedPreceding, -1))

@@ -17,11 +17,20 @@ known rate, and times the library operators themselves on it:
   3. incremental probe of a fresh batch against the persisted store
      (the dedup_incremental shape)
   4. IVF k-means training (k scaled per dedup_ivf_k) + batch
-     assignment to the trained quantizer (the ann_ivf_incremental
-     shape)
+     assignment to the trained quantizer — BOTH kernels (exact NLJ
+     and arrow GEMM), so the gap is a recorded number
+  5. the incremental-ingest path end to end at the public
+     assign_nearest dispatcher's default (GEMM) kernel, through the
+     parquet-persisted quantizer/lists (the ann_ivf_incremental /
+     stream_ann_ingest shape at production speed)
+  6. the IVF+PQ composition: index build persisted (coarse lists +
+     PQ codes), query-batch latency over the PERSISTED index, and
+     planted-neighbor recall (vec_id < PQ_QUERIES are near-copies of
+     vectors half the id space away)
 
-Prints one JSON line. Sized by --docs / --vecs; defaults finish in
-minutes on local[32].
+Prints one JSON line. Sized by --docs / --vecs; --stages selects a
+subset (e.g. --stages dedup for a 25M-doc dedup ladder point).
+Defaults finish in minutes on local[32].
 
 Usage: SPARK_DRIVER_MEMORY=32g python scripts/scale_probe_llm.py \
            [--docs 1000000] [--vecs 1000000] [--batch 10000]
@@ -74,12 +83,31 @@ def gen_docs(spark, n_docs: int, batch: int):
         F.concat_ws(" ", F.concat(body, F.array(tail))).alias("text"))
 
 
-def gen_vecs(spark, n_vecs: int, dim: int):
+PQ_QUERIES = 64          # planted ANN queries: vec_id < PQ_QUERIES
+
+
+def gen_vecs(spark, n_vecs: int, dim: int, plant: bool = False):
+    """Hash-random unit-cube vectors; with ``plant``, the first
+    PQ_QUERIES ids are near-copies of the vector half the id space
+    away (base seed + a 1%-amplitude deterministic perturbation), so
+    an ANN probe has known TRUE near-neighbors to measure recall
+    against — the vector twin of gen_docs's planted near-dup pairs."""
     from pyspark.sql import functions as F
-    v = F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001))
-                   - F.lit(1000)).cast("double") / F.lit(1000.0))
+
+    is_q = F.col("id") < PQ_QUERIES
+    seed = (F.when(is_q, F.col("id") + n_vecs // 2).otherwise(F.col("id"))
+            if plant else F.col("id"))
+
+    def coord(i):
+        base = (F.pmod(F.xxhash64(seed, i), F.lit(2001))
+                - F.lit(1000)).cast("double") / F.lit(1000.0)
+        if not plant:
+            return base
+        jitter = (F.pmod(F.xxhash64(F.col("id"), i, F.lit(7)), F.lit(2001))
+                  - F.lit(1000)).cast("double") / F.lit(100_000.0)
+        return F.when(is_q, base + jitter).otherwise(base)
+
+    v = F.transform(F.sequence(F.lit(1), F.lit(dim)), coord)
     return spark.range(n_vecs).select(F.col("id").alias("vec_id"),
                                       v.alias("v"))
 
@@ -99,7 +127,12 @@ def main() -> None:
                          "clusters and would put k in the tens of "
                          "thousands at 1M vectors)")
     ap.add_argument("--workdir", default="/tmp/scale_probe_llm")
+    ap.add_argument("--stages", default="dedup,ivf,ingest,ivfpq",
+                    help="comma subset of dedup,ivf,ingest,ivfpq — a "
+                         "25M-doc dedup ladder point need not pay the "
+                         "vector stages (and vice versa)")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
 
     from pyspark.sql import functions as F
 
@@ -107,7 +140,8 @@ def main() -> None:
         JACCARD_THRESHOLD, _shingle_hashes, _verified_jaccard,
         dedup_incremental, minhash_band_store)
     from hdfs_with_pyspark_spark.llm.similarity import (
-        _assign_nearest, _assign_nearest_arrow, _train_kmeans)
+        PQ_K, PQ_SUB, PQ_SUB_DIM, _assign_nearest, _assign_nearest_arrow,
+        _pq_encode_codes, _train_kmeans, assign_nearest, ivfpq_search)
     from hdfs_with_pyspark_spark.session import get_spark
 
     spark = get_spark("scale-probe-llm")
@@ -115,99 +149,193 @@ def main() -> None:
     result = {"n_docs": args.docs, "n_vecs": args.vecs,
               "batch": args.batch}
 
-    # Corpus lands on disk first so every probe times the operator, not
-    # the generator.
-    docs_path = os.path.join(args.workdir, "docs")
-    gen_docs(spark, args.docs, args.batch).write.mode("overwrite") \
-        .parquet(docs_path)
-    docs = spark.read.parquet(docs_path)
-    corpus = docs.where(F.col("doc_id") >= args.batch)
-    batch = docs.where(F.col("doc_id") < args.batch)
+    if "dedup" in stages:
+        # Corpus lands on disk first so every probe times the
+        # operator, not the generator.
+        docs_path = os.path.join(args.workdir, "docs")
+        gen_docs(spark, args.docs, args.batch).write.mode("overwrite") \
+            .parquet(docs_path)
+        docs = spark.read.parquet(docs_path)
+        corpus = docs.where(F.col("doc_id") >= args.batch)
+        batch = docs.where(F.col("doc_id") < args.batch)
 
-    # 1. band-store build (corpus only — the standing state)
-    store_path = os.path.join(args.workdir, "band_store")
-    t0 = time.time()
-    minhash_band_store(corpus).write.mode("overwrite").parquet(store_path)
-    result["band_store_build_sec"] = round(time.time() - t0, 1)
-    store = spark.read.parquet(store_path)
+        # 1. band-store build (corpus only — the standing state)
+        store_path = os.path.join(args.workdir, "band_store")
+        t0 = time.time()
+        minhash_band_store(corpus).write.mode("overwrite") \
+            .parquet(store_path)
+        result["band_store_build_sec"] = round(time.time() - t0, 1)
+        store = spark.read.parquet(store_path)
 
-    # 2. full banded self-join + exact verify over the whole corpus
-    t0 = time.time()
-    cand = (store.alias("x")
-            .join(store.alias("y"),
-                  (F.col("x.band") == F.col("y.band"))
-                  & (F.col("x.bkey") == F.col("y.bkey"))
-                  & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("doc_a"),
-                    F.col("y.doc_id").alias("doc_b"))
-            .distinct())
-    touched = (cand.select(F.col("doc_a").alias("doc_id"))
+        # 2. full banded self-join + exact verify over the whole corpus
+        t0 = time.time()
+        cand = (store.alias("x")
+                .join(store.alias("y"),
+                      (F.col("x.band") == F.col("y.band"))
+                      & (F.col("x.bkey") == F.col("y.bkey"))
+                      & (F.col("x.doc_id") < F.col("y.doc_id")))
+                .select(F.col("x.doc_id").alias("doc_a"),
+                        F.col("y.doc_id").alias("doc_b"))
+                .distinct())
+        touched = (cand.select(F.col("doc_a").alias("doc_id"))
                    .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                    .distinct())
-    shh = _shingle_hashes(corpus.join(touched, "doc_id", "left_semi"))
-    n_pairs = (_verified_jaccard(cand, shh)
-               .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD).count())
-    result["lsh_verify_sec"] = round(time.time() - t0, 1)
-    result["near_dup_pairs"] = n_pairs
-    # planted pairs living entirely inside the corpus split: one per
-    # DUP_EVERY ids, minus any whose base doc fell into the batch
-    planted = sum(1 for s in range(0, args.docs - 1, DUP_EVERY)
-                  if s >= args.batch)
-    result["planted_pairs"] = planted
-    if not planted * 0.95 <= n_pairs <= planted * 1.10:
-        raise SystemExit(f"recall sanity failed: {n_pairs} found vs "
-                         f"{planted} planted")
+        shh = _shingle_hashes(corpus.join(touched, "doc_id", "left_semi"))
+        n_pairs = (_verified_jaccard(cand, shh)
+                   .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD).count())
+        result["lsh_verify_sec"] = round(time.time() - t0, 1)
+        result["near_dup_pairs"] = n_pairs
+        # planted pairs living entirely inside the corpus split: one per
+        # DUP_EVERY ids, minus any whose base doc fell into the batch
+        planted = sum(1 for s in range(0, args.docs - 1, DUP_EVERY)
+                      if s >= args.batch)
+        result["planted_pairs"] = planted
+        if not planted * 0.95 <= n_pairs <= planted * 1.10:
+            raise SystemExit(f"recall sanity failed: {n_pairs} found vs "
+                             f"{planted} planted")
 
-    # 3. incremental probe: fresh batch vs the persisted store
-    t0 = time.time()
-    n_incr = dedup_incremental(batch, store, spread_input=False).count()
-    result["incremental_probe_sec"] = round(time.time() - t0, 1)
-    result["incremental_candidates"] = n_incr
-    planted_cross = sum(1 for i in range(1, args.batch, DUP_EVERY))
-    result["planted_cross_pairs"] = planted_cross
-    # banding is probabilistic: at ~0.86 planted Jaccard a pair misses
-    # all bands with p ~ 1e-4, so allow a short tail on either side
-    if not planted_cross * 0.95 <= n_incr <= planted_cross * 1.10 + 10:
-        raise SystemExit(f"incremental sanity failed: {n_incr} candidates"
-                         f" vs {planted_cross} planted cross-split dups")
+        # 3. incremental probe: fresh batch vs the persisted store
+        t0 = time.time()
+        n_incr = dedup_incremental(batch, store, spread_input=False).count()
+        result["incremental_probe_sec"] = round(time.time() - t0, 1)
+        result["incremental_candidates"] = n_incr
+        planted_cross = sum(1 for i in range(1, args.batch, DUP_EVERY))
+        result["planted_cross_pairs"] = planted_cross
+        # banding is probabilistic: at ~0.86 planted Jaccard a pair
+        # misses all bands with p ~ 1e-4 — allow a short tail each side
+        if not planted_cross * 0.95 <= n_incr <= planted_cross * 1.10 + 10:
+            raise SystemExit(f"incremental sanity failed: {n_incr} "
+                             f"candidates vs {planted_cross} planted "
+                             "cross-split dups")
+
+    if not stages & {"ivf", "ingest", "ivfpq"}:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps(result))
+        return
 
     # 4. IVF: train scaled-k quantizer on the vectors, assign a batch
     vecs_path = os.path.join(args.workdir, "vecs")
-    gen_vecs(spark, args.vecs, 64).write.mode("overwrite").parquet(vecs_path)
+    gen_vecs(spark, args.vecs, 64, plant=True).write.mode("overwrite") \
+        .parquet(vecs_path)
     vecs = spark.read.parquet(vecs_path)
     k = args.k
     # the vector-side batch is independent of the doc batch (a tiny
     # --vecs run must still leave a real corpus behind the split)
     vbatch = min(args.batch, args.vecs // 2)
     result["vec_batch"] = vbatch
-    t0 = time.time()
-    cents = _train_kmeans(vecs.where(F.col("vec_id") >= vbatch),
-                          k, iters=args.iters)
-    result["ivf_train_sec"] = round(time.time() - t0, 1)
     result["ivf_k"] = k
-    cent_df = spark.createDataFrame(cents, "cid long, cv array<double>")
-    t0 = time.time()
-    n_assigned = _assign_nearest(
-        vecs.where(F.col("vec_id") < vbatch), cent_df).count()
-    result["ivf_batch_assign_sec"] = round(time.time() - t0, 1)
-    assert n_assigned == vbatch
-    # the vectorized GEMM kernel over the SAME batch + quantizer — and
-    # over the whole corpus, the size the NLJ kernel cannot afford
-    t0 = time.time()
-    n_fast = _assign_nearest_arrow(
-        vecs.where(F.col("vec_id") < vbatch), cents).count()
-    result["ivf_batch_assign_arrow_sec"] = round(time.time() - t0, 2)
-    assert n_fast == vbatch
-    t0 = time.time()
-    n_full = _assign_nearest_arrow(vecs, cents).count()
-    result["ivf_full_assign_arrow_sec"] = round(time.time() - t0, 1)
-    assert n_full == args.vecs
-    # GEMM-kernel training at the same (n, k, iters)
-    if args.iters:
+    if "ivf" in stages:
         t0 = time.time()
-        _train_kmeans(vecs.where(F.col("vec_id") >= vbatch),
-                      k, iters=args.iters, kernel="arrow")
+        cents = _train_kmeans(vecs.where(F.col("vec_id") >= vbatch),
+                              k, iters=args.iters)
+        result["ivf_train_sec"] = round(time.time() - t0, 1)
+        cent_df = spark.createDataFrame(cents, "cid long, cv array<double>")
+        t0 = time.time()
+        n_assigned = _assign_nearest(
+            vecs.where(F.col("vec_id") < vbatch), cent_df).count()
+        result["ivf_batch_assign_sec"] = round(time.time() - t0, 1)
+        assert n_assigned == vbatch
+        # the vectorized GEMM kernel over the SAME batch + quantizer —
+        # and over the whole corpus, the size the NLJ kernel can't afford
+        t0 = time.time()
+        n_fast = _assign_nearest_arrow(
+            vecs.where(F.col("vec_id") < vbatch), cents).count()
+        result["ivf_batch_assign_arrow_sec"] = round(time.time() - t0, 2)
+        assert n_fast == vbatch
+        t0 = time.time()
+        n_full = _assign_nearest_arrow(vecs, cents).count()
+        result["ivf_full_assign_arrow_sec"] = round(time.time() - t0, 1)
+        assert n_full == args.vecs
+        # GEMM-kernel training at the same (n, k, iters)
+        if args.iters:
+            t0 = time.time()
+            _train_kmeans(vecs.where(F.col("vec_id") >= vbatch),
+                          k, iters=args.iters, kernel="arrow")
+            result["ivf_train_arrow_sec"] = round(time.time() - t0, 1)
+    else:
+        # prerequisite for the ingest/ivfpq stages: GEMM-kernel
+        # training only (the exact-NLJ train is the measured-once
+        # ~265x-slower twin — at 1M vectors it alone would cost ~an
+        # hour, so the bigger ladder points time just the scale path)
+        t0 = time.time()
+        cents = _train_kmeans(vecs.where(F.col("vec_id") >= vbatch),
+                              k, iters=args.iters, kernel="arrow")
         result["ivf_train_arrow_sec"] = round(time.time() - t0, 1)
+
+    if "ingest" not in stages and "ivfpq" not in stages:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps(result))
+        return
+
+    # 5. the incremental-ingest path end to end at the PUBLIC
+    # dispatcher's default (GEMM) kernel: persist the quantizer, build
+    # the corpus inverted lists through the parquet sink, then probe a
+    # fresh batch against the re-read store — the ann_ivf_incremental /
+    # stream_ann_ingest shape at the speed production ingest actually
+    # runs (VERDICT r8 item 5). The quantizer hydrates from parquet
+    # exactly as a deployment broadcast would (k x dim doubles).
+    cent_path = os.path.join(args.workdir, "ivf_cent")
+    lists_path = os.path.join(args.workdir, "ivf_lists")
+    if "ingest" in stages:
+        t0 = time.time()
+        spark.createDataFrame(cents, "cid long, cv array<double>") \
+            .write.mode("overwrite").parquet(cent_path)
+        assign_nearest(vecs.where(F.col("vec_id") >= vbatch), cents) \
+            .select("vec_id", "cid").write.mode("overwrite") \
+            .parquet(lists_path)
+        result["ivf_ingest_build_sec"] = round(time.time() - t0, 1)
+        cents_re = [(int(r["cid"]), list(r["cv"]))
+                    for r in spark.read.parquet(cent_path).collect()]
+        t0 = time.time()
+        n_ing = assign_nearest(
+            vecs.where(F.col("vec_id") < vbatch), cents_re).count()
+        result["ivf_ingest_batch_sec"] = round(time.time() - t0, 2)
+        assert n_ing == vbatch
+
+    if "ivfpq" not in stages:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps(result))
+        return
+
+    # 6. IVF+PQ composition (VERDICT r8 item 4): index build (subspace
+    # codebooks + full-corpus coarse lists + PQ codes, persisted), then
+    # query-batch latency over the PERSISTED index — only the pruned
+    # candidate slice of the codes table moves at query time — with
+    # planted-neighbor recall so the latency is of a run that WORKED.
+    books = [_train_kmeans(
+        vecs.select("vec_id",
+                    F.slice("v", s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                     .alias("v")),
+        PQ_K, iters=max(args.iters, 1), kernel="arrow")
+        for s in range(PQ_SUB)]
+    codes_path = os.path.join(args.workdir, "pq_codes")
+    t0 = time.time()
+    assign_nearest(vecs, cents).select("vec_id", "cid") \
+        .write.mode("overwrite").parquet(lists_path)
+    _pq_encode_codes(spark, vecs, books) \
+        .write.mode("overwrite").parquet(codes_path)
+    result["ivfpq_index_build_sec"] = round(time.time() - t0, 1)
+    nprobe = 8
+    t0 = time.time()
+    topk = ivfpq_search(
+        spark, vecs, cents, books,
+        n_queries=PQ_QUERIES, nprobe=nprobe, top_k=10, kernel="arrow",
+        codes=spark.read.parquet(codes_path),
+        assign=spark.read.parquet(lists_path)).collect()
+    result["ivfpq_query_batch_sec"] = round(time.time() - t0, 2)
+    result["ivfpq_nprobe"] = nprobe
+    result["ivfpq_n_queries"] = PQ_QUERIES
+    planted_hits = sum(
+        1 for r in topk
+        if r["neighbor_id"] == r["query_id"] + args.vecs // 2)
+    result["ivfpq_planted_recall"] = round(planted_hits / PQ_QUERIES, 3)
+    # the planted base is the overwhelming true NN (1%-amplitude
+    # jitter); IVF routes both to the same cell and ADC ranks the base
+    # at/near the top — a floor well below the expected ~1.0 still
+    # catches a broken index or scoring path loudly
+    if planted_hits < PQ_QUERIES * 0.8:
+        raise SystemExit(f"ivfpq recall sanity failed: {planted_hits}"
+                         f"/{PQ_QUERIES} planted neighbors found")
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     print(json.dumps(result))

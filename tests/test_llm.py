@@ -495,7 +495,9 @@ def test_corpus_token_bins_matches_sequential_packing(spark):
     rows = tx.corpus_token_bins(spark, sf).collect()
     by_shard: dict[int, list] = {}
     for r in rows:
-        assert r["shard"] == r["doc_id"] % tx.PACK_SHARDS
+        # r9 scale fix: contiguous doc-id RANGE shards (cardinality
+        # grows with the corpus), not a constant-8 hash domain
+        assert r["shard"] == r["doc_id"] // tx.PACK_SHARD_DOCS
         by_shard.setdefault(r["shard"], []).append(r)
     for shard_rows in by_shard.values():
         cum = 0
@@ -1898,3 +1900,65 @@ def test_ivfpq_composition_properties(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in pq:
             assert pq[key] == r.pq_score, (key, pq[key], r.pq_score)
+
+
+def test_ivfpq_arrow_kernel_and_dispatcher_agree(spark, sf_dir):
+    """The GEMM-kernel composition (the scale-probe path) must return
+    exactly the gated exact composition's rows on the test corpus —
+    the kernel-agreement contract extended from argmax assignment to
+    the ranked nprobe shape — including when the coarse lists and
+    codes are passed in pre-built (the persisted-index query path).
+    The public assign_nearest dispatcher must route both kernels to
+    identical cids and reject unknown ones."""
+    from pyspark.sql import functions as F
+
+    v = sim._vectors(spark, sf_dir)
+    cents = sim.train_ivf_centroids(spark, sf_dir)
+    books = sim._pq_codebooks(spark, sf_dir)
+    exact = sorted(map(tuple, sim.ivfpq_search(
+        spark, v, cents, books, kernel="exact").collect()))
+    fast = sorted(map(tuple, sim.ivfpq_search(
+        spark, v, cents, books, kernel="arrow").collect()))
+    assert exact == fast
+    prebuilt = sorted(map(tuple, sim.ivfpq_search(
+        spark, v, cents, books, kernel="arrow",
+        codes=sim._pq_encode_codes(spark, v, books),
+        assign=sim._rank_centroids_arrow(v, cents)).collect()))
+    assert exact == prebuilt
+    # dispatcher wiring: both kernels, same cids; unknown kernel loud
+    ae = {r.vec_id: r.cid
+          for r in sim.assign_nearest(v, cents, kernel="exact").collect()}
+    aa = {r.vec_id: r.cid
+          for r in sim.assign_nearest(v, cents, kernel="arrow").collect()}
+    assert ae == aa
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sim.assign_nearest(v, cents, kernel="bogus")
+    with _pytest.raises(ValueError):
+        sim.ivfpq_search(spark, v, cents, books, kernel="exact",
+                         assign=sim._rank_centroids_arrow(v, cents))
+
+
+def test_filtered_search_label_semantics(spark, sf_dir):
+    """Every filtered-search hit must share the query's label, and the
+    composed filter must beat the classic broken alternative (label-
+    blind top-K then post-filter) — the trap the query exists to avoid:
+    post-filtering returns only whatever same-label rows happened to
+    rank in the global top-K."""
+    from hdfs_with_pyspark_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    labels = {r.vec_id: r.label
+              for r in read_table(spark, sf_dir, "embeddings")
+              .select("vec_id", F.col("label").cast("long").alias("label"))
+              .collect()}
+    out = sim.ann_topk_ivf_filtered(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert labels[r.query_id] == r.label == labels[r.neighbor_id], r
+    # the label-blind IVF top-K, post-filtered to the query's label,
+    # finds strictly fewer same-label neighbors in aggregate
+    blind = sim.ann_topk_ivf(spark, sf_dir).collect()
+    post = sum(1 for r in blind
+               if labels[r.neighbor_id] == labels[r.query_id])
+    assert len(out) > post, (len(out), post)
