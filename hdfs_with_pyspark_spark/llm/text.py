@@ -2573,23 +2573,35 @@ def tokenizer_vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # corpus_training_order_audit — interleave quality of the deterministic
 # training order: docs are ordered by md5('order:'||doc_id) within
-# ORDER_SHARDS hash shards (exactly the layout a multi-rank data loader
-# consumes — each rank streams its own shard sequentially), and the
-# audit reports, per source, the run-length statistics of consecutive
-# same-source docs. Long same-source runs are the gradient-correlation
-# failure mode a global shuffle is supposed to prevent; this query
-# PROVES the shuffle mixed the sources instead of assuming the hash did
-# its job.
+# hash shards (exactly the layout a multi-rank data loader consumes —
+# each rank streams its own shard sequentially), and the audit reports,
+# per source, the run-length statistics of consecutive same-source
+# docs. Long same-source runs are the gradient-correlation failure mode
+# a global shuffle is supposed to prevent; this query PROVES the
+# shuffle mixed the sources instead of assuming the hash did its job.
 #
 # Determinism: the order key is the 60-bit md5 bigint (ties broken by
 # doc_id); runs come from the gaps-and-islands double row_number.
 #
-# 100 TB shape: the windows partition by shard — at real scale
-# ORDER_SHARDS is the trainer's data-loader rank count (thousands), so
-# each shard is one task-sized stream, which is ALSO the object under
-# audit (per-rank arrival order), not an approximation of it.
+# 100 TB shape (round 9 scale fix — the FIRST query the extended
+# derived-key lowcard sweep caught mechanically): the shard count was
+# a constant 8, capping the run-length windows at 8 tasks forever —
+# the corpus_token_bins defect in audit clothing. It now DERIVES from
+# the corpus size (>= ORDER_MIN_SHARDS, ~ORDER_DOCS_PER_SHARD docs
+# per shard), which is also production-faithful: loader rank counts
+# grow with the training scale, and every shard count yields a valid
+# audit of "the hash order mixes sources within each rank's stream"
+# (shards are hash-assigned streams, so runs never cross shards at
+# any count). Per-shard window input stays bounded at any data size;
+# the 1-row COUNT that sizes it is bounded driver state (the
+# dedup_ivf_k corpus-scaled-k precedent).
 # --------------------------------------------------------------------------
-ORDER_SHARDS = 8
+ORDER_MIN_SHARDS = 32
+ORDER_DOCS_PER_SHARD = 4096
+
+_SQL_ORDER_SHARDS = (f"(SELECT GREATEST({ORDER_MIN_SHARDS}, "
+                     f"(COUNT(*) + {ORDER_DOCS_PER_SHARD - 1}) "
+                     f"// {ORDER_DOCS_PER_SHARD}) FROM documents)")
 
 
 @register("corpus_training_order_audit", oracle=f"""
@@ -2598,7 +2610,7 @@ WITH o AS (
          ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
            ::BIGINT AS k
   FROM documents),
-s AS (SELECT doc_id, source, k % {ORDER_SHARDS} AS shard, k FROM o),
+s AS (SELECT doc_id, source, k % {_SQL_ORDER_SHARDS} AS shard, k FROM o),
 r AS (SELECT *,
          ROW_NUMBER() OVER (PARTITION BY shard
                             ORDER BY k, doc_id) AS pos,
@@ -2619,9 +2631,12 @@ def corpus_training_order_audit(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     ensure_session(spark)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_docs = docs.count()   # 1-row driver state sizing the shard count
+    shards = max(ORDER_MIN_SHARDS,
+                 (n_docs + ORDER_DOCS_PER_SHARD - 1) // ORDER_DOCS_PER_SHARD)
     k = hash64(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
     s = docs.select("doc_id", "source", k.alias("k"),
-                    (k % ORDER_SHARDS).alias("shard"))
+                    (k % F.lit(shards)).alias("shard"))
     w_pos = Window.partitionBy("shard").orderBy("k", "doc_id")
     w_spos = Window.partitionBy("shard", "source").orderBy("k", "doc_id")
     r = s.select("shard", "source",

@@ -1064,8 +1064,15 @@ def test_sweep_no_unbounded_single_partition_exchange(spark, sf_dir):
 # grows with the data (user_id: ~15 -> ~150) partitions finer as N
 # grows and is never a bottleneck, so it must not flag even though
 # the small-sf snapshot alone looks tiny. Derived/aliased partition
-# columns are unknown-cardinality and never flagged (the sweep targets
-# the silent base-column case).
+# columns default to unknown-cardinality (never flagged) with ONE
+# round-9 exception: a partition attribute whose defining expression
+# is a modulo-by-literal (pmod/% with a constant k — the hash-shard
+# idiom) has domain <= k at ANY data size, so it is resolved through
+# the plan's Alias definitions and flagged when k (times the other
+# keys' cardinalities) sits below the core count. That is exactly the
+# constant-8-shard corpus_token_bins defect round 9 caught by hand;
+# the sweep now catches the class mechanically (self-tested below on
+# the pre-fix shape).
 # ---------------------------------------------------------------------------
 _LOWCARD_THRESHOLD = 32  # local[32]: fewer partitions than cores
 _BOUNDING_LOGICAL = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
@@ -1085,29 +1092,94 @@ def _subtree_bounded(node) -> bool:
     return all(_subtree_bounded(k) for k in kids)
 
 
+def _alias_defs(plan) -> dict[int, object]:
+    """exprId -> defining expression, collected from every Alias in the
+    plan (Project/Aggregate output lists) — the lineage map that lets
+    the sweep look THROUGH a named derived column like `shard`."""
+    defs: dict[int, object] = {}
+
+    def visit(node):
+        try:
+            exprs = _jseq(node.expressions())
+        except Exception:
+            exprs = []
+        stack = list(exprs)
+        while stack:
+            e = stack.pop()
+            if e.nodeName() == "Alias":
+                defs[e.exprId().id()] = e.child()
+            stack.extend(_jseq(e.children()))
+        for k in _jseq(node.children()):
+            visit(k)
+
+    visit(plan)
+    return defs
+
+
+def _const_domain(e, defs: dict[int, object], depth: int = 0) -> int | None:
+    """Upper bound on the expression's distinct-value count when one is
+    provable at ANY data size, else None. Provable cases: literals (1),
+    modulo-by-literal (the divisor — pmod(x, 8) has domain <= 8
+    regardless of x), and attributes whose Alias definition resolves to
+    one of those (chased through `defs` with a depth cap). Floor-div /
+    hash / arithmetic keys return None: their domains grow with data."""
+    if depth > 8:
+        return None
+    name = e.nodeName()
+    if name == "Literal":
+        return 1
+    if name in ("Pmod", "Remainder"):
+        for k in _jseq(e.children()):
+            # the analyzer wraps the divisor literal in type-coercion
+            # Casts (doc_id % cast(8 as bigint)) — unwrap them
+            while k.nodeName() == "Cast" and _jseq(k.children()):
+                k = _jseq(k.children())[0]
+            if k.nodeName() == "Literal":
+                try:
+                    return max(1, abs(int(str(k.value()))))
+                except (TypeError, ValueError):
+                    return None
+        return None
+    if name == "AttributeReference":
+        d = defs.get(e.exprId().id())
+        return _const_domain(d, defs, depth + 1) if d is not None else None
+    if name in ("Alias", "Cast"):
+        kids = _jseq(e.children())
+        return _const_domain(kids[0], defs, depth + 1) if kids else None
+    return None
+
+
 def _lowcard_window_sites(df, col_card: dict[str, int]) -> list[str]:
     """Walks the ANALYZED plan: after cache substitution a persisted
     post-aggregate frame becomes an InMemoryRelation LEAF that hides its
     Aggregate, so the optimized plan would false-flag every window over a
     pinned histogram (quality_outlier_mad, score_lift_table)."""
     bad = []
+    plan = df._jdf.queryExecution().analyzed()
+    defs = _alias_defs(plan)
 
     def visit(node):
         if node.nodeName() == "Window" and not all(
                 _subtree_bounded(k) for k in _jseq(node.children())):
-            attrs = {r.name()
-                     for e in _jseq(node.partitionSpec())
-                     for r in _jseq(e.references().toSeq())}
-            card = 1
-            for a in sorted(attrs):
-                card *= col_card.get(a, _LOWCARD_THRESHOLD)
+            card, keys = 1, []
+            for e in _jseq(node.partitionSpec()):
+                bound = _const_domain(e, defs)
+                if bound is not None:
+                    card *= bound
+                    keys.append(f"<derived domain<={bound}>")
+                    continue
+                refs = sorted({r.name()
+                               for r in _jseq(e.references().toSeq())})
+                for a in refs:
+                    card *= col_card.get(a, _LOWCARD_THRESHOLD)
+                keys.extend(refs)
             if card < _LOWCARD_THRESHOLD:
-                bad.append(f"Window partitionBy{sorted(attrs)} "
+                bad.append(f"Window partitionBy{keys} "
                            f"~{card} groups over unbounded input")
         for k in _jseq(node.children()):
             visit(k)
 
-    visit(df._jdf.queryExecution().analyzed())
+    visit(plan)
     return bad
 
 
@@ -1195,6 +1267,36 @@ def test_lowcard_detector_flags_known_bad_plan(spark, sf_dir):
     wg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     ok = grp.select("c_mktsegment", F.sum("count").over(wg).alias("running"))
     assert not _lowcard_window_sites(ok, card)
+
+
+def test_lowcard_detector_flags_derived_modulo_shard(spark, sf_dir):
+    # Self-test on the pre-fix corpus_token_bins shape (round 9): a
+    # cumsum window partitioned by a NAMED modulo-by-literal column —
+    # `shard = doc_id % 8`, a constant 8-value domain at any data size
+    # — must flag even though `shard` is not a base table column (the
+    # r8 sweep's documented blind spot, caught by hand first).
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    card = _column_cardinalities(spark, sf_dir)
+    t = docs.select("doc_id", (F.col("doc_id") % 8).alias("shard"),
+                    F.length("text").alias("n"))
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, -1)
+    old_shape = t.withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    sites = _lowcard_window_sites(old_shape, card)
+    assert sites and "domain<=8" in sites[0], sites
+    # ...and the FIXED shape (contiguous doc-id ranges: floor-div, a
+    # domain that grows with the corpus) must NOT flag.
+    t2 = docs.select("doc_id", F.floor(F.col("doc_id") / 100).alias("shard"),
+                     F.length("text").alias("n"))
+    new_shape = t2.withColumn("cum", F.coalesce(F.sum("n").over(
+        Window.partitionBy("shard").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    assert not _lowcard_window_sites(new_shape, card)
 
 
 def test_sweep_no_lowcard_fact_scale_windows(spark, sf_dir):
