@@ -159,9 +159,12 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "ann_ivfpq_recall_eval",
     # round 9: metadata-filtered vector search (predicate composed
-    # inside the IVF prune) + its filtered-truth recall eval
+    # inside the IVF prune) + its filtered-truth recall eval; the PQ
+    # exact-re-rank stage + its gain eval
     "ann_topk_ivf_filtered",
     "ann_filtered_recall_eval",
+    "ann_topk_pq_refine",
+    "ann_pq_refine_recall_eval",
 ]
 
 

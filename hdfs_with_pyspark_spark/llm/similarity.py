@@ -4138,3 +4138,137 @@ def ann_filtered_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["ann_filtered_recall_eval"] = _filtered_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# ann_topk_pq_refine — the RE-RANK stage every deployed PQ system ships
+# (FAISS's IVFPQR / "refine" wrapper; Jégou et al. TPAMI 2011 §V.C):
+# the compressed-domain ADC scan produces a SHORTLIST of PQ_REFINE_R
+# candidates per query, and only those R rows are re-scored with the
+# exact float cosine before the final top-K. Quantization error then
+# costs recall only when a true neighbor falls outside the shortlist
+# entirely — the R/K ratio buys back ADC's ranking noise at the price
+# of R exact distance evaluations per query.
+#
+# 100 TB shape: the corpus-sized work stays the compressed-code scan;
+# the exact re-rank touches |queries| x R float vectors — a broadcast
+# of the shortlist into the vector table, kilobytes of candidate ids,
+# never a second corpus scan. ann_pq_refine_recall_eval measures the
+# bought-back recall against plain PQ per query (refine_gain — the
+# rebuild_gain pattern).
+#
+# Determinism: the ADC shortlist ranks ROUND(adc,6) DESC, neighbor ASC
+# (the standalone scan's exact rule); the re-rank uses the standard
+# ROUND(cos,6) DESC, neighbor ASC.
+# --------------------------------------------------------------------------
+PQ_REFINE_R = 3 * TOP_K
+
+
+def _sql_pq_refine_topk() -> str:
+    return f"""
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY pq_score DESC, neighbor_id ASC)
+              AS arank
+    FROM scored) WHERE arank <= {PQ_REFINE_R}),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_dot_product(q.v, b.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM shortlist s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v b ON b.vec_id = s.neighbor_id),
+rranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+            AS rank
+  FROM refined)"""
+
+
+@register("ann_topk_pq_refine", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_sql_pq_ctes()},
+{_sql_pq_scored().strip()},
+{_sql_pq_refine_topk().strip()}
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM rranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    codes, luts = _pq_codes_and_luts(spark, v,
+                                     _pq_codebooks(spark, sf_dir))
+    adc = _pq_adc_score(codes, luts)
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
+                                                   F.col("vec_id").asc())
+    shortlist = (adc.withColumn("__ar", F.row_number().over(w_adc))
+                    .where(F.col("__ar") <= PQ_REFINE_R)
+                    .select("query_id", "vec_id"))
+    v2 = _with_norm(v, "v", "nv")
+    q = (v2.where(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"), F.col("nv").alias("qnv")))
+    refined = (F.broadcast(shortlist)
+               .join(F.broadcast(q), "query_id")
+               .join(v2, "vec_id")
+               .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                       F.round(F.expr(_sql_dot_cols("qv", "v"))
+                               / (F.col("qnv") * F.col("nv")), 6)
+                        .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (refined.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .where(F.col("rank") <= TOP_K)
+                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def _pq_refine_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id
+            FROM ({ORACLES["ann_topk_bruteforce"]})),
+r AS (SELECT bf.query_id, COUNT(x.neighbor_id) AS n_hit
+      FROM bf LEFT JOIN ({ORACLES["ann_topk_pq_refine"]}) x
+        ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id),
+p AS (SELECT bf.query_id, COUNT(x.neighbor_id) AS n_hit
+      FROM bf LEFT JOIN ({ORACLES["ann_topk_pq"]}) x
+        ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id)
+SELECT r.query_id,
+       CAST(r.n_hit AS BIGINT) AS n_hit_refined,
+       ROUND(r.n_hit * 1.0 / {TOP_K}, 4) AS recall_refined,
+       CAST(p.n_hit AS BIGINT) AS n_hit_pq,
+       ROUND(p.n_hit * 1.0 / {TOP_K}, 4) AS recall_pq,
+       ROUND((r.n_hit - p.n_hit) * 1.0 / {TOP_K}, 4) AS refine_gain
+FROM r JOIN p ON p.query_id = r.query_id
+"""
+
+
+@register("ann_pq_refine_recall_eval", oracle=None)  # composed below
+def ann_pq_refine_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ref = (ann_topk_pq_refine(spark, sf_dir)
+           .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    pq = (ann_topk_pq(spark, sf_dir)
+          .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    r = (bf.join(ref, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id").agg(F.count("__hit").alias("n_hit")))
+    p = (bf.join(pq, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id").agg(F.count("__hit").alias("n_hit")))
+    return (r.alias("r").join(p.alias("p"), "query_id")
+             .select("query_id",
+                     F.col("r.n_hit").cast("long").alias("n_hit_refined"),
+                     F.round(F.col("r.n_hit") / TOP_K, 4)
+                      .alias("recall_refined"),
+                     F.col("p.n_hit").cast("long").alias("n_hit_pq"),
+                     F.round(F.col("p.n_hit") / TOP_K, 4)
+                      .alias("recall_pq"),
+                     F.round((F.col("r.n_hit") - F.col("p.n_hit")) / TOP_K, 4)
+                      .alias("refine_gain")))
+
+
+_OR["ann_pq_refine_recall_eval"] = _pq_refine_recall_oracle()

@@ -1939,6 +1939,28 @@ def test_ivfpq_arrow_kernel_and_dispatcher_agree(spark, sf_dir):
                          assign=sim._rank_centroids_arrow(v, cents))
 
 
+def test_pq_refine_never_loses_recall(spark, sf_dir):
+    """The re-rank stage's defining guarantee: a brute-force-true
+    neighbor inside the ADC top-K is inside the R-shortlist, and within
+    the shortlist the exact re-rank can only be displaced by vectors
+    with strictly higher true cosine — of which fewer than K exist for
+    a true top-K member. So per query, refined hits are a SUPERSET of
+    plain-PQ hits and refine_gain >= 0 always."""
+    rows = sim.ann_pq_refine_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["refine_gain"] >= 0, r
+        assert r["n_hit_refined"] >= r["n_hit_pq"], r
+    # containment, not just counts: pq's true hits all survive refine
+    bf = {(r.query_id, r.neighbor_id)
+          for r in sim.ann_topk_bruteforce(spark, sf_dir).collect()}
+    pq_hits = {(r.query_id, r.neighbor_id)
+               for r in sim.ann_topk_pq(spark, sf_dir).collect()} & bf
+    ref_hits = {(r.query_id, r.neighbor_id)
+                for r in sim.ann_topk_pq_refine(spark, sf_dir).collect()} & bf
+    assert pq_hits <= ref_hits
+
+
 def test_filtered_search_label_semantics(spark, sf_dir):
     """Every filtered-search hit must share the query's label, and the
     composed filter must beat the classic broken alternative (label-
