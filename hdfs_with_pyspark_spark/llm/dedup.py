@@ -1602,3 +1602,90 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.when(a_contained, F.col("doc_b"))
                       .otherwise(F.col("doc_a")).alias("container_doc"),
                      F.round(raw, 6).alias("containment")))
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_param_planner — the TUNING query behind dedup_minhash_lsh's
+# "8 bands x 4 rows" constants: for every (bands, rows) factorization of
+# the 32-hash signature budget, evaluate the LSH S-curve
+# P(candidate | jaccard j) = 1 - (1 - j^rows)^bands on (a) the dedup
+# threshold and (b) the corpus's OWN observed near-dup pairs (the exact
+# inverted-index truth set), yielding the expected recall each geometry
+# would deliver HERE — plus the j at which detection crosses 50%
+# (closed form (1 - 0.5^(1/bands))^(1/rows)). This is the number a data
+# lead reads before re-banding a 100 TB run: more bands = higher recall
+# but bands x the band-bucket rows shuffled, and the planner quantifies
+# the recall side of that trade on real data instead of folklore.
+#
+# Determinism: every probability is snapped to an exact e6 integer
+# (ROUND(p * 1e6)); libm pow() divergence between JVM and DuckDB is
+# <= a few ulp (relative ~1e-16), ~9 orders inside the 5e-7 snap guard
+# band (the repo-wide snap discipline). Expected recall is an integer
+# division of exact integer sums.
+#
+# 100 TB shape: the truth set is the near-dup pair frame (<< corpus);
+# the grid is 6 literal rows broadcast into a crossJoin; the aggregate
+# groups by 6 keys. At real scale you'd feed a SAMPLED pair set —
+# the math is per-pair, so the plan is unchanged.
+# --------------------------------------------------------------------------
+LSH_PLANNER_GRID = [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)]
+
+
+def _lsh_planner_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    grid = ", ".join(f"({b}, {r})" for b, r in LSH_PLANNER_GRID)
+
+    def p_e6(j: str, b: str, r: str) -> str:
+        return (f"CAST(ROUND((1.0 - POWER(1.0 - POWER({j}, {r}), {b}))"
+                " * 1000000) AS BIGINT)")
+
+    return f"""
+WITH truth AS ({ORACLES["dedup_ngram_jaccard"]}),
+grid(bands, n_rows) AS (VALUES {grid}),
+det AS (SELECT g.bands, g.n_rows,
+               {p_e6("t.jaccard", "g.bands", "g.n_rows")} AS p_e6
+        FROM truth t CROSS JOIN grid g)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS expected_recall_ppm,
+       {p_e6(str(JACCARD_THRESHOLD), "bands", "n_rows")}
+         AS p_at_threshold_e6,
+       CAST(ROUND(POWER(1.0 - POWER(0.5, 1.0 / bands), 1.0 / n_rows)
+                  * 1000000) AS BIGINT) AS j_half_e6
+FROM det
+GROUP BY bands, n_rows
+"""
+
+
+@register("dedup_lsh_param_planner", oracle=None)  # composed below
+def dedup_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("jaccard")
+    grid = spark.createDataFrame(LSH_PLANNER_GRID, "bands long, n_rows long")
+    det = (truth.crossJoin(F.broadcast(grid))
+                .select("bands", "n_rows",
+                        F.round((F.lit(1.0)
+                                 - F.pow(F.lit(1.0)
+                                         - F.pow("jaccard", F.col("n_rows")),
+                                         F.col("bands"))) * F.lit(1e6))
+                         .cast("long").alias("p_e6")))
+    return (det.groupBy("bands", "n_rows")
+               .agg(F.count("*").cast("long").alias("n_pairs"),
+                    F.expr("sum(p_e6) div count(*)").cast("long")
+                     .alias("expected_recall_ppm"),
+                    F.round((F.lit(1.0)
+                             - F.pow(F.lit(1.0)
+                                     - F.pow(F.lit(JACCARD_THRESHOLD),
+                                             F.col("n_rows")),
+                                     F.col("bands"))) * F.lit(1e6))
+                     .cast("long").alias("p_at_threshold_e6"),
+                    F.round(F.pow(F.lit(1.0)
+                                  - F.pow(F.lit(0.5),
+                                          F.lit(1.0) / F.col("bands")),
+                                  F.lit(1.0) / F.col("n_rows"))
+                            * F.lit(1e6))
+                     .cast("long").alias("j_half_e6")))
+
+
+register_deferred_oracle("dedup_lsh_param_planner", _lsh_planner_oracle)

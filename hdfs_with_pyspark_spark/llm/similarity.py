@@ -4272,3 +4272,113 @@ def ann_pq_refine_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["ann_pq_refine_recall_eval"] = _pq_refine_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# dedup_method_agreement — GOVERNANCE audit across the two near-dup
+# modalities: does lexical dedup (MinHash-LSH over shingles, verified
+# Jaccard >= 0.8) agree with semantic dedup (sign-LSH over embeddings,
+# verified cosine >= threshold) about WHICH pairs are duplicates? A
+# production pipeline runs both (lexical catches templated boilerplate,
+# embeddings catch paraphrase); this query is the confusion matrix a
+# data lead reads before trusting either alone — and the regression
+# alarm when a re-embedding or tokenizer change silently shifts one
+# method's verdicts.
+#
+# Semantics: pair sets are compared over the SHARED id universe (ids
+# present in both `documents` and `embeddings` — the testdata's sf0.1
+# snapshot has 5k docs but only 2k embeddings, and at 100 TB the
+# embedded slice typically lags the crawl). Output is a fixed 3-row
+# spine ('both' / 'text_only' / 'embedding_only') with pair counts and
+# exact integer score sums (jaccard/cos are already 6-dp snapped by the
+# upstream queries, so * 1e6 is an exact integer in both engines).
+#
+# 100 TB shape: both inputs are near-dup-sized (<< corpus — each is the
+# output of a banded candidate join + verify); the audit itself is one
+# full-outer equi-join on the pair key plus a 3-group aggregate. Nothing
+# here rescans the corpus: the heavy lifting is the two registered
+# queries it composes, whose scale stories are documented above.
+# --------------------------------------------------------------------------
+def _method_agreement_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH tp0 AS ({ORACLES["dedup_minhash_lsh"]}),
+ep0 AS ({ORACLES["dedup_embedding_lsh"]}),
+shared AS (SELECT e.vec_id AS id
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+tp AS (SELECT t.doc_a AS id_a, t.doc_b AS id_b,
+              CAST(ROUND(t.jaccard * 1000000) AS BIGINT) AS jacc_e6
+       FROM tp0 t
+       JOIN shared sa ON sa.id = t.doc_a
+       JOIN shared sb ON sb.id = t.doc_b),
+ep AS (SELECT e.vec_a AS id_a, e.vec_b AS id_b,
+              CAST(ROUND(e.cos_sim * 1000000) AS BIGINT) AS cos_e6
+       FROM ep0 e
+       JOIN shared sa ON sa.id = e.vec_a
+       JOIN shared sb ON sb.id = e.vec_b),
+u AS (SELECT CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL
+                  THEN 'both'
+                  WHEN t.id_a IS NOT NULL THEN 'text_only'
+                  ELSE 'embedding_only' END AS category,
+             t.jacc_e6, e.cos_e6
+      FROM tp t FULL OUTER JOIN ep e
+        ON t.id_a = e.id_a AND t.id_b = e.id_b),
+agg AS (SELECT category,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(jacc_e6), 0) AS BIGINT) AS sum_jaccard_e6,
+               CAST(COALESCE(SUM(cos_e6), 0) AS BIGINT) AS sum_cos_e6
+        FROM u GROUP BY category),
+cats(category) AS (VALUES ('both'), ('text_only'), ('embedding_only'))
+SELECT c.category,
+       CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(a.sum_jaccard_e6, 0) AS BIGINT) AS sum_jaccard_e6,
+       CAST(COALESCE(a.sum_cos_e6, 0) AS BIGINT) AS sum_cos_e6
+FROM cats c LEFT JOIN agg a ON a.category = c.category
+"""
+
+
+@register("dedup_method_agreement", oracle=None)  # composed below
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    from hdfs_with_pyspark_spark.llm.dedup import dedup_minhash_lsh
+
+    shared = (_vectors(spark, sf_dir).select(F.col("vec_id").alias("id"))
+              .join(read_table(spark, sf_dir, "documents")
+                    .select(F.col("doc_id").alias("id")), "id"))
+    tp = (dedup_minhash_lsh(spark, sf_dir)
+          .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
+                  F.round(F.col("jaccard") * 1e6).cast("long")
+                   .alias("jacc_e6"))
+          .join(shared.withColumnRenamed("id", "id_a"), "id_a")
+          .join(shared.withColumnRenamed("id", "id_b"), "id_b"))
+    ep = (dedup_embedding_lsh(spark, sf_dir)
+          .select(F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b"),
+                  F.round(F.col("cos_sim") * 1e6).cast("long")
+                   .alias("cos_e6"))
+          .join(shared.withColumnRenamed("id", "id_a"), "id_a")
+          .join(shared.withColumnRenamed("id", "id_b"), "id_b"))
+    u = tp.join(ep, ["id_a", "id_b"], "full_outer")
+    cat = (F.when(F.col("jacc_e6").isNotNull() & F.col("cos_e6").isNotNull(),
+                  "both")
+            .when(F.col("jacc_e6").isNotNull(), "text_only")
+            .otherwise("embedding_only"))
+    agg = (u.select(cat.alias("category"), "jacc_e6", "cos_e6")
+            .groupBy("category")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.coalesce(F.sum("jacc_e6"), F.lit(0)).cast("long")
+                  .alias("sum_jaccard_e6"),
+                 F.coalesce(F.sum("cos_e6"), F.lit(0)).cast("long")
+                  .alias("sum_cos_e6")))
+    spine = spark.createDataFrame(
+        [("both",), ("text_only",), ("embedding_only",)], "category string")
+    return (spine.join(F.broadcast(agg), "category", "left")
+            .select("category",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                     .alias("n_pairs"),
+                    F.coalesce("sum_jaccard_e6", F.lit(0)).cast("long")
+                     .alias("sum_jaccard_e6"),
+                    F.coalesce("sum_cos_e6", F.lit(0)).cast("long")
+                     .alias("sum_cos_e6")))
+
+
+_reg_def_hybrid("dedup_method_agreement", _method_agreement_oracle)

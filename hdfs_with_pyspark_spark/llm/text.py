@@ -2784,7 +2784,11 @@ LOGREG_ITERS = 5
 LOGREG_LR = 1.0
 
 
-def _logreg_oracle() -> str:
+def _logreg_cte_chain() -> tuple[str, str, str]:
+    """(comma-joined CTE chain, final-weights CTE name, final z expr) —
+    shared by the train oracle and the batch-inference oracle below so
+    the two queries compose the IDENTICAL GD chain (one source of truth
+    for the trained weights, oracle-side as well as Spark-side)."""
     from hdfs_with_pyspark_spark.plans.registry import ORACLES
     lr = LOGREG_LR
 
@@ -2815,9 +2819,13 @@ w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
   FROM f, w{t}
   GROUP BY w{t}.a, w{t}.b, w{t}.c)""")
     wf = f"w{LOGREG_ITERS}"
-    zz = z(f"{wf}.a", f"{wf}.b", f"{wf}.c")
+    return ",".join(ctes), wf, z(f"{wf}.a", f"{wf}.b", f"{wf}.c")
+
+
+def _logreg_oracle() -> str:
+    chain, wf, zz = _logreg_cte_chain()
     return f"""
-WITH {','.join(ctes)}
+WITH {chain}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MAX({wf}.a) AS BIGINT) AS w0_nano,
        CAST(MAX({wf}.b) AS BIGINT) AS w1_nano,
@@ -2829,9 +2837,11 @@ FROM f, {wf}
 """
 
 
-@register("quality_logreg_train", oracle=None)  # composed below
-def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_session(spark)
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """Run the full-batch GD loop; returns (persisted feature frame,
+    nano-grid weights). Shared by the train query and the batch
+    inference below — the loop is the scale-critical part (one map-side
+    partial aggregate -> 3 longs on the driver per iteration)."""
     q = text_quality_score(spark, sf_dir)
     f = q.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -2866,6 +2876,13 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for j, g in enumerate((row["g0"], row["g1"], row["g2"])):
             wu[j] += round_half_away(LOGREG_LR * (float(g) / n))
+    return f, wu
+
+
+@register("quality_logreg_train", oracle=None)  # composed below
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    f, wu = _logreg_fit(spark, sf_dir)
     w = [v / 1e9 for v in wu]
     return f.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -2879,6 +2896,97 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_deferred("quality_logreg_train", _logreg_oracle)
+
+
+# --------------------------------------------------------------------------
+# quality_logreg_infer — the OTHER half of the supervised family: batch
+# inference with the trained model, reported as an equal-frequency
+# CALIBRATION (reliability-diagram) table. quality_logreg_train fits
+# the scorer; this query applies the final nano-grid weights to every
+# doc, snaps the predicted probability to 6 dp, splits the corpus into
+# 10 equal-frequency score deciles, and reports per-decile doc count,
+# positive count, observed positive rate, and mean predicted
+# probability — the numbers a pipeline reads to decide whether the
+# scorer's probabilities can gate ingestion thresholds directly or need
+# recalibration first. Equal-FREQUENCY bins (not fixed-width) are the
+# standard reliability-diagram choice when scores concentrate — and
+# this model's p mass sits in a ~0.01-wide band, so fixed-width deciles
+# would collapse to one row and show nothing.
+#
+# Determinism: the bin assignment runs on the HISTOGRAM of the integer
+# p_e6 (6-dp-snapped probability x 1e6, identical in both engines by
+# the train query's snap argument): every doc with the same p_e6 lands
+# in the same decile, decile = (docs-strictly-before x 10) // n — pure
+# integer arithmetic, no ntile tie ambiguity. Every reported metric is
+# an exact integer.
+#
+# 100 TB shape: training is the shared GD loop (3 longs of driver state
+# per iteration); inference is ONE map-side projection + a groupBy on
+# p_e6 whose output is bounded by the score grid (<= 1e6 + 1 rows, in
+# practice ~distinct scores), NOT by the corpus. The single unkeyed
+# window runs over that bounded histogram — the quality_score_calibrated
+# pattern — so nothing doc-scale ever serializes through one task.
+# --------------------------------------------------------------------------
+LOGREG_INFER_BINS = 10
+
+
+def _logreg_infer_oracle() -> str:
+    chain, wf, zz = _logreg_cte_chain()
+    p_e6 = (f"CAST(ROUND(ROUND(1.0 / (1.0 + exp(-({zz}))), 6) * 1000000)"
+            " AS BIGINT)")
+    return f"""
+WITH {chain},
+scored AS (SELECT {p_e6} AS p_e6, f.y FROM f, {wf}),
+hist AS (SELECT p_e6, COUNT(*) AS c,
+                SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos
+         FROM scored GROUP BY p_e6),
+tot AS (SELECT SUM(c) AS n FROM hist),
+cum AS (SELECT p_e6, c, pos,
+               SUM(c) OVER (ORDER BY p_e6
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS cb
+        FROM hist)
+SELECT CAST((cb * {LOGREG_INFER_BINS}) // n AS BIGINT) AS p_bin,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST((1000000 * SUM(pos)) // SUM(c) AS BIGINT) AS pos_rate_ppm,
+       CAST(SUM(p_e6 * c) // SUM(c) AS BIGINT) AS mean_p_ppm
+FROM cum, tot
+GROUP BY 1
+"""
+
+
+@register("quality_logreg_infer", oracle=None)  # composed below
+def quality_logreg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    f, wu = _logreg_fit(spark, sf_dir)
+    w = [v / 1e9 for v in wu]
+    zz = ((F.lit(w[0]) + (F.lit(w[1]) * F.col("x1")))
+          + (F.lit(w[2]) * F.col("x2")))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zz)), 6)
+    hist = (f.select(F.round(p * F.lit(1e6)).cast("long").alias("p_e6"),
+                     "y")
+             .groupBy("p_e6")
+             .agg(F.count("*").alias("c"),
+                  F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+                   .alias("pos")))
+    n = hist.agg(F.sum("c").alias("n"))
+    w_cum = (Window.orderBy("p_e6")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    cum = hist.withColumn("cb", F.sum("c").over(w_cum) - F.col("c"))
+    return (cum.crossJoin(F.broadcast(n))  # 1-row total
+               .groupBy(F.expr(f"(cb * {LOGREG_INFER_BINS}) div n")
+                         .cast("long").alias("p_bin"))
+               .agg(F.sum("c").cast("long").alias("n_docs"),
+                    F.sum("pos").cast("long").alias("n_pos"),
+                    F.expr("(1000000 * sum(pos)) div sum(c)")
+                     .cast("long").alias("pos_rate_ppm"),
+                    F.expr("sum(p_e6 * c) div sum(c)")
+                     .cast("long").alias("mean_p_ppm")))
+
+
+_reg_deferred("quality_logreg_infer", _logreg_infer_oracle)
 
 
 # --------------------------------------------------------------------------

@@ -1984,3 +1984,66 @@ def test_filtered_search_label_semantics(spark, sf_dir):
     post = sum(1 for r in blind
                if labels[r.neighbor_id] == labels[r.query_id])
     assert len(out) > post, (len(out), post)
+
+
+# ------------------------------------------- round-9 wave-3 additions
+
+def test_method_agreement_partitions_pair_sets(spark, sf_dir):
+    """The 3 categories partition the union of the two (shared-id-
+    restricted) pair sets: both + text_only = |text pairs|,
+    both + embedding_only = |embedding pairs|; spine always 3 rows."""
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    out = {r["category"]: r for r in
+           sim.dedup_method_agreement(spark, sf_dir).collect()}
+    assert set(out) == {"both", "text_only", "embedding_only"}
+    shared = (sim._vectors(spark, sf_dir).select(F.col("vec_id").alias("id"))
+              .join(read_table(spark, sf_dir, "documents")
+                    .select(F.col("doc_id").alias("id")), "id"))
+    tp = (dd.dedup_minhash_lsh(spark, sf_dir)
+          .join(shared.withColumnRenamed("id", "doc_a"), "doc_a")
+          .join(shared.withColumnRenamed("id", "doc_b"), "doc_b").count())
+    ep = (sim.dedup_embedding_lsh(spark, sf_dir)
+          .join(shared.withColumnRenamed("id", "vec_a"), "vec_a")
+          .join(shared.withColumnRenamed("id", "vec_b"), "vec_b").count())
+    assert out["both"]["n_pairs"] + out["text_only"]["n_pairs"] == tp
+    assert out["both"]["n_pairs"] + out["embedding_only"]["n_pairs"] == ep
+    # score sums only accumulate where the method fired
+    assert out["embedding_only"]["sum_jaccard_e6"] == 0
+    assert out["text_only"]["sum_cos_e6"] == 0
+
+
+def test_logreg_infer_decile_calibration_shape(spark, sf_dir):
+    """Equal-frequency deciles: doc counts cover the corpus, bins are
+    balanced up to tie granularity, and mean predicted probability is
+    nondecreasing in the bin index (bins are ordered by score)."""
+    from hdfs_with_pyspark_spark.llm import text as tx
+    from hdfs_with_pyspark_spark.sources.io import read_table
+
+    rows = sorted(tx.quality_logreg_infer(spark, sf_dir).collect(),
+                  key=lambda r: r["p_bin"])
+    n_corpus = read_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    assert all(0 <= r["p_bin"] <= 9 for r in rows)
+    means = [r["mean_p_ppm"] for r in rows]
+    assert means == sorted(means)
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert r["pos_rate_ppm"] == 1_000_000 * r["n_pos"] // r["n_docs"]
+
+
+def test_lsh_planner_matches_closed_form_and_is_monotone(spark, sf_dir):
+    """p_at_threshold matches the closed-form S-curve; with the hash
+    budget fixed, recall is monotone decreasing in rows-per-band."""
+    rows = {(r["bands"], r["n_rows"]): r
+            for r in dd.dedup_lsh_param_planner(spark, sf_dir).collect()}
+    assert set(rows) == set(dd.LSH_PLANNER_GRID)
+    n_truth = dd.dedup_ngram_jaccard(spark, sf_dir).count()
+    for (b, r), row in rows.items():
+        assert row["n_pairs"] == n_truth
+        want = round((1.0 - (1.0 - dd.JACCARD_THRESHOLD ** r) ** b) * 1e6)
+        assert abs(row["p_at_threshold_e6"] - want) <= 1
+        jh = round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r) * 1e6)
+        assert abs(row["j_half_e6"] - jh) <= 1
+    recalls = [rows[g]["expected_recall_ppm"] for g in dd.LSH_PLANNER_GRID]
+    assert recalls == sorted(recalls, reverse=True)  # (32,1) best ... (1,32) worst
