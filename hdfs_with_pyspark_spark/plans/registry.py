@@ -216,7 +216,18 @@ DRIVER_PRIORITY = [
     # shape the window otherwise lacks: micro-batches probing and
     # extending persisted dedup state, proven against the batch truth.
     # stream_dedup stays registered below the window.)
-    "stream_windowed_counts", "stream_session_stats", "stream_user_state",
+    # (round 9 wave 3: stream_windowed_counts demoted for
+    # dedup_method_agreement — the tumbling watermark+aggregate
+    # machinery it demonstrated is carried in-window by the strictly
+    # richer stream_session_stats (dynamic session-gap windows over the
+    # same watermark plumbing), while the cross-modality dedup
+    # governance audit is a family the window lacked entirely AND
+    # re-gates the embedding-LSH banded candidate join that round 8's
+    # reshuffle demoted: one slot now proves the lexical pair set, the
+    # semantic pair set, their full-outer confusion spine, and the
+    # shared-id-universe restriction. stream_windowed_counts stays
+    # registered and parity-checked below the window.)
+    "dedup_method_agreement", "stream_session_stats", "stream_user_state",
     "stream_incremental_dedup", "stream_click_after_signup",
     # pluggable-format surface: the custom Python DataSource, itself
     # oracle-checked (rows regenerate from range())
