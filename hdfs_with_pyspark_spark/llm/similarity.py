@@ -3761,6 +3761,72 @@ def assign_nearest(side: DataFrame,
     raise ValueError(f"unknown assignment kernel {kernel!r}")
 
 
+def _pq_encode_codes_arrow(v: DataFrame, books) -> DataFrame:
+    """GEMM twin of _pq_encode_codes: the wide (vec_id, code0..M-1)
+    frame via one mapInPandas — per batch, one (rows x K) cosine GEMM
+    per subspace and an argmax, instead of exploding the corpus into
+    N x M x K scored rows through a window exchange. Same rounding
+    discipline as _assign_nearest_arrow (_np_round_half_away to 6 dp,
+    cid-ASC tie-break via argmax over the cid-sorted axis); the
+    round-9 5M-vector probe measured the exact encode's window going
+    superlinear (99 s at 1M -> 871 s at 5M — a 320M-row sort), which
+    is exactly the batch-ingest spot the GEMM kernels exist for."""
+    import numpy as np
+
+    mats, cid_rows = [], []
+    for book in books:
+        order = sorted(range(len(book)), key=lambda i: book[i][0])
+        cid_rows.append(np.array([int(book[i][0]) for i in order],
+                                 dtype=np.int64))
+        m = np.array([book[i][1] for i in order], dtype=np.float64)
+        mats.append((m, np.sqrt((m * m).sum(axis=1))))
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            out = {"vec_id": pdf["vec_id"].astype("int64")}
+            for s, (cmat, cnorm) in enumerate(mats):
+                sv = vv[:, s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
+                svn = np.sqrt((sv * sv).sum(axis=1))
+                cos = _np_round_half_away(
+                    sv @ cmat.T / np.outer(svn, cnorm))
+                out[f"code{s}"] = cid_rows[s][cos.argmax(axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"code{s} long" for s in range(PQ_SUB))
+    return v.select("vec_id", "v").mapInPandas(run, schema)
+
+
+ENCODE_KERNEL_ENV = "SPARK_GRAFT_ENCODE_KERNEL"
+
+
+def pq_encode(spark: SparkSession, v: DataFrame, books,
+              kernel: str | None = None) -> DataFrame:
+    """PUBLIC index-time PQ encode entry point — the codes-table build
+    a vector store persists. Same dispatch contract as assign_nearest:
+    ``kernel`` None reads $SPARK_GRAFT_ENCODE_KERNEL, defaulting to
+    "arrow" (ingest-scale encode is where the GEMM win matters; the
+    5M-vector probe measured the exact window-encode superlinear).
+    The oracle-GATED queries keep calling _pq_encode_codes directly so
+    their plans stay bit-matched to the unrolled SQL CTEs; the
+    equivalence of the two kernels is pinned by
+    tests/test_llm.py::test_pq_encode_arrow_kernel_equivalence on the
+    gated corpora."""
+    import os
+
+    if kernel is None:
+        kernel = os.environ.get(ENCODE_KERNEL_ENV, "arrow")
+    if kernel == "arrow":
+        return _pq_encode_codes_arrow(v, books)
+    if kernel == "exact":
+        return _pq_encode_codes(spark, v, books)
+    raise ValueError(f"unknown encode kernel {kernel!r}")
+
+
 # --------------------------------------------------------------------------
 # ann_kernel_agreement_audit — the GEMM kernel's standing gate: assign
 # every corpus vector with BOTH kernels (exact NLJ-window and Arrow
@@ -4382,3 +4448,110 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _reg_def_hybrid("dedup_method_agreement", _method_agreement_oracle)
+
+
+# --------------------------------------------------------------------------
+# ann_topk_ivfpq_refine — the FULL production vector-store composition
+# (FAISS IndexIVFPQR): IVF coarse pruning bounds the scan to ~nprobe/k
+# of the codes table, the broadcast-LUT ADC ranks those candidates in
+# the compressed domain, and only a PQ_REFINE_R-deep shortlist per
+# query is re-scored with the exact float cosine before the final
+# top-K. Each stage pays for the next one's cheapness: the prune makes
+# ADC touch kilobytes, ADC makes the exact re-rank touch R rows — at
+# 100 TB nothing corpus-sized moves at query time except the pruned
+# code slice, and quantization error costs recall only when a true
+# neighbor misses the shortlist entirely.
+#
+# Implementation: the shortlist IS ivfpq_search(top_k=PQ_REFINE_R) —
+# the same parameterized core the gated ann_topk_ivfpq query and the
+# scale probe run (one implementation, three consumers), so the
+# composition cannot drift from its parts. The re-rank joins the
+# broadcast shortlist back into the vector table (|queries| x R rows).
+#
+# Determinism: ADC shortlist ranks ROUND(adc,6) DESC, neighbor ASC;
+# the re-rank uses the standard ROUND(cos,6) DESC, neighbor ASC.
+# --------------------------------------------------------------------------
+@register("ann_topk_ivfpq_refine", oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+{_SQL_ASSIGN},
+{_sql_pq_ctes()},
+{_sql_ivfpq_scored().strip()},
+{_sql_pq_refine_topk().strip()}
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM rranked WHERE rank <= {TOP_K}
+""")
+def ann_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    v = _vectors(spark, sf_dir)
+    shortlist = (ivfpq_search(spark, v, train_ivf_centroids(spark, sf_dir),
+                              _pq_codebooks(spark, sf_dir),
+                              top_k=PQ_REFINE_R, kernel="exact")
+                 .select("query_id",
+                         F.col("neighbor_id").alias("vec_id")))
+    v2 = _with_norm(v, "v", "nv")
+    q = (v2.where(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"), F.col("nv").alias("qnv")))
+    refined = (F.broadcast(shortlist)
+               .join(F.broadcast(q), "query_id")
+               .join(v2, "vec_id")
+               .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                       F.round(F.expr(_sql_dot_cols("qv", "v"))
+                               / (F.col("qnv") * F.col("nv")), 6)
+                        .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (refined.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .where(F.col("rank") <= TOP_K)
+                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def _ivfpq_refine_recall_oracle() -> str:
+    from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id
+            FROM ({ORACLES["ann_topk_bruteforce"]})),
+r AS (SELECT bf.query_id, COUNT(x.neighbor_id) AS n_hit
+      FROM bf LEFT JOIN ({ORACLES["ann_topk_ivfpq_refine"]}) x
+        ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id),
+p AS (SELECT bf.query_id, COUNT(x.neighbor_id) AS n_hit
+      FROM bf LEFT JOIN ({ORACLES["ann_topk_ivfpq"]}) x
+        ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id)
+SELECT r.query_id,
+       CAST(r.n_hit AS BIGINT) AS n_hit_refined,
+       ROUND(r.n_hit * 1.0 / {TOP_K}, 4) AS recall_refined,
+       CAST(p.n_hit AS BIGINT) AS n_hit_ivfpq,
+       ROUND(p.n_hit * 1.0 / {TOP_K}, 4) AS recall_ivfpq,
+       ROUND((r.n_hit - p.n_hit) * 1.0 / {TOP_K}, 4) AS refine_gain
+FROM r JOIN p ON p.query_id = r.query_id
+"""
+
+
+@register("ann_ivfpq_refine_recall_eval", oracle=None)  # composed below
+def ann_ivfpq_refine_recall_eval(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ensure_session(spark)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ref = (ann_topk_ivfpq_refine(spark, sf_dir)
+           .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    pq = (ann_topk_ivfpq(spark, sf_dir)
+          .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    r = (bf.join(ref, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id").agg(F.count("__hit").alias("n_hit")))
+    p = (bf.join(pq, ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id").agg(F.count("__hit").alias("n_hit")))
+    return (r.alias("r").join(p.alias("p"), "query_id")
+             .select("query_id",
+                     F.col("r.n_hit").cast("long").alias("n_hit_refined"),
+                     F.round(F.col("r.n_hit") / TOP_K, 4)
+                      .alias("recall_refined"),
+                     F.col("p.n_hit").cast("long").alias("n_hit_ivfpq"),
+                     F.round(F.col("p.n_hit") / TOP_K, 4)
+                      .alias("recall_ivfpq"),
+                     F.round((F.col("r.n_hit") - F.col("p.n_hit")) / TOP_K, 4)
+                      .alias("refine_gain")))
+
+
+_OR["ann_ivfpq_refine_recall_eval"] = _ivfpq_refine_recall_oracle()

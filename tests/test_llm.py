@@ -2047,3 +2047,37 @@ def test_lsh_planner_matches_closed_form_and_is_monotone(spark, sf_dir):
         assert abs(row["j_half_e6"] - jh) <= 1
     recalls = [rows[g]["expected_recall_ppm"] for g in dd.LSH_PLANNER_GRID]
     assert recalls == sorted(recalls, reverse=True)  # (32,1) best ... (1,32) worst
+
+
+def test_ivfpq_refine_never_loses_recall(spark, sf_dir):
+    """Within the shared IVF candidate set, exact re-ranking of the ADC
+    shortlist can only keep or improve true-neighbor recall: every
+    brute-force-true hit in the ADC top-K survives into the refined
+    top-K (the refine-gain >= 0 property, IVF+PQ composition)."""
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ann_topk_ivfpq(spark, sf_dir).collect()}
+    ref = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ann_topk_ivfpq_refine(spark, sf_dir).collect()}
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in sim.ann_topk_bruteforce(spark, sf_dir).collect()}
+    assert (adc & bf) <= ref
+    ev = sim.ann_ivfpq_refine_recall_eval(spark, sf_dir).collect()
+    assert all(r["refine_gain"] >= 0 for r in ev)
+    assert all(r["n_hit_refined"] >= r["n_hit_ivfpq"] for r in ev)
+
+
+def test_pq_encode_arrow_kernel_equivalence(spark, sf_dir):
+    """The GEMM encode twin produces the IDENTICAL codes frame as the
+    exact window encode on the gated corpus (the assign_nearest
+    equivalence contract, extended to the PQ index build)."""
+    v = sim._vectors(spark, sf_dir)
+    books = sim._pq_codebooks(spark, sf_dir)
+    exact = sim._pq_encode_codes(spark, v, books)
+    fast = sim.pq_encode(spark, v, books)  # dispatcher default: arrow
+    cols = [f"code{s}" for s in range(sim.PQ_SUB)]
+    joined = exact.alias("e").join(fast.alias("f"), "vec_id")
+    n = v.count()
+    assert joined.count() == n
+    mismatch = joined.where(
+        " OR ".join(f"e.{c} <> f.{c}" for c in cols)).count()
+    assert mismatch == 0
