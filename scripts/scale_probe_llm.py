@@ -120,6 +120,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=2,
                     help="Lloyd's iterations (0 = init-only quantizer, "
                          "enough for pure assignment-kernel timing)")
+    ap.add_argument("--nprobe", type=int, default=8,
+                    help="IVF cells probed per query in the ivfpq "
+                         "stage (recall at fixed nprobe decays as "
+                         "per-cell occupancy grows with the corpus)")
     ap.add_argument("--k", type=int, default=256,
                     help="IVF coarse-quantizer size for the probe (a "
                          "fixed realistic k, NOT dedup_ivf_k's SemDedup "
@@ -141,7 +145,7 @@ def main() -> None:
         dedup_incremental, minhash_band_store)
     from hdfs_with_pyspark_spark.llm.similarity import (
         PQ_K, PQ_SUB, PQ_SUB_DIM, _assign_nearest, _assign_nearest_arrow,
-        _pq_encode_codes, _train_kmeans, assign_nearest, ivfpq_search)
+        _train_kmeans, assign_nearest, ivfpq_search, pq_encode)
     from hdfs_with_pyspark_spark.session import get_spark
 
     spark = get_spark("scale-probe-llm")
@@ -312,10 +316,14 @@ def main() -> None:
     t0 = time.time()
     assign_nearest(vecs, cents).select("vec_id", "cid") \
         .write.mode("overwrite").parquet(lists_path)
-    _pq_encode_codes(spark, vecs, books) \
+    # pq_encode dispatches to the GEMM kernel by default — the exact
+    # window-encode measured superlinear at the 5M point (99 s at 1M ->
+    # 871 s; a 320M-row window sort), so ingest-scale indexing runs the
+    # equivalence-tested arrow twin like every other batch kernel here
+    pq_encode(spark, vecs, books) \
         .write.mode("overwrite").parquet(codes_path)
     result["ivfpq_index_build_sec"] = round(time.time() - t0, 1)
-    nprobe = 8
+    nprobe = args.nprobe
     t0 = time.time()
     topk = ivfpq_search(
         spark, vecs, cents, books,
