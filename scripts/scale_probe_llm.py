@@ -345,6 +345,41 @@ def main() -> None:
         raise SystemExit(f"ivfpq recall sanity failed: {planted_hits}"
                          f"/{PQ_QUERIES} planted neighbors found")
 
+    # 6b. the refine stage on top (ann_topk_ivfpq_refine's shape):
+    # shortlist = the same persisted-index search at top_k = 3K, then
+    # the exact float re-rank of |queries| x R rows — quantifies what
+    # the triple composition's extra stage costs at query time and how
+    # much planted recall it buys back at the same nprobe.
+    t0 = time.time()
+    shortlist = ivfpq_search(
+        spark, vecs, cents, books,
+        n_queries=PQ_QUERIES, nprobe=nprobe, top_k=30, kernel="arrow",
+        codes=spark.read.parquet(codes_path),
+        assign=spark.read.parquet(lists_path)) \
+        .select("query_id", F.col("neighbor_id").alias("vec_id"))
+    v2 = vecs.withColumn("nv", F.expr(
+        "sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), 0D,"
+        " (acc, x) -> acc + x))"))
+    q = (v2.where(F.col("vec_id") < PQ_QUERIES)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"), F.col("nv").alias("qnv")))
+    from pyspark.sql import Window as W
+    refined = (F.broadcast(shortlist)
+               .join(F.broadcast(q), "query_id")
+               .join(v2, "vec_id")
+               .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                       (F.expr("aggregate(zip_with(qv, v, (a, b) -> a * b),"
+                               " 0D, (acc, x) -> acc + x)")
+                        / (F.col("qnv") * F.col("nv"))).alias("cos_sim")))
+    wr = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("neighbor_id").asc())
+    rtopk = (refined.withColumn("rank", F.row_number().over(wr))
+                    .where(F.col("rank") <= 10).collect())
+    result["ivfpqr_query_batch_sec"] = round(time.time() - t0, 2)
+    r_hits = sum(1 for r in rtopk
+                 if r["neighbor_id"] == r["query_id"] + args.vecs // 2)
+    result["ivfpqr_planted_recall"] = round(r_hits / PQ_QUERIES, 3)
+
     shutil.rmtree(args.workdir, ignore_errors=True)
     print(json.dumps(result))
 
