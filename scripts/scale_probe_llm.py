@@ -380,6 +380,34 @@ def main() -> None:
                  if r["neighbor_id"] == r["query_id"] + args.vecs // 2)
     result["ivfpqr_planted_recall"] = round(r_hits / PQ_QUERIES, 3)
 
+    # 6c. the cell-partitioned store layout: one merged
+    # (cid, vec_id, code*) table PARTITIONED BY the coarse cell, so a
+    # query batch's probed cells prune at SCAN level (prune_cells pushes
+    # the bounded probed-cid set as a literal partition filter). This is
+    # the 100 TB layout — nprobe/k of the store's FILES read, not
+    # nprobe/k of its rows filtered post-scan.
+    store_path = os.path.join(args.workdir, "ivfpq_store")
+    t0 = time.time()
+    spark.read.parquet(lists_path) \
+        .join(spark.read.parquet(codes_path), "vec_id") \
+        .write.mode("overwrite").partitionBy("cid").parquet(store_path)
+    result["ivfpq_store_build_sec"] = round(time.time() - t0, 1)
+    store = spark.read.parquet(store_path)
+    t0 = time.time()
+    stopk = ivfpq_search(
+        spark, vecs, cents, books,
+        n_queries=PQ_QUERIES, nprobe=nprobe, top_k=10, kernel="arrow",
+        codes=store, assign=store.select("vec_id", "cid"),
+        prune_cells=True).collect()
+    result["ivfpq_store_query_batch_sec"] = round(time.time() - t0, 2)
+    s_hits = sum(1 for r in stopk
+                 if r["neighbor_id"] == r["query_id"] + args.vecs // 2)
+    result["ivfpq_store_planted_recall"] = round(s_hits / PQ_QUERIES, 3)
+    if {(r["query_id"], r["neighbor_id"]) for r in stopk} != \
+            {(r["query_id"], r["neighbor_id"]) for r in topk}:
+        raise SystemExit("cell-pruned store query diverged from the "
+                         "unpruned path")
+
     shutil.rmtree(args.workdir, ignore_errors=True)
     print(json.dumps(result))
 

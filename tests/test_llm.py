@@ -2081,3 +2081,30 @@ def test_pq_encode_arrow_kernel_equivalence(spark, sf_dir):
     mismatch = joined.where(
         " OR ".join(f"e.{c} <> f.{c}" for c in cols)).count()
     assert mismatch == 0
+
+
+def test_ivfpq_store_prune_cells_equivalence(spark, sf_dir, tmp_path):
+    """Querying through a cell-partitioned persisted store with the
+    probed-cid partition filter (prune_cells) returns the IDENTICAL
+    top-K as the unpruned path — pruning removes only cells no query
+    probes, never a candidate."""
+    v = sim._vectors(spark, sf_dir)
+    cents = sim.train_ivf_centroids(spark, sf_dir)
+    books = sim._pq_codebooks(spark, sf_dir)
+    store_path = str(tmp_path / "store")
+    lists = sim.assign_nearest(v, cents, kernel="arrow") \
+               .select("vec_id", "cid")
+    lists.join(sim.pq_encode(spark, v, books), "vec_id") \
+         .write.mode("overwrite").partitionBy("cid").parquet(store_path)
+    store = spark.read.parquet(store_path)
+    base = sim.ivfpq_search(spark, v, cents, books, kernel="arrow",
+                            codes=store,
+                            assign=store.select("vec_id", "cid")).collect()
+    pruned = sim.ivfpq_search(spark, v, cents, books, kernel="arrow",
+                              codes=store,
+                              assign=store.select("vec_id", "cid"),
+                              prune_cells=True).collect()
+    key = lambda rows: {(r["query_id"], r["neighbor_id"], r["rank"])
+                        for r in rows}
+    assert key(pruned) == key(base)
+    assert len(pruned) > 0
