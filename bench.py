@@ -165,6 +165,14 @@ HEADLINE = [
     "ann_filtered_recall_eval",
     "ann_topk_pq_refine",
     "ann_pq_refine_recall_eval",
+    # round 9 wave 3+: cross-modality dedup governance, supervised batch
+    # inference + calibration, LSH banding planner, and the full
+    # IVF+PQ+refine triple with its gain eval
+    "dedup_method_agreement",
+    "quality_logreg_infer",
+    "dedup_lsh_param_planner",
+    "ann_topk_ivfpq_refine",
+    "ann_ivfpq_refine_recall_eval",
 ]
 
 
