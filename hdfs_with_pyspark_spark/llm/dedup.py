@@ -1628,7 +1628,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groups by 6 keys. At real scale you'd feed a SAMPLED pair set —
 # the math is per-pair, so the plan is unchanged.
 # --------------------------------------------------------------------------
-LSH_PLANNER_GRID = [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)]
+# Derived from the production signature budget (ADVICE r9): every
+# (bands, rows) factorization of k = MINHASH_BANDS * MINHASH_ROWS hashes,
+# so re-sizing the budget re-sizes the grid the planner evaluates.
+_LSH_SIGNATURE_BUDGET = MINHASH_BANDS * MINHASH_ROWS
+assert _LSH_SIGNATURE_BUDGET == len(MINHASH_PARAMS), \
+    "MINHASH_PARAMS must supply exactly bands*rows hash functions"
+LSH_PLANNER_GRID = [(b, _LSH_SIGNATURE_BUDGET // b)
+                    for b in range(_LSH_SIGNATURE_BUDGET, 0, -1)
+                    if _LSH_SIGNATURE_BUDGET % b == 0]
 
 
 def _lsh_planner_oracle() -> str:

@@ -920,8 +920,10 @@ def _centroid_of_group(pdf):
     import numpy as np
     mat = np.stack(pdf["v"].to_list())          # |group| x dim
     mean = mat.mean(axis=0)
+    # half-away to match the DuckDB oracle's ROUND(AVG(x), 6) — np.round
+    # is half-to-even and would diverge on an exact 5e-7 boundary
     out = pd.DataFrame({"dim": np.arange(len(mean), dtype="int64"),
-                        "v": np.round(mean, 6)})
+                        "v": _np_round_half_away(mean, 6)})
     out.insert(0, "label", int(pdf["label"].iloc[0]))
     return out
 
@@ -3917,7 +3919,13 @@ def ivfpq_search(spark: SparkSession, v: DataFrame, coarse_cents,
     ranking (|queries| x k), the broadcast candidate join against the
     probed cells, the broadcast-LUT ADC over candidates, and the
     per-query top-K window — nothing corpus-sized beyond the pruned
-    slice of the codes table."""
+    slice of the codes table.
+
+    ``prune_cells=True`` is EAGER: it runs the probe ranking as a Spark
+    job at construction time (the probed-cell set must be a literal
+    before the partition filter can be static); the collected probes
+    are then reused as a literal frame, so the ranking runs exactly
+    once."""
     if assign is not None and kernel == "exact":
         raise ValueError("pre-built assign is a persisted-index path; "
                          "the exact kernel recomputes it by contract")
@@ -3967,8 +3975,19 @@ def ivfpq_search(spark: SparkSession, v: DataFrame, coarse_cents,
         # and pushed as a literal IN so the pruning is a STATIC
         # partition filter visible in the scan, not left to runtime
         # DPP heuristics.
-        cells = sorted({r["cid"] for r in
-                        probes.select("cid").distinct().collect()})
+        #
+        # NOTE: this fires one eager Spark job at CONSTRUCTION time (the
+        # probe ranking must run before the partition filter can be a
+        # literal). The collected probe set itself (query_id, cid —
+        # <= n_queries x nprobe rows) is re-materialized as a literal
+        # frame so the final plan does NOT recompute the probe ranking
+        # (ADVICE r9: with kernel='exact' that recompute was the full
+        # broadcast-NLJ + window, twice).
+        probe_rows = [(int(r["query_id"]), int(r["cid"]))
+                      for r in probes.select("query_id", "cid").collect()]
+        probes = spark.createDataFrame(probe_rows,
+                                       "query_id long, cid long")
+        cells = sorted({cid for _, cid in probe_rows})
         assign = assign.where(F.col("cid").isin(cells))
         if codes is not None and "cid" in codes.columns:
             codes = codes.where(F.col("cid").isin(cells))
@@ -4370,22 +4389,42 @@ _OR["ann_pq_refine_recall_eval"] = _pq_refine_recall_oracle()
 # Semantics: pair sets are compared over the SHARED id universe (ids
 # present in both `documents` and `embeddings` — the testdata's sf0.1
 # snapshot has 5k docs but only 2k embeddings, and at 100 TB the
-# embedded slice typically lags the crawl). Output is a fixed 3-row
-# spine ('both' / 'text_only' / 'embedding_only') with pair counts and
-# exact integer score sums (jaccard/cos are already 6-dp snapped by the
-# upstream queries, so * 1e6 is an exact integer in both engines).
+# embedded slice typically lags the crawl). A one-sided pair is then
+# DIRECTLY verified against the opposite modality (ADVICE r9: a pair
+# that passes the cosine threshold but was never surfaced by a sign-LSH
+# band is a candidate-recall miss, NOT a method disagreement — lumping
+# them overstates cross-modality disagreement). The one-sided sets are
+# near-dup-sized, so the direct verify is cheap: text-only pairs get an
+# exact cosine on their two embeddings; embedding-only pairs get an
+# exact shingle-Jaccard via the inverted index restricted to the pair
+# list. Output is a fixed 5-row spine ('both' / 'text_only_disagree' /
+# 'text_only_cand_miss' / 'embedding_only_disagree' /
+# 'embedding_only_cand_miss') with pair counts and exact integer score
+# sums — every row now carries BOTH modality scores (reported where the
+# method fired, directly computed where it didn't), all snapped to e6
+# integers so both engines sum identically. Verify rules mirror each
+# method's own gate: cosine compares the e6-snapped value (what
+# dedup_embedding_lsh thresholds), jaccard compares the raw ratio (what
+# dedup_minhash_lsh thresholds) — both computed from identical integer
+# operands in both engines.
 #
 # 100 TB shape: both inputs are near-dup-sized (<< corpus — each is the
-# output of a banded candidate join + verify); the audit itself is one
-# full-outer equi-join on the pair key plus a 3-group aggregate. Nothing
-# here rescans the corpus: the heavy lifting is the two registered
-# queries it composes, whose scale stories are documented above.
+# output of a banded candidate join + verify); the audit is a full-outer
+# equi-join on the pair key, two pair-bounded verify joins (the jaccard
+# one re-derives the shingle index: one corpus scan, same cost class as
+# either input), and a 5-group aggregate.
 # --------------------------------------------------------------------------
 def _method_agreement_oracle() -> str:
     from hdfs_with_pyspark_spark.plans.registry import ORACLES
+    from hdfs_with_pyspark_spark.llm.dedup import (_sql_shingles,
+                                                   JACCARD_THRESHOLD)
+    cos_gate_e6 = int(round(COSINE_DUP_THRESHOLD * 1e6))
     return f"""
 WITH tp0 AS ({ORACLES["dedup_minhash_lsh"]}),
 ep0 AS ({ORACLES["dedup_embedding_lsh"]}),
+{_sql_shingles()},
+shn AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+v AS ({_SQL_VECTORS}),
 shared AS (SELECT e.vec_id AS id
            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
 tp AS (SELECT t.doc_a AS id_a, t.doc_b AS id_b,
@@ -4398,19 +4437,61 @@ ep AS (SELECT e.vec_a AS id_a, e.vec_b AS id_b,
        FROM ep0 e
        JOIN shared sa ON sa.id = e.vec_a
        JOIN shared sb ON sb.id = e.vec_b),
-u AS (SELECT CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL
-                  THEN 'both'
-                  WHEN t.id_a IS NOT NULL THEN 'text_only'
-                  ELSE 'embedding_only' END AS category,
-             t.jacc_e6, e.cos_e6
-      FROM tp t FULL OUTER JOIN ep e
-        ON t.id_a = e.id_a AND t.id_b = e.id_b),
+both_p AS (SELECT 'both' AS category, t.jacc_e6, e.cos_e6
+           FROM tp t JOIN ep e ON t.id_a = e.id_a AND t.id_b = e.id_b),
+tonly AS (SELECT t.* FROM tp t LEFT JOIN ep e
+            ON t.id_a = e.id_a AND t.id_b = e.id_b
+          WHERE e.id_a IS NULL),
+tscored AS (SELECT CASE WHEN CAST(ROUND({_SQL_COS} * 1000000) AS BIGINT)
+                             >= {cos_gate_e6}
+                        THEN 'text_only_cand_miss'
+                        ELSE 'text_only_disagree' END AS category,
+                   t.jacc_e6,
+                   CAST(ROUND({_SQL_COS} * 1000000) AS BIGINT) AS cos_e6
+            FROM tonly t
+            JOIN v a ON a.vec_id = t.id_a
+            JOIN v b ON b.vec_id = t.id_b),
+eonly AS (SELECT e.* FROM ep e LEFT JOIN tp t
+            ON t.id_a = e.id_a AND t.id_b = e.id_b
+          WHERE t.id_a IS NULL),
+einter AS (SELECT eo.id_a, eo.id_b, count(*) AS inter
+           FROM eonly eo
+           JOIN shh a ON a.doc_id = eo.id_a
+           JOIN shh b ON b.doc_id = eo.id_b AND b.h = a.h
+           GROUP BY 1, 2),
+escored AS (
+  SELECT CASE WHEN (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                    - COALESCE(i.inter, 0)) > 0
+              THEN CASE WHEN COALESCE(i.inter, 0) * 1.0
+                             / (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                                - COALESCE(i.inter, 0))
+                             >= {JACCARD_THRESHOLD}
+                        THEN 'embedding_only_cand_miss'
+                        ELSE 'embedding_only_disagree' END
+              ELSE 'embedding_only_disagree' END AS category,
+         CASE WHEN (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                    - COALESCE(i.inter, 0)) > 0
+              THEN CAST(ROUND(COALESCE(i.inter, 0) * 1000000.0
+                              / (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                                 - COALESCE(i.inter, 0))) AS BIGINT)
+              ELSE 0 END AS jacc_e6,
+         eo.cos_e6
+  FROM eonly eo
+  LEFT JOIN einter i ON i.id_a = eo.id_a AND i.id_b = eo.id_b
+  LEFT JOIN shn na ON na.doc_id = eo.id_a
+  LEFT JOIN shn nb ON nb.doc_id = eo.id_b),
+u AS (SELECT * FROM both_p UNION ALL
+      SELECT * FROM tscored UNION ALL
+      SELECT * FROM escored),
 agg AS (SELECT category,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(COALESCE(SUM(jacc_e6), 0) AS BIGINT) AS sum_jaccard_e6,
                CAST(COALESCE(SUM(cos_e6), 0) AS BIGINT) AS sum_cos_e6
         FROM u GROUP BY category),
-cats(category) AS (VALUES ('both'), ('text_only'), ('embedding_only'))
+cats(category) AS (VALUES ('both'), ('text_only_disagree'),
+                          ('text_only_cand_miss'),
+                          ('embedding_only_disagree'),
+                          ('embedding_only_cand_miss'))
 SELECT c.category,
        CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
        CAST(COALESCE(a.sum_jaccard_e6, 0) AS BIGINT) AS sum_jaccard_e6,
@@ -4422,8 +4503,11 @@ FROM cats c LEFT JOIN agg a ON a.category = c.category
 @register("dedup_method_agreement", oracle=None)  # composed below
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    from hdfs_with_pyspark_spark.llm.dedup import dedup_minhash_lsh
+    from hdfs_with_pyspark_spark.llm.dedup import (dedup_minhash_lsh,
+                                                   _shingle_hashes,
+                                                   JACCARD_THRESHOLD)
 
+    cos_gate_e6 = int(round(COSINE_DUP_THRESHOLD * 1e6))
     shared = (_vectors(spark, sf_dir).select(F.col("vec_id").alias("id"))
               .join(read_table(spark, sf_dir, "documents")
                     .select(F.col("doc_id").alias("id")), "id"))
@@ -4440,19 +4524,82 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(shared.withColumnRenamed("id", "id_a"), "id_a")
           .join(shared.withColumnRenamed("id", "id_b"), "id_b"))
     u = tp.join(ep, ["id_a", "id_b"], "full_outer")
-    cat = (F.when(F.col("jacc_e6").isNotNull() & F.col("cos_e6").isNotNull(),
-                  "both")
-            .when(F.col("jacc_e6").isNotNull(), "text_only")
-            .otherwise("embedding_only"))
-    agg = (u.select(cat.alias("category"), "jacc_e6", "cos_e6")
-            .groupBy("category")
+
+    both_p = (u.where(F.col("jacc_e6").isNotNull()
+                      & F.col("cos_e6").isNotNull())
+               .select(F.lit("both").alias("category"),
+                       "jacc_e6", "cos_e6"))
+
+    # text-only: direct cosine verify (both ids are in the shared
+    # universe, so both embeddings exist; |tonly| is near-dup-sized and
+    # the vector side broadcasts by size).
+    tonly = u.where(F.col("cos_e6").isNull()).select("id_a", "id_b",
+                                                     "jacc_e6")
+    v = _with_norm(_vectors(spark, sf_dir), "v", "nv")
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("nv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nv").alias("nb"))
+    cos_e6_direct = (F.round(F.expr(_sql_dot_cols("va", "vb"))
+                             / (F.col("na") * F.col("nb")) * F.lit(1e6))
+                      .cast("long"))
+    tscored = (tonly.join(va, "id_a").join(vb, "id_b")
+                    .select(F.when(cos_e6_direct >= cos_gate_e6,
+                                   "text_only_cand_miss")
+                             .otherwise("text_only_disagree")
+                             .alias("category"),
+                            "jacc_e6",
+                            cos_e6_direct.alias("cos_e6")))
+
+    # embedding-only: direct exact-jaccard verify via the shingle
+    # inverted index restricted to the pair list (one corpus scan; the
+    # joins are |eonly|-bounded). Docs with no shingles / no shared
+    # shingle coalesce to jaccard 0 — a disagree, not a miss.
+    eonly = u.where(F.col("jacc_e6").isNull()).select("id_a", "id_b",
+                                                      "cos_e6")
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    shn = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    einter = (eonly.select("id_a", "id_b")
+                   .join(shh.select(F.col("doc_id").alias("id_a"), "h"),
+                         "id_a")
+                   .join(shh.select(F.col("doc_id").alias("id_b"), "h"),
+                         ["id_b", "h"])
+                   .groupBy("id_a", "id_b")
+                   .agg(F.count("*").alias("inter")))
+    denom = (F.coalesce(F.col("na"), F.lit(0))
+             + F.coalesce(F.col("nb"), F.lit(0))
+             - F.coalesce(F.col("inter"), F.lit(0)))
+    raw = F.coalesce(F.col("inter"), F.lit(0)) / denom
+    escored = (eonly.join(einter, ["id_a", "id_b"], "left")
+                    .join(shn.select(F.col("doc_id").alias("id_a"),
+                                     F.col("n").alias("na")),
+                          "id_a", "left")
+                    .join(shn.select(F.col("doc_id").alias("id_b"),
+                                     F.col("n").alias("nb")),
+                          "id_b", "left")
+                    .select(F.when(denom > 0,
+                                   F.when(raw >= JACCARD_THRESHOLD,
+                                          "embedding_only_cand_miss")
+                                    .otherwise("embedding_only_disagree"))
+                             .otherwise("embedding_only_disagree")
+                             .alias("category"),
+                            F.when(denom > 0,
+                                   F.round(raw * F.lit(1e6)).cast("long"))
+                             .otherwise(F.lit(0).cast("long"))
+                             .alias("jacc_e6"),
+                            "cos_e6"))
+
+    scored = both_p.unionByName(tscored).unionByName(escored)
+    agg = (scored.groupBy("category")
             .agg(F.count("*").cast("long").alias("n_pairs"),
                  F.coalesce(F.sum("jacc_e6"), F.lit(0)).cast("long")
                   .alias("sum_jaccard_e6"),
                  F.coalesce(F.sum("cos_e6"), F.lit(0)).cast("long")
                   .alias("sum_cos_e6")))
     spine = spark.createDataFrame(
-        [("both",), ("text_only",), ("embedding_only",)], "category string")
+        [("both",), ("text_only_disagree",), ("text_only_cand_miss",),
+         ("embedding_only_disagree",), ("embedding_only_cand_miss",)],
+        "category string")
     return (spine.join(F.broadcast(agg), "category", "left")
             .select("category",
                     F.coalesce("n_pairs", F.lit(0)).cast("long")

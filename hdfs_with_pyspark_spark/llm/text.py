@@ -2842,13 +2842,18 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
     nano-grid weights). Shared by the train query and the batch
     inference below — the loop is the scale-critical part (one map-side
     partial aggregate -> 3 longs on the driver per iteration)."""
-    q = text_quality_score(spark, sf_dir)
-    f = q.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.col("stopword_ratio").alias("x1"),
-        F.col("distinct_ratio").alias("x2")).persist()
-    from hdfs_with_pyspark_spark.plans.graph import _pin_result
-    _pin_result(spark, "quality_logreg_train:features", f)
+    def _build() -> DataFrame:
+        return text_quality_score(spark, sf_dir).select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            F.col("stopword_ratio").alias("x1"),
+            F.col("distinct_ratio").alias("x2"))
+
+    # ONE shared pinned frame for train AND infer (ADVICE r9: per-query
+    # slots made each evict the other's still-live persist when both run
+    # in a session, e.g. the bench headline set). _pinned_frame returns
+    # the same DataFrame object on reuse, so the cache entry survives.
+    from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
+    f = _pinned_frame(spark, f"quality_logreg:features:{sf_dir}", _build)
 
     wu = [0, 0, 0]  # nano-grid weights (driver state: 3 longs)
     n = None

@@ -1989,14 +1989,20 @@ def test_filtered_search_label_semantics(spark, sf_dir):
 # ------------------------------------------- round-9 wave-3 additions
 
 def test_method_agreement_partitions_pair_sets(spark, sf_dir):
-    """The 3 categories partition the union of the two (shared-id-
-    restricted) pair sets: both + text_only = |text pairs|,
-    both + embedding_only = |embedding pairs|; spine always 3 rows."""
+    """The 5 categories partition the union of the two (shared-id-
+    restricted) pair sets: both + the two text_only splits = |text
+    pairs|, both + the two embedding_only splits = |embedding pairs|;
+    spine always 5 rows. The splits (ADVICE r9) separate genuine method
+    disagreement from the other method's LSH candidate miss: a
+    cand_miss pair's directly-verified opposite score clears that
+    method's own threshold, a disagree pair's does not."""
     from hdfs_with_pyspark_spark.sources.io import read_table
 
     out = {r["category"]: r for r in
            sim.dedup_method_agreement(spark, sf_dir).collect()}
-    assert set(out) == {"both", "text_only", "embedding_only"}
+    assert set(out) == {"both", "text_only_disagree", "text_only_cand_miss",
+                        "embedding_only_disagree",
+                        "embedding_only_cand_miss"}
     shared = (sim._vectors(spark, sf_dir).select(F.col("vec_id").alias("id"))
               .join(read_table(spark, sf_dir, "documents")
                     .select(F.col("doc_id").alias("id")), "id"))
@@ -2006,11 +2012,30 @@ def test_method_agreement_partitions_pair_sets(spark, sf_dir):
     ep = (sim.dedup_embedding_lsh(spark, sf_dir)
           .join(shared.withColumnRenamed("id", "vec_a"), "vec_a")
           .join(shared.withColumnRenamed("id", "vec_b"), "vec_b").count())
-    assert out["both"]["n_pairs"] + out["text_only"]["n_pairs"] == tp
-    assert out["both"]["n_pairs"] + out["embedding_only"]["n_pairs"] == ep
-    # score sums only accumulate where the method fired
-    assert out["embedding_only"]["sum_jaccard_e6"] == 0
-    assert out["text_only"]["sum_cos_e6"] == 0
+    t_only = (out["text_only_disagree"]["n_pairs"]
+              + out["text_only_cand_miss"]["n_pairs"])
+    e_only = (out["embedding_only_disagree"]["n_pairs"]
+              + out["embedding_only_cand_miss"]["n_pairs"])
+    assert out["both"]["n_pairs"] + t_only == tp
+    assert out["both"]["n_pairs"] + e_only == ep
+    # every row now carries BOTH modality scores (reported or directly
+    # verified), and the split is consistent with each method's gate
+    cos_gate = int(round(sim.COSINE_DUP_THRESHOLD * 1e6))
+    jac_gate = int(round(dd.JACCARD_THRESHOLD * 1e6))
+    miss = out["text_only_cand_miss"]
+    if miss["n_pairs"]:
+        assert miss["sum_cos_e6"] >= miss["n_pairs"] * cos_gate
+    dis = out["text_only_disagree"]
+    if dis["n_pairs"]:
+        assert dis["sum_cos_e6"] < dis["n_pairs"] * cos_gate
+    emiss = out["embedding_only_cand_miss"]
+    if emiss["n_pairs"]:
+        assert emiss["sum_jaccard_e6"] >= emiss["n_pairs"] * jac_gate
+    edis = out["embedding_only_disagree"]
+    if edis["n_pairs"]:
+        # <= (not <): a raw jaccard just below the gate may e6-round
+        # onto it; the gate itself compares the raw ratio
+        assert edis["sum_jaccard_e6"] <= edis["n_pairs"] * jac_gate
 
 
 def test_logreg_infer_decile_calibration_shape(spark, sf_dir):
