@@ -372,6 +372,28 @@ N_CENTROIDS = 8
 NPROBE = 2
 KMEANS_ITERS = 2
 
+# Corpus-scaled coarse-quantizer sizing (VERDICT r9 item 1) — the 25M
+# ladder point measured the failure mode this rule exists to prevent:
+# at a FIXED k=256, ~98k vectors/cell collapsed ADC planted recall to
+# 0.06, while k scaled to hold ~24k vectors/cell (k=1024) restored the
+# recall floor AND kept the query batch FLAT in corpus size (21.7 s at
+# 25M vs 23.5 s at 5M: candidates/query = nprobe * N / k is constant
+# when k tracks N). The floor is the probe ladder's own fixed k, below
+# which the small points trained stably.
+IVF_TARGET_CELL = 25_000
+IVF_AUTO_K_FLOOR = 256
+
+
+def ivf_auto_k(n_vectors: int) -> int:
+    """Default centroid count for the PUBLIC index-build path: hold
+    per-cell occupancy near IVF_TARGET_CELL so query cost stays flat as
+    the corpus grows (measured, SCALING.md round-9 wave 6). Capped at
+    the corpus size so degenerate tiny corpora stay well-defined;
+    gated queries bypass this by pinning k=N_CENTROIDS explicitly (the
+    oracles unroll that k)."""
+    return max(1, min(n_vectors,
+                      max(IVF_AUTO_K_FLOOR, n_vectors // IVF_TARGET_CELL)))
+
 _SQL_COS_BC = ("ROUND(list_dot_product(b.v, c.cv) / "
                "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)")
 
@@ -428,11 +450,32 @@ _SQL_KMEANS_CTES, _SQL_KMEANS_FINAL = _sql_kmeans()
 _CENTROID_CACHE: dict[tuple, list] = {}
 _CENTROID_CACHE_MAX = 32
 
+# Corpus counts memoized per (application, sf_dir) so the auto-k default
+# pays its count once per session, not per train call.
+_CORPUS_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CORPUS_COUNT_CACHE:
+        if len(_CORPUS_COUNT_CACHE) >= _CENTROID_CACHE_MAX:
+            _CORPUS_COUNT_CACHE.pop(next(iter(_CORPUS_COUNT_CACHE)))
+        _CORPUS_COUNT_CACHE[key] = _vectors(spark, sf_dir).count()
+    return _CORPUS_COUNT_CACHE[key]
+
 
 def train_ivf_centroids(spark: SparkSession, sf_dir: str,
-                        k: int = N_CENTROIDS,
+                        k: int | None = None,
                         iters: int = KMEANS_ITERS) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over the embeddings corpus -> [(cid, centroid)].
+
+    ``k=None`` (the public-path default, VERDICT r9 item 1) derives the
+    centroid count from the corpus via ivf_auto_k — one cheap
+    column-pruned count, memoized per (application, sf_dir) — so an
+    index built without tuning lands in the flat-query-cost regime the
+    25M probe validated instead of the fixed-k recall collapse. Gated
+    queries pin ``k=N_CENTROIDS`` explicitly (their oracles unroll that
+    k), the same pinned-vs-default contract as the kernel dispatch.
 
     Deterministic end to end: init = first ``k`` vectors by vec_id;
     assignment ranks ROUND(cos,6) DESC with cid ASC tie-break; the new
@@ -442,6 +485,8 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str,
     the corpus and one (cid, dim) hash aggregate; only k x dim doubles
     ever reach the driver, so the job shape is scale-safe.
     """
+    if k is None:
+        k = ivf_auto_k(_corpus_count(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
@@ -581,7 +626,7 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare is elementwise — proves the iterative training job, not just
     the probe that consumes it."""
     ensure_session(spark)
-    cents = train_ivf_centroids(spark, sf_dir)
+    cents = train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS)
     long_form = [(cid, dim, x) for cid, cv in cents for dim, x in enumerate(cv)]
     return spark.createDataFrame(long_form, "cid long, dim long, v double")
 
@@ -650,7 +695,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # costs. The corpus pays ONE dimension-sized broadcast NLJ + window.)
     v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
     cent = _with_norm(
-        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
+        spark.createDataFrame(train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS),
                               "cid long, cv array<double>"),
         "cv", "cnv")
     cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
@@ -3286,7 +3331,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
     cent = _with_norm(
-        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
+        spark.createDataFrame(train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS),
                               "cid long, cv array<double>"),
         "cv", "cnv")
     cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
@@ -4023,7 +4068,7 @@ FROM ranked WHERE rank <= {TOP_K}
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     return ivfpq_search(spark, _vectors(spark, sf_dir),
-                        train_ivf_centroids(spark, sf_dir),
+                        train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS),
                         _pq_codebooks(spark, sf_dir), kernel="exact")
 
 
@@ -4111,7 +4156,7 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id", F.col("label").cast("long").alias("label")))
     v2 = v.withColumn("nv", F.expr(f"sqrt({_sql_dot_cols('v', 'v')})"))
     cent = _with_norm(
-        spark.createDataFrame(train_ivf_centroids(spark, sf_dir),
+        spark.createDataFrame(train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS),
                               "cid long, cv array<double>"),
         "cv", "cnv")
     cos_c = F.round(F.expr(_sql_dot_cols("v", "cv"))
@@ -4646,7 +4691,7 @@ FROM rranked WHERE rank <= {TOP_K}
 def ann_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     v = _vectors(spark, sf_dir)
-    shortlist = (ivfpq_search(spark, v, train_ivf_centroids(spark, sf_dir),
+    shortlist = (ivfpq_search(spark, v, train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS),
                               _pq_codebooks(spark, sf_dir),
                               top_k=PQ_REFINE_R, kernel="exact")
                  .select("query_id",

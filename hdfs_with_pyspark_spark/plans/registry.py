@@ -163,7 +163,21 @@ DRIVER_PRIORITY = [
     # decisions — a capability family the window lacked entirely.
     # Both demoted queries stay registered and parity-checked below,
     # alongside their recall evals.)
-    "basket_part_affinity", "ann_topk_lsh_multiprobe", "ann_topk_ivfpq",
+    # (round 10: ann_topk_ivfpq demoted for ann_topk_ivfpq_refine
+    # (VERDICT r9 item 6) — the 25M-vector ladder point measured the
+    # refine stage as load-bearing at scale (ADC-only planted recall
+    # 0.594 -> 0.953 with the R-deep exact re-rank): at production
+    # corpus sizes the triple IS the working search, not an
+    # optimization. The refine query COMPOSES ivfpq_search verbatim as
+    # its shortlist stage (llm/similarity.py), so the demoted query's
+    # entire machinery — coarse quantizer, probed-cell candidate join,
+    # candidate-first broadcast-LUT ADC — still executes and
+    # hash-gates inside the promoted slot, plus the broadcast R-deep
+    # exact re-rank the window previously never exercised.
+    # ann_topk_ivfpq stays registered and parity-checked below the
+    # window, alongside both recall evals.)
+    "basket_part_affinity", "ann_topk_lsh_multiprobe",
+    "ann_topk_ivfpq_refine",
     "quality_psi_drift", "ivf_kmeans_centroids", "distinct_sketch_audit",
     "quality_logreg_train",
     # text analysis / training-prep family (quality_filter is the

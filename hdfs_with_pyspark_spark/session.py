@@ -27,6 +27,26 @@ _DEFAULTS = {
     # byte target still yields thousands of partitions, while small stages
     # stop paying 32 near-empty task launches per shuffle.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Start every AQE-planned shuffle WIDE and let the byte target coalesce
+    # it down (VERDICT r9 item 3). AQE can only MERGE reduce partitions,
+    # never split them, so shuffle.partitions=32 was a hard ceiling on
+    # reduce parallelism: the 25M-doc dedup ladder point measured the
+    # verify stage going super-linear at 32 (1072.7 s) and recovering at
+    # 256 (222.7 s) purely from rows-per-partition (SCALING.md). With a
+    # wide initial count the bounded-rows-per-partition invariant is
+    # DERIVED from the data at runtime instead of living in the
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS env knob (still honored as the
+    # non-AQE fallback and floor).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"),
+    # Without this, persist()ed plans keep their FULL initial partition
+    # count (AQE refuses to change cached-plan output partitioning by
+    # default), so every pinned frame would materialize 1024 near-empty
+    # partitions and iterative consumers (pagerank, k-means) would pay
+    # 1024 task launches per pass. Letting AQE re-plan cached output is
+    # safe here: nothing relies on a cached frame's physical
+    # partitioning beyond what Catalyst re-derives.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

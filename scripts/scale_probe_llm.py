@@ -130,12 +130,14 @@ def main() -> None:
                     help="IVF cells probed per query in the ivfpq "
                          "stage (recall at fixed nprobe decays as "
                          "per-cell occupancy grows with the corpus)")
-    ap.add_argument("--k", type=int, default=256,
-                    help="IVF coarse-quantizer size for the probe (a "
-                         "fixed realistic k, NOT dedup_ivf_k's SemDedup "
-                         "cluster-size scaling, which targets ~64-vector "
-                         "clusters and would put k in the tens of "
-                         "thousands at 1M vectors)")
+    ap.add_argument("--k", type=int, default=None,
+                    help="IVF coarse-quantizer size for the probe; "
+                         "default (None) derives it via ivf_auto_k — "
+                         "the corpus-scaled rule the public index-build "
+                         "path now defaults to (~IVF_TARGET_CELL "
+                         "vectors/cell, floor 256; NOT dedup_ivf_k's "
+                         "SemDedup ~64-vector clusters, which would put "
+                         "k in the tens of thousands at 1M vectors)")
     ap.add_argument("--workdir", default="/tmp/scale_probe_llm")
     ap.add_argument("--stages", default="dedup,ivf,ingest,ivfpq",
                     help="comma subset of dedup,ivf,ingest,ivfpq — a "
@@ -151,7 +153,7 @@ def main() -> None:
         dedup_incremental, minhash_band_store)
     from hdfs_with_pyspark_spark.llm.similarity import (
         PQ_K, PQ_SUB, PQ_SUB_DIM, _assign_nearest, _assign_nearest_arrow,
-        _train_kmeans, assign_nearest, ivfpq_search, pq_encode)
+        _train_kmeans, assign_nearest, ivf_auto_k, ivfpq_search, pq_encode)
     from hdfs_with_pyspark_spark.session import get_spark
 
     spark = get_spark("scale-probe-llm")
@@ -228,7 +230,9 @@ def main() -> None:
     gen_vecs(spark, args.vecs, 64, plant=True).write.mode("overwrite") \
         .parquet(vecs_path)
     vecs = spark.read.parquet(vecs_path)
-    k = args.k
+    # no --k flag -> the public path's corpus-scaled default; the 25M
+    # point measured why (fixed k=256 collapses planted recall to 0.06)
+    k = args.k if args.k is not None else ivf_auto_k(args.vecs)
     # the vector-side batch is independent of the doc batch (a tiny
     # --vecs run must still leave a real corpus behind the split)
     vbatch = min(args.batch, args.vecs // 2)

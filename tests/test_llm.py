@@ -290,10 +290,64 @@ def test_image_decoder_real_bmp_always_runs(spark):
             == mm.byte_decoder(truncated, "image"))
 
 
+def _make_png(w: int, h: int, *, color: int = 2, depth: int = 8,
+              interlace: int = 0, truncate_idat: bool = False) -> bytes:
+    """Minimal valid non-interlaced PNG, built with stdlib struct+zlib
+    only (VERDICT r9 item 4) — the PNG sibling of _make_bmp."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    stride = (w * channels * depth + 7) // 8
+    raw = (b"\x00" + b"\x10" * stride) * h      # filter byte 0 per row
+    if truncate_idat:
+        raw = raw[:-1]
+    idat = zlib.compress(raw)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_image_decoder_real_png_always_runs(spark):
+    """A real PNG decodes with zero dependencies (VERDICT r9 item 4):
+    the stdlib branch walks the chunk stream to IEND and zlib-inflates
+    the IDAT pixel data, checking the exact scanline byte count — so
+    the PNG third of the image seam EXECUTES in this codec-less
+    container (when PIL is importable the same assertions cover the
+    Pillow branch instead)."""
+    png = _make_png(33, 16)
+    out = mm.pillow_image_decoder(png, "image")
+    assert out == {"n_tokens": 3 * 1, "frame_count": None}   # ceil(33/16)*1
+    # grayscale and 16-bit-depth variants parse too
+    assert mm._png_dimensions(_make_png(17, 5, color=0)) == (17, 5)
+    assert mm._png_dimensions(_make_png(4, 4, depth=16)) == (4, 4)
+    # driven through the executor seam
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [9], "modality": ["image"], "blob": [png]})
+    rows = list(mm._featurize_batches(mm.pillow_image_decoder)(iter([pdf])))
+    assert rows[0]["n_tokens"].iloc[0] == 3
+    # completeness discipline (the ADVICE-r8 BMP rule applied to PNG):
+    # a plausible header whose pixel data is missing or short must NOT
+    # real-decode — PIL rejects these, so the stdlib gate must too.
+    assert mm._png_dimensions(png[:40]) is None            # no IEND
+    assert mm._png_dimensions(
+        _make_png(33, 16, truncate_idat=True)) is None     # short raster
+    assert mm._png_dimensions(
+        _make_png(33, 16, interlace=1)) is None            # Adam7 rejected
+    trunc = png[:40]
+    assert (mm.pillow_image_decoder(trunc, "image")
+            == mm.byte_decoder(trunc, "image"))
+
+
 def test_pillow_decoder_real_png_when_available(spark):
-    """When Pillow IS importable, a real PNG decodes too; skipped (not
-    silently passed) where the container has no codec — the BMP test
-    above keeps the seam exercised regardless."""
+    """When Pillow IS importable, a Pillow-written PNG decodes through
+    the PIL branch; skipped (not silently passed) where the container
+    has no codec — the stdlib PNG test above keeps the seam exercised
+    regardless."""
     PIL = pytest.importorskip("PIL.Image")
     import io
     buf = io.BytesIO()
@@ -439,13 +493,40 @@ def test_embedding_lsh_precision_one_and_no_cartesian(spark, monkeypatch):
 
 def test_ivf_kmeans_trainer_deterministic_and_trained(spark):
     sf = "/root/testdata/sf0.001"
-    c1 = sim.train_ivf_centroids(spark, sf)
+    c1 = sim.train_ivf_centroids(spark, sf, k=sim.N_CENTROIDS)
     sim._CENTROID_CACHE.clear()
-    c2 = sim.train_ivf_centroids(spark, sf)
+    c2 = sim.train_ivf_centroids(spark, sf, k=sim.N_CENTROIDS)
     assert c1 == c2                      # bit-identical across runs
     init = {int(r["vec_id"]): list(r["v"])
             for r in sim._vectors(spark, sf).where("vec_id < 8").collect()}
     assert all(cv != init[cid] for cid, cv in c1)  # Lloyd's moved every one
+
+
+def test_ivf_auto_k_rule_and_default_path(spark):
+    """The public build path's corpus-scaled k (VERDICT r9 item 1):
+    floor 256 below ~6.4M vectors, then N // IVF_TARGET_CELL (holding
+    ~target vectors per cell — the regime the 25M probe measured as
+    flat query cost + restored recall), capped at the corpus size for
+    degenerate tiny corpora. train_ivf_centroids(k=None) derives it."""
+    assert sim.ivf_auto_k(100) == 100              # cap: tiny corpus
+    assert sim.ivf_auto_k(1_000) == sim.IVF_AUTO_K_FLOOR
+    assert sim.ivf_auto_k(500_000) == sim.IVF_AUTO_K_FLOOR
+    assert sim.ivf_auto_k(25_000_000) == 25_000_000 // sim.IVF_TARGET_CELL
+    assert sim.ivf_auto_k(100_000_000) == 100_000_000 // sim.IVF_TARGET_CELL
+    # monotone in corpus size (an index rebuild on a grown corpus never
+    # shrinks its quantizer)
+    ks = [sim.ivf_auto_k(n) for n in
+          (10, 1_000, 500_000, 7_000_000, 25_000_000, 100_000_000)]
+    assert ks == sorted(ks)
+
+    sf = "/root/testdata/sf0.001"
+    n = sim._vectors(spark, sf).count()
+    cents = sim.train_ivf_centroids(spark, sf)     # k=None -> auto
+    assert len(cents) == sim.ivf_auto_k(n)
+    # the gated-path pin is a DIFFERENT cache entry — auto never
+    # contaminates the oracle-matched k=N_CENTROIDS training
+    gated = sim.train_ivf_centroids(spark, sf, k=sim.N_CENTROIDS)
+    assert len(gated) == sim.N_CENTROIDS
 
 
 def test_ivf_recall_vs_bruteforce(spark):
@@ -1874,7 +1955,7 @@ def test_ivfpq_composition_properties(spark, sf_dir):
     # (a) candidate containment: rebuild the probed-cell membership
     v = sim._vectors(spark, sf_dir)
     cent_df = spark.createDataFrame(
-        sim.train_ivf_centroids(spark, sf_dir),
+        sim.train_ivf_centroids(spark, sf_dir, k=sim.N_CENTROIDS),
         "cid long, cv array<double>")
     assign = {r.vec_id: r.cid
               for r in sim._assign_nearest(v, cent_df).collect()}
@@ -1913,7 +1994,7 @@ def test_ivfpq_arrow_kernel_and_dispatcher_agree(spark, sf_dir):
     from pyspark.sql import functions as F
 
     v = sim._vectors(spark, sf_dir)
-    cents = sim.train_ivf_centroids(spark, sf_dir)
+    cents = sim.train_ivf_centroids(spark, sf_dir, k=sim.N_CENTROIDS)
     books = sim._pq_codebooks(spark, sf_dir)
     exact = sorted(map(tuple, sim.ivfpq_search(
         spark, v, cents, books, kernel="exact").collect()))
@@ -2114,7 +2195,7 @@ def test_ivfpq_store_prune_cells_equivalence(spark, sf_dir, tmp_path):
     top-K as the unpruned path — pruning removes only cells no query
     probes, never a candidate."""
     v = sim._vectors(spark, sf_dir)
-    cents = sim.train_ivf_centroids(spark, sf_dir)
+    cents = sim.train_ivf_centroids(spark, sf_dir, k=sim.N_CENTROIDS)
     books = sim._pq_codebooks(spark, sf_dir)
     store_path = str(tmp_path / "store")
     lists = sim.assign_nearest(v, cents, kernel="arrow") \
