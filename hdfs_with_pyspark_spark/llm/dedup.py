@@ -42,6 +42,30 @@ SIMHASH_BITS = 48           # fits bigint shifts in both engines
 SIMHASH_MAX_HAMMING = 3     # pigeonhole: 4 chunks of 12 bits
 SHINGLE_N = 3
 
+# The measured shuffle-sizing invariant for dedup's heavy stages
+# (SCALING.md, 25M-doc ladder): BOUNDED ROWS PER SHUFFLE PARTITION.
+# These shuffles move NARROW, CPU-dense rows (a band row is ~30 bytes, a
+# token-hash row ~20), so AQE's byte-target coalescing — sized for
+# IO-bound shuffles — lands multi-million-row partitions and the md5/
+# window work inside them goes super-linear (verify 310.9 s at the AQE
+# default vs 222.7 s with row-derived counts at 25M docs). Bytes cannot
+# express a rows invariant; when the caller KNOWS the row estimate
+# (docs x bands for the band store, docs x tokens for the shingle spine
+# — both known before the shuffle), derive the partition count from it
+# and pin the exchange (VERDICT r9 item 3).
+DEDUP_ROWS_PER_PARTITION = 1_000_000
+
+
+def dedup_parallelism(spark: SparkSession, n_rows: int) -> int:
+    """Partition count for a dedup shuffle expected to carry ``n_rows``:
+    one partition per DEDUP_ROWS_PER_PARTITION rows, floored at the
+    session's core count so small corpora keep every core busy. Pass the
+    result as ``num_partitions`` to minhash_band_store/_shingle_hashes
+    (production ingest knows its corpus size from the manifest; the
+    scale probe derives it the same way)."""
+    floor = spark.sparkContext.defaultParallelism
+    return max(floor, -(-n_rows // DEDUP_ROWS_PER_PARTITION))
+
 
 def _sql_tokens(expr: str = "text") -> str:
     return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
@@ -71,7 +95,8 @@ shh AS (
   FROM th)"""
 
 
-def _shingle_hashes(docs: DataFrame, spread_input: bool = True) -> DataFrame:
+def _shingle_hashes(docs: DataFrame, spread_input: bool = True,
+                    num_partitions: int | None = None) -> DataFrame:
     """Distinct (doc_id, h) 31-bit shingle hashes — the dedup spine.
 
     Token hashes computed once (one md5 per token occurrence), shingle
@@ -80,6 +105,13 @@ def _shingle_hashes(docs: DataFrame, spread_input: bool = True) -> DataFrame:
     ``spread_input=False`` for BATCH-sized inputs (the incremental
     ingest path): re-spreading a few rows just inserts shuffles ahead
     of the window shuffle (measured +0.5 s on dedup_incremental).
+
+    ``num_partitions`` pins the spine's one shuffle (the doc_id window
+    exchange, which the downstream distinct/groupBy reuse) to a
+    row-derived count — dedup_parallelism(docs x tokens) — for
+    corpus-scale runs where AQE's byte target under-partitions the
+    narrow token-hash rows. ``None`` (every gated query) keeps AQE's
+    choice.
     """
     # posexplode evaluates the token-hash transform exactly once per row
     # (indexing the array expression with element_at would instead
@@ -94,6 +126,11 @@ def _shingle_hashes(docs: DataFrame, spread_input: bool = True) -> DataFrame:
     from hdfs_with_pyspark_spark.llm.textops import spread
     src = spread(docs) if spread_input else docs
     tok_rows = src.select("doc_id", F.posexplode(ths).alias("pos", "th"))
+    if num_partitions is not None:
+        # Explicit n disables AQE coalescing for THIS exchange only; the
+        # window's ClusteredDistribution(doc_id) is satisfied by it, so
+        # no second shuffle appears (plan-asserted in tests).
+        tok_rows = tok_rows.repartition(num_partitions, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("pos")
     h = ((F.col("th") * 31 + F.lead("th", 1).over(w)) * 31
          + F.lead("th", 2).over(w)) % MERSENNE31
@@ -636,7 +673,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a co-located join.
 # --------------------------------------------------------------------------
 def minhash_band_store(docs: DataFrame,
-                       spread_input: bool = True) -> DataFrame:
+                       spread_input: bool = True,
+                       num_partitions: int | None = None) -> DataFrame:
     """(doc_id, band, bkey) band store for a corpus — the persisted state
     an incremental pipeline maintains (append new batches' bands after
     each ingest).
@@ -644,8 +682,14 @@ def minhash_band_store(docs: DataFrame,
     ``spread_input=False`` for BATCH-sized inputs (streaming /
     incremental ingest): spread()'s partition probe plans the input and
     the repartition inserts a shuffle that a micro-batch never
-    amortizes (ADVICE r4)."""
-    shh = _shingle_hashes(docs, spread_input=spread_input)
+    amortizes (ADVICE r4).
+
+    ``num_partitions`` (corpus-scale builds): row-derived count for the
+    shingle spine's shuffle — pass
+    dedup_parallelism(spark, n_docs * avg_tokens); see
+    DEDUP_ROWS_PER_PARTITION for why bytes-based AQE is not enough."""
+    shh = _shingle_hashes(docs, spread_input=spread_input,
+                          num_partitions=num_partitions)
     sig = shh.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"mh{j}")
           for j, (a, b) in enumerate(MINHASH_PARAMS)])

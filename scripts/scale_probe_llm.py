@@ -138,6 +138,13 @@ def main() -> None:
                          "vectors/cell, floor 256; NOT dedup_ivf_k's "
                          "SemDedup ~64-vector clusters, which would put "
                          "k in the tens of thousands at 1M vectors)")
+    ap.add_argument("--no-store", action="store_true",
+                    help="skip the 6c cell-partitioned store stage: its "
+                         "local[32] behavior is already measured (the "
+                         "small-file regression below ~100 MB/cell, "
+                         "SCALING.md round 9 wave 6) and at 100M x "
+                         "k=4000 the partitionBy write only re-pays "
+                         "that known local cost")
     ap.add_argument("--workdir", default="/tmp/scale_probe_llm")
     ap.add_argument("--stages", default="dedup,ivf,ingest,ivfpq",
                     help="comma subset of dedup,ivf,ingest,ivfpq — a "
@@ -150,7 +157,7 @@ def main() -> None:
 
     from hdfs_with_pyspark_spark.llm.dedup import (
         JACCARD_THRESHOLD, _shingle_hashes, _verified_jaccard,
-        dedup_incremental, minhash_band_store)
+        dedup_incremental, dedup_parallelism, minhash_band_store)
     from hdfs_with_pyspark_spark.llm.similarity import (
         PQ_K, PQ_SUB, PQ_SUB_DIM, _assign_nearest, _assign_nearest_arrow,
         _train_kmeans, assign_nearest, ivf_auto_k, ivfpq_search, pq_encode)
@@ -171,15 +178,32 @@ def main() -> None:
         corpus = docs.where(F.col("doc_id") >= args.batch)
         batch = docs.where(F.col("doc_id") < args.batch)
 
-        # 1. band-store build (corpus only — the standing state)
+        # 1. band-store build (corpus only — the standing state).
+        # The shingle spine's one shuffle (docs x tokens narrow rows —
+        # known BEFORE the shuffle) is pinned to the row-derived count
+        # (VERDICT r9 item 3): AQE's byte target under-partitions the
+        # CPU-dense token-hash rows (25M build 420 s pure-AQE vs ~296 s
+        # row-derived). The band self-join below is deliberately LEFT
+        # to AQE: pinning it to the derived count was tried and
+        # measured SLOWER (SCALING.md round 10) — its real failure
+        # mode was the unpersisted candidate subtree, fixed below.
         store_path = os.path.join(args.workdir, "band_store")
+        spine_par = dedup_parallelism(spark, args.docs * DOC_TOKENS)
+        result["spine_partitions"] = spine_par
         t0 = time.time()
-        minhash_band_store(corpus).write.mode("overwrite") \
-            .parquet(store_path)
+        minhash_band_store(corpus, num_partitions=spine_par) \
+            .write.mode("overwrite").parquet(store_path)
         result["band_store_build_sec"] = round(time.time() - t0, 1)
         store = spark.read.parquet(store_path)
 
-        # 2. full banded self-join + exact verify over the whole corpus
+        # 2. full banded self-join + exact verify over the whole corpus.
+        # The candidate set is PERSISTED between its two consumers
+        # (touched-doc reduction and the verify join) — same discipline
+        # as the registered dedup_minhash_lsh (SCALING.md: the pair
+        # frame feeds three subtrees; unpinned, the banded self-join —
+        # the dominant cost here — can be recomputed per consumer).
+        # lsh_verify_sec stays the END-TO-END number comparable to
+        # earlier ladder rows; the two sub-timings split it.
         t0 = time.time()
         cand = (store.alias("x")
                 .join(store.alias("y"),
@@ -189,13 +213,19 @@ def main() -> None:
                 .select(F.col("x.doc_id").alias("doc_a"),
                         F.col("y.doc_id").alias("doc_b"))
                 .distinct())
+        cand.persist()
+        result["candidate_pairs"] = cand.count()
+        result["candidate_join_sec"] = round(time.time() - t0, 1)
+        t1 = time.time()
         touched = (cand.select(F.col("doc_a").alias("doc_id"))
                    .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                    .distinct())
         shh = _shingle_hashes(corpus.join(touched, "doc_id", "left_semi"))
         n_pairs = (_verified_jaccard(cand, shh)
                    .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD).count())
+        result["exact_verify_sec"] = round(time.time() - t1, 1)
         result["lsh_verify_sec"] = round(time.time() - t0, 1)
+        cand.unpersist()
         result["near_dup_pairs"] = n_pairs
         # planted pairs living entirely inside the corpus split: one per
         # DUP_EVERY ids, minus any whose base doc fell into the batch
@@ -396,6 +426,10 @@ def main() -> None:
     # the bounded probed-cid set as a literal partition filter). This is
     # the 100 TB layout — nprobe/k of the store's FILES read, not
     # nprobe/k of its rows filtered post-scan.
+    if args.no_store:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps(result))
+        return
     store_path = os.path.join(args.workdir, "ivfpq_store")
     t0 = time.time()
     spark.read.parquet(lists_path) \

@@ -449,6 +449,41 @@ def test_stratified_sample_invariant_under_partitioning(spark, monkeypatch):
     assert n_de > n_ja
 
 
+def test_dedup_parallelism_row_derived(spark):
+    # One partition per DEDUP_ROWS_PER_PARTITION rows, floored at the
+    # session's cores — the SCALING.md invariant as code.
+    floor = spark.sparkContext.defaultParallelism
+    assert dd.dedup_parallelism(spark, 0) == floor
+    assert dd.dedup_parallelism(spark, 1) == floor
+    big = 25_000_000 * 8  # 25M docs x 8 bands
+    assert dd.dedup_parallelism(spark, big) == max(floor, 200)
+    # ceil, not floor-div: 1M + 1 rows need 2 partitions (if above floor)
+    assert (dd.dedup_parallelism(spark, dd.DEDUP_ROWS_PER_PARTITION + 1)
+            == max(floor, 2))
+
+
+def test_shingle_spine_pinned_partitioning_one_exchange(spark, doc_frame):
+    # num_partitions pins the spine's exchange; the window's clustering
+    # requirement must be satisfied by it (exactly ONE exchange in the
+    # plan, same as the default path) and results must be identical.
+    n = 7
+    pinned = dd._shingle_hashes(doc_frame, spread_input=False,
+                                num_partitions=n)
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert f"hashpartitioning(doc_id#" in plan and f", {n})" in plan
+    default = dd._shingle_hashes(doc_frame, spread_input=False)
+    assert ({tuple(r) for r in pinned.collect()}
+            == {tuple(r) for r in default.collect()})
+    # band store threads it through unchanged
+    sp = dd.minhash_band_store(doc_frame, spread_input=False,
+                               num_partitions=n)
+    assert ({tuple(r) for r in sp.collect()}
+            == {tuple(r) for r in
+                dd.minhash_band_store(doc_frame, spread_input=False)
+                .collect()})
+
+
 # ---------------------------------------------------- hot-key cap / LSH
 
 def test_jaccard_df_cap_noop_on_unskewed(spark, doc_frame, monkeypatch):
