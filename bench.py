@@ -179,9 +179,88 @@ HEADLINE = [
 MOVER_RATIO = 1.5   # BASELINE.md drift protocol: movers past this line
                     # need the paired-worktree A/B if their code changed
 
+# VERDICT r10 item 5: round 10's final bench regeneration produced a new
+# >=1.5x changed-file mover that nobody A/B'd, because the mover check
+# lived in the builder's eyes, not the artifact. Now every full run
+# re-derives `movers_undispositioned` against its own output: an upward
+# mover whose implementing file changed since the base snapshot's commit
+# and that has no matching entry (same query, same base_round) in
+# BENCH_MOVER_DISPOSITIONS.json. The round-close artifact must show [].
+DISPOSITIONS_FILE = "BENCH_MOVER_DISPOSITIONS.json"
+
+
+def _files_changed_since_base(repo: str, base_file: str) -> set[str] | None:
+    """Repo-relative paths changed (committed or working-tree) since the
+    commit that last touched the base snapshot; None if git is unusable
+    (then every mover is conservatively treated as changed-file)."""
+    import subprocess
+
+    def _git(*a):
+        return subprocess.run(["git", "-C", repo, *a], capture_output=True,
+                              text=True, timeout=60)
+    try:
+        head = _git("log", "-1", "--format=%H", "--", base_file)
+        base_commit = head.stdout.strip()
+        if head.returncode != 0 or not base_commit:
+            return None
+        diff = _git("diff", "--name-only", base_commit, "HEAD")
+        status = _git("status", "--porcelain")
+        if diff.returncode != 0 or status.returncode != 0:
+            return None
+        changed = set(diff.stdout.split())
+        for line in status.stdout.splitlines():
+            if len(line) > 3:
+                changed.add(line[3:].strip().strip('"'))
+        return changed
+    except Exception:
+        return None
+
+
+def _undispositioned_movers(repo: str, base_file: str, base_round: int,
+                            movers: dict, queries) -> list[str]:
+    """Upward movers whose implementing file changed since the base
+    snapshot and that lack a current-base disposition entry."""
+    import inspect
+
+    try:
+        with open(os.path.join(repo, DISPOSITIONS_FILE)) as f:
+            dispositions = json.load(f)
+    except (OSError, ValueError):
+        dispositions = {}
+    changed = _files_changed_since_base(repo, base_file)
+    out = []
+    for q, rec in movers.items():
+        if rec["ratio"] < MOVER_RATIO:
+            continue  # downward movers are improvements, not drift
+        try:
+            src = os.path.relpath(inspect.getfile(queries[q]), repo)
+        except Exception:
+            src = None
+        d = dispositions.get(q)
+        if d and d.get("base_round") == base_round:
+            # A disposition is pinned to the implementing file's content
+            # at disposition time: further edits to that file invalidate
+            # it (the mover would be a NEW, unreviewed one).
+            sha = d.get("file_sha")
+            if not sha or (src and _git_blob_sha(repo, src) == sha):
+                continue
+        if changed is None or src is None or src in changed:
+            out.append(q)
+    return sorted(out)
+
+
+def _git_blob_sha(repo: str, relpath: str) -> str | None:
+    import subprocess
+    try:
+        r = subprocess.run(["git", "-C", repo, "hash-object", relpath],
+                           capture_output=True, text=True, timeout=60)
+        return r.stdout.strip() if r.returncode == 0 else None
+    except Exception:
+        return None
+
 
 def _compare_vs_previous_round(repo: str, timings: dict[str, float],
-                               sf) -> dict:
+                               sf, queries=None) -> dict:
     """Shared-set totals/median/movers vs the newest committed
     BENCH_DETAIL_r{N}.json snapshot — the structural fix for the
     stale-prose defect (VERDICT r7 item 2, r8 item 1): computed by the
@@ -208,8 +287,12 @@ def _compare_vs_previous_round(repo: str, timings: dict[str, float],
     movers = {q: {"prev_sec": prev[q], "cur_sec": timings[q], "ratio": r}
               for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
               if r >= MOVER_RATIO or r <= 1.0 / MOVER_RATIO}
+    base_file = os.path.basename(snaps[base_round])
+    undisp = (_undispositioned_movers(repo, base_file, base_round,
+                                      movers, queries)
+              if queries is not None else [])
     return {
-        "base_file": os.path.basename(snaps[base_round]),
+        "base_file": base_file,
         "base_round": base_round,
         "sf": sf,
         "n_shared": len(shared),
@@ -223,6 +306,10 @@ def _compare_vs_previous_round(repo: str, timings: dict[str, float],
                                 if ratios else None),
         "mover_threshold": MOVER_RATIO,
         "movers": movers,
+        # Upward changed-file movers lacking a current-base entry in
+        # BENCH_MOVER_DISPOSITIONS.json. The round cannot close over a
+        # non-empty list (VERDICT r10 item 5).
+        "movers_undispositioned": undisp,
     }
 
 
@@ -298,9 +385,17 @@ def main() -> None:
         # round-close ritual copies the final BENCH_DETAIL.json to
         # BENCH_DETAIL_r{thisround}.json for the next round.
         try:
+            cmp_rec = _compare_vs_previous_round(repo, timings, sf,
+                                                 queries=QUERIES)
             with open(os.path.join(repo, "BENCH_COMPARE.json"), "w") as f:
-                json.dump(_compare_vs_previous_round(repo, timings, sf),
-                          f, indent=1)
+                json.dump(cmp_rec, f, indent=1)
+            if cmp_rec.get("movers_undispositioned"):
+                # Loud on stderr (stdout stays the driver's JSON lines):
+                # a changed-file mover needs the paired-worktree A/B and
+                # a BENCH_MOVER_DISPOSITIONS.json entry before close.
+                print("BENCH: undispositioned changed-file movers: "
+                      + ", ".join(cmp_rec["movers_undispositioned"]),
+                      file=sys.stderr)
         except OSError:
             pass
     # VERDICT r5 item 1: the 76-query detail line overflowed the
@@ -320,6 +415,13 @@ def main() -> None:
         "queries": slowest,
         "detail_file": "BENCH_DETAIL.json",
     }
+    if only_set is None:
+        try:
+            with open(os.path.join(repo, "BENCH_COMPARE.json")) as f:
+                summary["movers_undispositioned"] = (
+                    json.load(f).get("movers_undispositioned", []))
+        except (OSError, ValueError):
+            pass
     if only_set is not None:
         summary["bench_only_filter"] = sorted(only_set)
     print(json.dumps(summary))

@@ -54,17 +54,75 @@ SHINGLE_N = 3
 # — both known before the shuffle), derive the partition count from it
 # and pin the exchange (VERDICT r9 item 3).
 DEDUP_ROWS_PER_PARTITION = 1_000_000
+# Upper bound on the derived count (ADVICE r10): the rows-per-partition
+# rule is an under-partitioning guard, not a license to request 10M
+# shuffle partitions at the 100 TB extreme (~1e13 token rows) — past the
+# cap, partitions grow beyond DEDUP_ROWS_PER_PARTITION gracefully (still
+# bounded at ~300M rows each at 1e13) instead of pathologizing the
+# shuffle tracker with per-partition bookkeeping. 32768 keeps the
+# map-status bitmap and scheduler overhead in the range Spark's shuffle
+# machinery is engineered for.
+DEDUP_MAX_PARTITIONS = 32_768
 
 
 def dedup_parallelism(spark: SparkSession, n_rows: int) -> int:
     """Partition count for a dedup shuffle expected to carry ``n_rows``:
     one partition per DEDUP_ROWS_PER_PARTITION rows, floored at the
-    session's core count so small corpora keep every core busy. Pass the
-    result as ``num_partitions`` to minhash_band_store/_shingle_hashes
-    (production ingest knows its corpus size from the manifest; the
-    scale probe derives it the same way)."""
+    session's core count so small corpora keep every core busy, capped
+    at DEDUP_MAX_PARTITIONS so extreme inputs degrade to bigger
+    partitions instead of a pathological partition count. Public entry
+    points (minhash_band_store/_shingle_hashes) derive this themselves
+    from a memoized corpus count by default; pass ``num_partitions``
+    explicitly only to override."""
     floor = spark.sparkContext.defaultParallelism
-    return max(floor, -(-n_rows // DEDUP_ROWS_PER_PARTITION))
+    derived = min(-(-n_rows // DEDUP_ROWS_PER_PARTITION),
+                  DEDUP_MAX_PARTITIONS)
+    return max(floor, derived)
+
+
+# Spine row counts memoized per (application, semantic plan hash): the
+# auto-partitioning default pays its one column-pruned count per corpus
+# per session, not per operator call (same pattern as similarity's
+# _CORPUS_COUNT_CACHE backing train_ivf_centroids(k=None)). FIFO-bounded
+# so a long-lived service cycling corpora can't accumulate entries.
+_SPINE_ROWS_CACHE: dict[tuple, int] = {}
+_SPINE_ROWS_CACHE_MAX = 32
+
+
+def _spine_token_rows(docs: DataFrame) -> int:
+    """Total token occurrences in ``docs`` — the exact row count of the
+    shingle spine's one shuffle (posexplode fans each doc to its token
+    count). One column-pruned scan summing size(tokens(text)); memoized
+    on the frame's semantic plan hash so repeated dedup calls over the
+    same corpus reuse it."""
+    try:
+        plan_key = docs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - py4j surface drift fallback
+        plan_key = hash(docs._jdf.queryExecution().analyzed().toString())
+    key = (docs.sparkSession.sparkContext.applicationId, plan_key)
+    if key not in _SPINE_ROWS_CACHE:
+        if len(_SPINE_ROWS_CACHE) >= _SPINE_ROWS_CACHE_MAX:
+            _SPINE_ROWS_CACHE.pop(next(iter(_SPINE_ROWS_CACHE)))
+        n = (docs.select(F.size(tokens(F.col("text"))).alias("nt"))
+                 .agg(F.sum("nt").alias("n")).collect()[0]["n"])
+        _SPINE_ROWS_CACHE[key] = int(n or 0)
+    return _SPINE_ROWS_CACHE[key]
+
+
+def _auto_spine_partitions(docs: DataFrame) -> int | None:
+    """Row-derived partition pin for the spine — or None when the corpus
+    is small enough that AQE's byte-target default cannot
+    under-partition it (derived count would just be the core floor).
+    Returning None for small corpora keeps every gated query's plan
+    byte-identical to the pre-auto default: the pin appears exactly when
+    the measured invariant (DEDUP_ROWS_PER_PARTITION rows per partition)
+    starts to bind."""
+    spark = docs.sparkSession
+    n_rows = _spine_token_rows(docs)
+    derived = dedup_parallelism(spark, n_rows)
+    if derived <= spark.sparkContext.defaultParallelism:
+        return None
+    return derived
 
 
 def _sql_tokens(expr: str = "text") -> str:
@@ -96,7 +154,7 @@ shh AS (
 
 
 def _shingle_hashes(docs: DataFrame, spread_input: bool = True,
-                    num_partitions: int | None = None) -> DataFrame:
+                    num_partitions: int | None | str = "auto") -> DataFrame:
     """Distinct (doc_id, h) 31-bit shingle hashes — the dedup spine.
 
     Token hashes computed once (one md5 per token occurrence), shingle
@@ -108,11 +166,20 @@ def _shingle_hashes(docs: DataFrame, spread_input: bool = True,
 
     ``num_partitions`` pins the spine's one shuffle (the doc_id window
     exchange, which the downstream distinct/groupBy reuse) to a
-    row-derived count — dedup_parallelism(docs x tokens) — for
-    corpus-scale runs where AQE's byte target under-partitions the
-    narrow token-hash rows. ``None`` (every gated query) keeps AQE's
-    choice.
+    row-derived count for corpus-scale runs where AQE's byte target
+    under-partitions the narrow token-hash rows. Default ``"auto"``
+    (VERDICT r10 item 3) derives it from a memoized token count exactly
+    as train_ivf_centroids(k=None) derives k — a corpus-scale caller
+    gets the measured pin without knowing its row count; small corpora
+    (every gated query) resolve to None, keeping AQE's choice and the
+    pre-auto plan. Batch-sized inputs (``spread_input=False``) also
+    resolve to None: a micro-batch never amortizes the count scan and
+    can never exceed the floor. Pass an int to pin explicitly, or None
+    to force AQE.
     """
+    if num_partitions == "auto":
+        num_partitions = (_auto_spine_partitions(docs)
+                          if spread_input else None)
     # posexplode evaluates the token-hash transform exactly once per row
     # (indexing the array expression with element_at would instead
     # re-inline — and re-md5 — the whole array per reference; measured
@@ -674,7 +741,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def minhash_band_store(docs: DataFrame,
                        spread_input: bool = True,
-                       num_partitions: int | None = None) -> DataFrame:
+                       num_partitions: int | None | str = "auto") -> DataFrame:
     """(doc_id, band, bkey) band store for a corpus — the persisted state
     an incremental pipeline maintains (append new batches' bands after
     each ingest).
@@ -684,10 +751,13 @@ def minhash_band_store(docs: DataFrame,
     the repartition inserts a shuffle that a micro-batch never
     amortizes (ADVICE r4).
 
-    ``num_partitions`` (corpus-scale builds): row-derived count for the
-    shingle spine's shuffle — pass
-    dedup_parallelism(spark, n_docs * avg_tokens); see
-    DEDUP_ROWS_PER_PARTITION for why bytes-based AQE is not enough."""
+    ``num_partitions`` defaults to ``"auto"`` (VERDICT r10 item 3): the
+    shingle spine derives its shuffle pin from a memoized corpus token
+    count — dedup_parallelism on the exact row fan-out — so a
+    corpus-scale build gets the measured sizing with no arguments;
+    small corpora and batch-sized inputs resolve to None (AQE, the
+    pre-auto plan). See DEDUP_ROWS_PER_PARTITION for why bytes-based
+    AQE alone is not enough at corpus scale."""
     shh = _shingle_hashes(docs, spread_input=spread_input,
                           num_partitions=num_partitions)
     sig = shh.groupBy("doc_id").agg(

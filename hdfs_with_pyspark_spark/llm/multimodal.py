@@ -367,6 +367,121 @@ def _avi_total_frames(blob: bytes) -> int | None:
     return None
 
 
+def _mp4_video_frames(blob: bytes) -> int | None:
+    """stdlib ISO-BMFF (MP4/MOV) parse (VERDICT r10 item 6, closing the
+    last environment-gated branch of the video seam): the video trak's
+    sample count, or None if the payload is not a plausible MP4. Box
+    grammar per the public ISO/IEC 14496-12 specification: walk
+    ``ftyp``-led top-level boxes to ``moov``, validate ``mvhd``
+    (timescale) and, per ``trak``, ``tkhd`` (16.16 fixed-point
+    width/height) + ``mdia/hdlr`` handler ``vide`` +
+    ``mdia/minf/stbl/stsz`` whose sample_count is the frame count —
+    the same number ffprobe reports as nb_read_packets for the stream.
+
+    Same payload-completeness discipline as _avi_total_frames /
+    _png_dimensions (ADVICE r8): every declared box size must land
+    inside the payload and each level's children must tile their parent
+    exactly, so a truncated or corrupt file routes to the byte
+    featurizer here exactly as ffprobe would reject it — no
+    environment divergence. 64-bit largesize boxes and size==0
+    (extends-to-EOF) are handled per the spec."""
+    import struct
+
+    n = len(blob)
+    if n < 16:
+        return None
+
+    def children(start: int, end: int):
+        """(fourcc, payload_start, box_end) for each child box, or None
+        if the boxes don't tile [start, end) exactly."""
+        out, pos = [], start
+        while pos + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", blob, pos)
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return None
+                size = struct.unpack_from(">Q", blob, pos + 8)[0]
+                hdr = 16
+            elif size == 0:        # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return None
+            out.append((typ, pos + hdr, pos + size))
+            pos += size
+        return out if pos == end else None
+
+    def only(boxes, typ):
+        found = [b for b in boxes if b[0] == typ]
+        return found[0] if len(found) == 1 else None
+
+    top = children(0, n)
+    if not top or top[0][0] != b"ftyp":
+        return None
+    moov = only(top, b"moov")
+    if moov is None:
+        return None
+    mk = children(moov[1], moov[2])
+    if mk is None:
+        return None
+    mvhd = only(mk, b"mvhd")
+    if mvhd is None:
+        return None
+    s, e = mvhd[1], mvhd[2]
+    if e - s < 20:
+        return None
+    ver = blob[s]
+    if ver == 0:
+        timescale = struct.unpack_from(">I", blob, s + 12)[0]
+    elif ver == 1 and e - s >= 28:
+        timescale = struct.unpack_from(">I", blob, s + 20)[0]
+    else:
+        return None
+    if timescale == 0:
+        return None
+    for typ, ts, te in mk:
+        if typ != b"trak":
+            continue
+        tk = children(ts, te)
+        if tk is None:
+            return None            # corrupt trak: reject the whole file
+        tkhd = only(tk, b"tkhd")
+        mdia = only(tk, b"mdia")
+        if tkhd is None or mdia is None:
+            return None
+        hs, he = tkhd[1], tkhd[2]
+        tver = blob[hs] if he > hs else 255
+        dim_off = {0: 76, 1: 88}.get(tver)
+        if dim_off is None or he - hs < dim_off + 8:
+            return None
+        w_fix, h_fix = struct.unpack_from(">II", blob, hs + dim_off)
+        w, h = w_fix >> 16, h_fix >> 16
+        md = children(mdia[1], mdia[2])
+        if md is None:
+            return None
+        hdlr = only(md, b"hdlr")
+        if hdlr is None or hdlr[2] - hdlr[1] < 12:
+            return None
+        if blob[hdlr[1] + 8:hdlr[1] + 12] != b"vide":
+            continue               # audio/hint trak: keep looking
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+            return None
+        minf = only(md, b"minf")
+        if minf is None:
+            return None
+        mi = children(minf[1], minf[2])
+        stbl = only(mi, b"stbl") if mi is not None else None
+        if stbl is None:
+            return None
+        sb = children(stbl[1], stbl[2])
+        stsz = only(sb, b"stsz") if sb is not None else None
+        if stsz is None or stsz[2] - stsz[1] < 12:
+            return None
+        frames = struct.unpack_from(">I", blob, stsz[1] + 8)[0]
+        return frames if 0 < frames <= 1 << 24 else None
+    return None
+
+
 def ffprobe_video_decoder(blob: bytes, modality: str) -> dict:
     """Real-video decoder (VERDICT r8 item 2, closing the last codec
     seam): video payloads decode for real and n_tokens is frame_count x
@@ -376,11 +491,13 @@ def ffprobe_video_decoder(blob: bytes, modality: str) -> dict:
     1. ``ffprobe`` when on PATH in the executor environment — true
        packet count of the first video stream of any container, fed
        via stdin (no temp files).
-    2. stdlib ``struct``-parsed RIFF/AVI main header otherwise — zero
-       dependencies, so the real-decode path EXECUTES even in a
-       container with no media tooling installed. Header-declared
-       dwTotalFrames of an uncompressed AVI equals the packet count
-       ffprobe reports for the same file, so the two gates agree on
+    2. stdlib ``struct`` parses otherwise — RIFF/AVI main header, then
+       ISO-BMFF (MP4/MOV) box walk to the video trak's stsz sample
+       count — zero dependencies, so the real-decode path EXECUTES
+       even in a container with no media tooling installed, for the
+       container a real corpus actually has (MP4). Header-declared
+       AVI dwTotalFrames / MP4 stsz sample_count equal the packet
+       count ffprobe reports for the same file, so the gates agree on
        the fixture corpus.
 
     When neither can parse the payload the row degrades to the
@@ -393,6 +510,8 @@ def ffprobe_video_decoder(blob: bytes, modality: str) -> dict:
 
         if shutil.which("ffprobe") is None:
             frames = _avi_total_frames(blob)
+            if frames is None:
+                frames = _mp4_video_frames(blob)
             if frames is not None:
                 return {"n_tokens": frames * VIDEO_TOKENS_PER_FRAME,
                         "frame_count": frames}

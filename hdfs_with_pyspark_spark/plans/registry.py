@@ -214,10 +214,27 @@ DRIVER_PRIORITY = [
     # same eval-as-a-query contract the ANN family's recall evals
     # follow. corpus_token_bins stays registered and parity-checked
     # below the window.)
+    # (round 11: corpus_quality_filter demoted for leakage_safe_splits
+    # (VERDICT r10 item 7) — the composed C4/Gopher keep-drop verdict
+    # was the window's most redundant slot: all three of its signal
+    # queries (text_quality_score, text_lang_id_ngram, doc_fingerprint)
+    # remain gated right here, so the verdict's machinery is already
+    # hash-checked component-wise. The freed slot gates the leakage
+    # family — leakage_safe_splits is the operator a training pipeline
+    # actually runs to keep near-dup clusters from straddling
+    # train/eval: connected components over the near-dup graph, then
+    # cluster-atomic split assignment by the cluster minimum's hash
+    # bucket. The window gated decontamination (corpus_decontaminate,
+    # eval-vs-train overlap REMOVAL) but never this complementary
+    # split-integrity shape, and it is a 5.5 s headline query whose
+    # component+assignment composition the window exercised only
+    # partially (dedup_components gates the fixpoint, not the
+    # cluster-atomic assignment). corpus_quality_filter stays
+    # registered and parity-checked below the window.)
     "bpe_merges", "text_quality_score", "text_lang_id_ngram",
     "doc_fingerprint", "knn_graph_lsh", "score_label_auc",
     "corpus_sample_stratified", "part_name_fuzzy_pairs",
-    "minhash_estimate_error_audit", "corpus_quality_filter",
+    "minhash_estimate_error_audit", "leakage_safe_splits",
     # multimodal family (multimodal_summary demoted: its blob-pruning
     # plan shape is test-asserted; features/frame-sample/byte-entropy
     # cover the three distinct Python-boundary mechanisms)

@@ -72,3 +72,104 @@ def test_run_marts_demo_mode_builds_mart(spark, tmp_path):
     assert mart.count() == 6                      # one row per demo user
     assert {"user_id", "act_city", "home_city",
             "travel_count", "travel_array", "local_time"} <= set(mart.columns)
+
+
+# ---------------------------------------------------------------- bench.py
+# The movers_undispositioned gate (VERDICT r10 item 5): a >=1.5x upward
+# mover whose implementing file changed since the base snapshot's commit
+# must surface in BENCH_COMPARE.json unless a current-base,
+# current-file-sha disposition entry exists. Pure-python: exercised
+# against a throwaway git repo, no Spark.
+
+def _load_bench():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _git(repo, *a):
+    import subprocess
+    r = subprocess.run(["git", "-C", repo, *a], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    return r.stdout.strip()
+
+
+def _mover_repo(tmp_path):
+    """Throwaway repo: a committed base snapshot + a query module, then
+    a post-base edit to that module."""
+    import json as _json
+    repo = str(tmp_path / "benchrepo")
+    os.makedirs(repo)
+    _git(repo, "init", "-q")
+    _git(repo, "config", "user.email", "t@t")
+    _git(repo, "config", "user.name", "t")
+    qmod = os.path.join(repo, "qmod.py")
+    with open(qmod, "w") as f:
+        f.write("def my_query(spark, sf):\n    return None\n")
+    with open(os.path.join(repo, "BENCH_DETAIL_r1.json"), "w") as f:
+        _json.dump({"queries": {"my_query": 1.0}}, f)
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "base")
+    # post-base edit to the implementing file
+    with open(qmod, "a") as f:
+        f.write("# changed\n")
+    # unique module name per throwaway repo so pytest's shared
+    # sys.modules can't hand a later test a stale file path
+    modname = "qmod_" + os.path.basename(str(tmp_path))
+    spec = importlib.util.spec_from_file_location(modname, qmod)
+    qm = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = qm
+    spec.loader.exec_module(qm)
+    return repo, {"my_query": qm.my_query}
+
+
+def test_bench_flags_changed_file_upward_mover(tmp_path):
+    bench = _load_bench()
+    repo, queries = _mover_repo(tmp_path)
+    movers = {"my_query": {"prev_sec": 1.0, "cur_sec": 2.0, "ratio": 2.0}}
+    assert bench._undispositioned_movers(
+        repo, "BENCH_DETAIL_r1.json", 1, movers, queries) == ["my_query"]
+    # downward movers are improvements, never flagged
+    down = {"my_query": {"prev_sec": 2.0, "cur_sec": 1.0, "ratio": 0.5}}
+    assert bench._undispositioned_movers(
+        repo, "BENCH_DETAIL_r1.json", 1, down, queries) == []
+
+
+def test_bench_disposition_suppresses_until_file_changes(tmp_path):
+    import json as _json
+    bench = _load_bench()
+    repo, queries = _mover_repo(tmp_path)
+    movers = {"my_query": {"prev_sec": 1.0, "cur_sec": 2.0, "ratio": 2.0}}
+    sha = _git(repo, "hash-object", "qmod.py")
+    with open(os.path.join(repo, bench.DISPOSITIONS_FILE), "w") as f:
+        _json.dump({"my_query": {"base_round": 1, "file_sha": sha,
+                                 "disposition": "jitter"}}, f)
+    # valid entry (matching base_round + current sha): suppressed
+    assert bench._undispositioned_movers(
+        repo, "BENCH_DETAIL_r1.json", 1, movers, queries) == []
+    # wrong base_round: not suppressed
+    assert bench._undispositioned_movers(
+        repo, "BENCH_DETAIL_r1.json", 2, movers, queries) == ["my_query"]
+    # file edited after disposition: sha mismatch re-flags (a recurrence
+    # would be a NEW, unreviewed mover)
+    with open(os.path.join(repo, "qmod.py"), "a") as f:
+        f.write("# edited again\n")
+    assert bench._undispositioned_movers(
+        repo, "BENCH_DETAIL_r1.json", 1, movers, queries) == ["my_query"]
+
+
+def test_bench_unchanged_file_mover_not_flagged(tmp_path):
+    # A mover whose implementing file did NOT change since the base
+    # commit is session jitter by the drift protocol's own definition —
+    # the flag is for changed-file movers only.
+    bench = _load_bench()
+    repo, queries = _mover_repo(tmp_path)
+    _git(repo, "checkout", "--", "qmod.py")   # discard the post-base edit
+    movers = {"my_query": {"prev_sec": 1.0, "cur_sec": 2.0, "ratio": 2.0}}
+    assert bench._undispositioned_movers(
+        repo, "BENCH_DETAIL_r1.json", 1, movers, queries) == []
