@@ -572,9 +572,23 @@ def _train_kmeans(vdf: DataFrame, k: int, iters: int,
 
 def _arrow_iteration_means(vdf: DataFrame, cents) -> list:
     """One Lloyd's assignment + per-(cid, dim) mean via the GEMM kernel:
-    each Arrow batch emits per-cluster partial (sum, count) rows
-    (map-side combine in pandas), one tiny shuffle aggregates them, and
-    the mean rounds to 6 dp exactly like the exact path's F.avg."""
+    each task accumulates per-cluster (sum, count) across ALL of its
+    Arrow batches in two dense numpy arrays and emits ONE partial frame
+    per PARTITION, one tiny shuffle aggregates them, and the mean rounds
+    to 6 dp exactly like the exact path's F.avg.
+
+    Per-partition (not per-batch) combine is load-bearing at scale: a
+    10k-row Arrow batch touches ~k(1 - e^(-rows/k)) distinct cells, so
+    per-batch emission amplifies a batch into up to k x dim partial
+    rows — at the 100M-vector / k=4000 rung that is ~235k rows OUT per
+    10k rows IN, a ~2.3B-row (~75 GB) shuffle per Lloyd iteration,
+    measured as a full stall (0/71 tasks in 10 min, round 11). The
+    partition-level accumulator bounds the shuffle at
+    n_partitions x k x dim rows (~18M at that rung) regardless of batch
+    sizing; the k x dim float64 accumulator is ~2 MB at k=4000 x d=64.
+    Accumulation re-associates float sums across batches — inside the
+    same ROUND(...,6) guard band as numpy's within-batch reassociation
+    (equivalence-tested against the "exact" kernel on the gated corpus)."""
     import numpy as np
 
     order = sorted(range(len(cents)), key=lambda i: cents[i][0])
@@ -585,6 +599,8 @@ def _arrow_iteration_means(vdf: DataFrame, cents) -> list:
 
     def run(batches):
         import pandas as pd
+        sums = np.zeros_like(cmat)
+        counts = np.zeros(len(cids_sorted), dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -592,19 +608,16 @@ def _arrow_iteration_means(vdf: DataFrame, cents) -> list:
             vn = np.sqrt((v * v).sum(axis=1))
             cos = _np_round_half_away(v @ cmat.T / np.outer(vn, cnorm))
             best = cos.argmax(axis=1)          # first max = lowest cid
-            out_cid, out_dim, out_s, out_n = [], [], [], []
-            for b in np.unique(best):
-                rows = v[best == b]
-                s = rows.sum(axis=0)
-                for d in range(rows.shape[1]):
-                    out_cid.append(int(cids_sorted[b]))
-                    out_dim.append(d)
-                    out_s.append(float(s[d]))
-                    out_n.append(int(rows.shape[0]))
-            yield pd.DataFrame({"cid": pd.Series(out_cid, dtype="int64"),
-                                "dim": pd.Series(out_dim, dtype="int64"),
-                                "s": pd.Series(out_s, dtype="float64"),
-                                "n": pd.Series(out_n, dtype="int64")})
+            np.add.at(sums, best, v)
+            counts += np.bincount(best, minlength=len(counts))
+        hit = np.flatnonzero(counts)
+        if len(hit):
+            d = sums.shape[1]
+            yield pd.DataFrame(
+                {"cid": np.repeat(cids_sorted[hit], d),
+                 "dim": np.tile(np.arange(d, dtype=np.int64), len(hit)),
+                 "s": sums[hit].ravel(),
+                 "n": np.repeat(counts[hit], d)})
 
     partials = vdf.select("vec_id", "v").mapInPandas(
         run, "cid long, dim long, s double, n long")
