@@ -599,14 +599,15 @@ def _arrow_iteration_means(vdf: DataFrame, cents) -> list:
 
     def run(batches):
         import pandas as pd
+        ws = _CosineWorkspace()
         sums = np.zeros_like(cmat)
         counts = np.zeros(len(cids_sorted), dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v = _stack_vectors(pdf["v"])
             vn = np.sqrt((v * v).sum(axis=1))
-            cos = _np_round_half_away(v @ cmat.T / np.outer(vn, cnorm))
+            cos = ws.rounded_cosine(v, vn, cmat, cnorm)
             best = cos.argmax(axis=1)          # first max = lowest cid
             np.add.at(sums, best, v)
             counts += np.bincount(best, minlength=len(counts))
@@ -3720,6 +3721,93 @@ def _np_round_half_away(x, decimals: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def _stack_vectors(col):
+    """n x d float64 matrix from a mapInPandas vector column.
+
+    The previous form, ``np.array(col.tolist(), dtype=np.float64)``,
+    materializes every coordinate as a boxed PyFloat first — 640k
+    short-lived Python objects per 10k x 64 batch, pure allocator
+    churn on the kernels' hot path. ``np.stack`` over the per-row
+    ndarrays stays in C. float32 -> float64 widening (the embeddings
+    table is array<float>) is exact, so values are bit-identical to
+    the tolist path."""
+    import numpy as np
+
+    try:
+        m = np.stack(col.to_numpy())
+    except Exception:          # ragged / non-array rows: old slow path
+        return np.array(col.tolist(), dtype=np.float64)
+    return m if m.dtype == np.float64 else m.astype(np.float64)
+
+
+class _CosineWorkspace:
+    """Reusable batch x k buffers for the rounded-cosine GEMM.
+
+    The 100M-vector / k=4000 ladder rung (round 11) caught the
+    per-batch allocating form — ``_np_round_half_away(v @ cmat.T /
+    np.outer(vn, cnorm))`` — at ~82% of every worker's CPU in the
+    KERNEL (per-worker /proc stat: ~23.5k utime vs ~106.5k stime
+    ticks; 32 workers pinned, 0/71 stage-3 tasks finished in 25+ min).
+    At batch=10k, k=4000 each of the ~8 full-size temporaries (matmul
+    out, outer, divide, and the sign/abs/scale/floor chain) is a
+    320 MB allocation that glibc serves straight from mmap and returns
+    on free, so 32 concurrent workers page-fault ~3 GB per batch
+    through the VM subsystem — plus ~640k boxed PyFloats per batch
+    from the ``.tolist()`` ingest. (The sys% alone is not the proof —
+    this container's virtualization makes faults expensive everywhere,
+    JVM stages included; the proof is the measured delta below.) This
+    workspace computes the SAME op sequence into two persistent
+    buffers (grown, never shrunk, per mapInPandas task), validated at
+    the 25M/k=1000 rung: train 125.6 s vs the 512.1 s quiet-session
+    anchor (4.1x, on a noisier session), index build 86.2 s vs 194.8,
+    planted recall bit-identical (ADC 0.578 / refine 0.953) — results
+    are bit-identical by op-sequence construction:
+
+      matmul(v, cmat.T, out=A)            == v @ cmat.T
+      multiply(vn[:,None], cnorm[None,:], out=B)  == np.outer(vn, cnorm)
+      divide(A, B, out=A)                 == .../outer
+      multiply(A, scale, out=B); absolute(B, out=B)
+        (|q*s| == |q|*s exactly: IEEE multiply magnitude is
+         sign-independent)
+      add(B, 0.5, out=B); floor(B, out=B)
+      sign(A, out=A); multiply(A, B, out=B); divide(B, scale, out=B)
+        == np.sign(q) * np.floor(np.abs(q)*s + 0.5) / s
+
+    Buffers live only for the task (the closure the generator holds),
+    so the standing cost is 2 x batch x k doubles per active worker
+    during the stage — ~640 MB at the 10k x 4000 rung — instead of a
+    page-fault storm."""
+
+    def __init__(self):
+        self._a = None
+        self._b = None
+
+    def rounded_cosine(self, v, vn, cmat, cnorm):
+        """Rounded cosine matrix (len(v) x len(cmat)); the returned
+        array is a VIEW into an internal buffer, overwritten by the
+        next call — consume (argmax/argsort/gather) before then."""
+        import numpy as np
+
+        n, k = v.shape[0], cmat.shape[0]
+        if (self._a is None or self._a.shape[0] < n
+                or self._a.shape[1] != k):
+            self._a = np.empty((n, k), dtype=np.float64)
+            self._b = np.empty((n, k), dtype=np.float64)
+        a, b = self._a[:n], self._b[:n]
+        np.matmul(v, cmat.T, out=a)
+        np.multiply(vn[:, None], cnorm[None, :], out=b)
+        np.divide(a, b, out=a)
+        scale = 10.0 ** 6
+        np.multiply(a, scale, out=b)
+        np.absolute(b, out=b)
+        np.add(b, 0.5, out=b)
+        np.floor(b, out=b)
+        np.sign(a, out=a)
+        np.multiply(a, b, out=b)
+        np.divide(b, scale, out=b)
+        return b
+
+
 def _assign_nearest_arrow(side: DataFrame,
                           cents: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, cid, cos_sim) via per-batch numpy GEMM; `cents` is the
@@ -3734,12 +3822,13 @@ def _assign_nearest_arrow(side: DataFrame,
 
     def run(batches):
         import pandas as pd
+        ws = _CosineWorkspace()
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v = _stack_vectors(pdf["v"])
             vn = np.sqrt((v * v).sum(axis=1))
-            cos = _np_round_half_away(v @ cmat.T / np.outer(vn, cnorm))
+            cos = ws.rounded_cosine(v, vn, cmat, cnorm)
             # argmax over the cid-ASC-sorted axis: numpy returns the
             # FIRST max, which is exactly the lowest-cid tie-break.
             best = cos.argmax(axis=1)
@@ -3772,12 +3861,13 @@ def _rank_centroids_arrow(side: DataFrame,
 
     def run(batches):
         import pandas as pd
+        ws = _CosineWorkspace()
         for pdf in batches:
             if not len(pdf):
                 continue
-            vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vv = _stack_vectors(pdf["v"])
             vn = np.sqrt((vv * vv).sum(axis=1))
-            cos = _np_round_half_away(vv @ cmat.T / np.outer(vn, cnorm))
+            cos = ws.rounded_cosine(vv, vn, cmat, cnorm)
             top = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
             yield pd.DataFrame({
                 id_col: np.repeat(pdf[id_col].to_numpy(dtype="int64"),
@@ -3843,16 +3933,21 @@ def _pq_encode_codes_arrow(v: DataFrame, books) -> DataFrame:
 
     def run(batches):
         import pandas as pd
+        ws = _CosineWorkspace()
         for pdf in batches:
             if not len(pdf):
                 continue
-            vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            vv = _stack_vectors(pdf["v"])
             out = {"vec_id": pdf["vec_id"].astype("int64")}
             for s, (cmat, cnorm) in enumerate(mats):
-                sv = vv[:, s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM]
+                # np.ascontiguousarray: the slice view's strided rows
+                # would otherwise force matmul to copy into a fresh
+                # temporary every batch — the exact churn the
+                # workspace exists to avoid.
+                sv = np.ascontiguousarray(
+                    vv[:, s * PQ_SUB_DIM:(s + 1) * PQ_SUB_DIM])
                 svn = np.sqrt((sv * sv).sum(axis=1))
-                cos = _np_round_half_away(
-                    sv @ cmat.T / np.outer(svn, cnorm))
+                cos = ws.rounded_cosine(sv, svn, cmat, cnorm)
                 out[f"code{s}"] = cid_rows[s][cos.argmax(axis=1)]
             yield pd.DataFrame(out)
 
