@@ -126,6 +126,14 @@ def main() -> None:
                          "the ADC-saturation regime (deep nprobe at a "
                          "small code budget), where the refine stage's "
                          "buy-back is the number under study")
+    ap.add_argument("--refine-floor", type=float, default=0.5,
+                    help="abort threshold for the REFINE stage's "
+                         "planted recall — the number that must stay "
+                         "high when the ADC floor is deliberately "
+                         "lowered to probe the saturation regime "
+                         "(measured decay at the 4x16 code budget: "
+                         "ADC 0.844 at 5M -> 0.578 at 25M -> 0.359 at "
+                         "100M, while refine holds >=0.95)")
     ap.add_argument("--nprobe", type=int, default=8,
                     help="IVF cells probed per query in the ivfpq "
                          "stage (recall at fixed nprobe decays as "
@@ -246,6 +254,8 @@ def main() -> None:
                       if s >= args.batch)
         result["planted_pairs"] = planted
         if not planted * 0.95 <= n_pairs <= planted * 1.10:
+            result["aborted"] = "dedup_recall_window"
+            print(json.dumps(result))
             raise SystemExit(f"recall sanity failed: {n_pairs} found vs "
                              f"{planted} planted")
 
@@ -395,6 +405,12 @@ def main() -> None:
     # at/near the top — a floor well below the expected ~1.0 still
     # catches a broken index or scoring path loudly
     if planted_hits < PQ_QUERIES * args.recall_floor:
+        # Emit the result-so-far before aborting: the 100M rung's first
+        # attempt (round 11) hit this floor AFTER ~1h of gen/train/
+        # encode work and discarded every timing with it — an aborted
+        # rung must still be diagnosable from its artifact.
+        result["aborted"] = "ivfpq_recall_floor"
+        print(json.dumps(result))
         raise SystemExit(f"ivfpq recall sanity failed: {planted_hits}"
                          f"/{PQ_QUERIES} planted neighbors found")
 
@@ -432,6 +448,11 @@ def main() -> None:
     r_hits = sum(1 for r in rtopk
                  if r["neighbor_id"] == r["query_id"] + args.vecs // 2)
     result["ivfpqr_planted_recall"] = round(r_hits / PQ_QUERIES, 3)
+    if r_hits < PQ_QUERIES * args.refine_floor:
+        result["aborted"] = "refine_recall_floor"
+        print(json.dumps(result))
+        raise SystemExit(f"refine recall sanity failed: {r_hits}"
+                         f"/{PQ_QUERIES} planted neighbors found")
 
     # 6c. the cell-partitioned store layout: one merged
     # (cid, vec_id, code*) table PARTITIONED BY the coarse cell, so a

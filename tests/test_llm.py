@@ -2133,6 +2133,42 @@ def test_stream_ann_ingest_equals_batch_assignment(spark, sf_dir):
     assert got == want
 
 
+def test_cosine_workspace_bit_identical_to_allocating_form():
+    """The buffered rounded-cosine workspace (round 11: the 100M/k=4000
+    rung measured the per-batch allocating form page-fault-bound) must
+    produce BIT-identical bytes to the expression it replaced,
+    including buffer-reuse across differently-sized batches and the
+    float32 ingest path. Pure numpy — no Spark session."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    ws = sim._CosineWorkspace()
+    for _ in range(4):
+        n = int(rng.integers(1, 1500))
+        k = int(rng.integers(2, 300))
+        d = 16
+        v = rng.standard_normal((n, d))
+        cmat = rng.standard_normal((k, d))
+        if n > 1:
+            cmat[0] = -v[1]          # exact opposite: sign edge
+        v[0] *= 1e-7                 # near-orthogonal tiny row
+        vn = np.sqrt((v * v).sum(axis=1))
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        ref = sim._np_round_half_away(v @ cmat.T / np.outer(vn, cn))
+        got = ws.rounded_cosine(v, vn, cmat, cn)
+        assert ref.tobytes() == got.tobytes()
+
+    import pandas as pd
+    for col in (pd.Series([np.arange(4, dtype=np.float32) + 0.25
+                           for _ in range(5)]),
+                pd.Series([np.arange(4, dtype=np.float64) + 0.25
+                           for _ in range(5)]),
+                pd.Series([[1.5, 2.5] for _ in range(3)])):
+        m = sim._stack_vectors(col)
+        ref = np.array(col.tolist(), dtype=np.float64)
+        assert m.dtype == np.float64 and m.tobytes() == ref.tobytes()
+
+
 def test_assign_nearest_arrow_equivalence(spark, sf_dir):
     """The vectorized GEMM assignment kernel must agree with the exact
     NLJ kernel on every corpus vector — same cid under the same
