@@ -134,6 +134,17 @@ def main() -> None:
                          "(measured decay at the 4x16 code budget: "
                          "ADC 0.844 at 5M -> 0.578 at 25M -> 0.359 at "
                          "100M, while refine holds >=0.95)")
+    ap.add_argument("--refine-shortlist", type=int, default=30,
+                    help="ADC shortlist width R the refine stage "
+                         "exactly re-ranks (cost linear in R at "
+                         "|queries| x R rows). The 100M rung measured "
+                         "refine recall decaying at FIXED R=30 (0.953 "
+                         "at 25M -> 0.719 at 100M): the ADC pool's "
+                         "quantization-tie noise grows with corpus "
+                         "density, pushing true neighbors past a "
+                         "fixed-width shortlist — R is the knob that "
+                         "must scale, and its cost is the cheapest in "
+                         "the whole pipeline")
     ap.add_argument("--nprobe", type=int, default=8,
                     help="IVF cells probed per query in the ivfpq "
                          "stage (recall at fixed nprobe decays as "
@@ -422,7 +433,8 @@ def main() -> None:
     t0 = time.time()
     shortlist = ivfpq_search(
         spark, vecs, cents, books,
-        n_queries=PQ_QUERIES, nprobe=nprobe, top_k=30, kernel="arrow",
+        n_queries=PQ_QUERIES, nprobe=nprobe,
+        top_k=args.refine_shortlist, kernel="arrow",
         codes=spark.read.parquet(codes_path),
         assign=spark.read.parquet(lists_path)) \
         .select("query_id", F.col("neighbor_id").alias("vec_id"))
@@ -445,6 +457,7 @@ def main() -> None:
     rtopk = (refined.withColumn("rank", F.row_number().over(wr))
                     .where(F.col("rank") <= 10).collect())
     result["ivfpqr_query_batch_sec"] = round(time.time() - t0, 2)
+    result["ivfpqr_shortlist"] = args.refine_shortlist
     r_hits = sum(1 for r in rtopk
                  if r["neighbor_id"] == r["query_id"] + args.vecs // 2)
     result["ivfpqr_planted_recall"] = round(r_hits / PQ_QUERIES, 3)
