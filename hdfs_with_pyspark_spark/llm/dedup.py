@@ -609,25 +609,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("doc_a").alias("b")))
              .persist())
 
-    labels = (edges.select(F.col("a").alias("node")).distinct()
+    cached = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")).persist())
-    labels.count()  # materialize before the loop
+    cached.count()  # materialize before the loop
+    labels = cached
     changed = 0
     for _ in range(25):
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("node", "b"), "b")
                         .groupBy(F.col("a").alias("node"))
                         .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(neighbor_min, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nbr_label", "label"))
-                               .alias("label"))
-                      .persist())
-        changed = (new_labels.withColumnRenamed("label", "new_label")
-                   .join(labels, "node")
-                   .where(F.col("new_label") != F.col("label")).count())
-        labels.unpersist()
-        labels = new_labels
+        # Carry the previous label through the update so convergence is
+        # read off the SAME materialized frame — the former
+        # re-join-with-labels changed-count was a second full pass per
+        # round (r11, guide §1.2: don't compute things twice).
+        stepped = (labels.join(neighbor_min, "node", "left")
+                   .select("node", F.col("label").alias("__prev"),
+                           F.least("label", F.coalesce("nbr_label", "label"))
+                            .alias("label"))
+                   .persist())
+        changed = stepped.where(F.col("label") != F.col("__prev")).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     if changed:
@@ -640,11 +644,27 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"with {changed} labels still changing; output is NOT a "
             f"fixpoint (component diameter exceeds the cap)",
             RuntimeWarning, stacklevel=2)
+    # Truncate the iterative lineage (guide §3.3): each propagation
+    # round nested the previous round's full plan, so the returned
+    # frame's logical plan grew with the iteration count — and every
+    # COMPOSER (dedup_canonical_docs, dedup_cross_source_matrix,
+    # leakage_safe_splits) inherited a plan with thousands of repeated
+    # scan/exchange nodes that Catalyst + AQE re-optimize per query
+    # stage (measured: dedup_cross_source_matrix's formatted plan was
+    # 107k lines / 11890 Exchange nodes at r11 open; plans/r11/
+    # *_before.txt). localCheckpoint materializes the converged labels
+    # (already cached — the extra job is a cache read) and replaces the
+    # lineage with the checkpointed RDD. Labels are final converged
+    # values, so re-execution-under-lineage is not needed for
+    # correctness; at cluster scale a reliable checkpoint() or an
+    # explicit parquet round-trip is the fault-tolerant equivalent.
+    final = (labels.select(F.col("node").alias("doc_id"),
+                           F.col("label").alias("component_id"))
+             .localCheckpoint(eager=True))
+    for f in (cached, edges, pairs, shh):
+        f.unpersist()
     w = Window.partitionBy("component_id")
-    return (labels
-            .select(F.col("node").alias("doc_id"),
-                    F.col("label").alias("component_id"))
-            .withColumn("cluster_size", F.count("*").over(w)))
+    return final.withColumn("cluster_size", F.count("*").over(w))
 
 
 # --------------------------------------------------------------------------
@@ -1428,6 +1448,12 @@ def minhash_estimate_error_audit(spark: SparkSession,
                  .select(F.col("x.doc_id").alias("doc_a"),
                          F.col("y.doc_id").alias("doc_b"))
                  .distinct())
+    # cand feeds BOTH the signature match count (est) and the exact
+    # verify (inter) — unpersisted, the band self-join + distinct ran
+    # twice (r11, guide §1.2). Near-dup-pair-sized.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"minhash_estimate_error_audit:cand:{sf_dir}", cand)
+    cand = cand.persist()
     # Signature match count over the WIDE sig row (no j-explode): one
     # codegen'd sum of K equality terms per candidate pair.
     a_sig = sig.select(F.col("doc_id").alias("doc_a"),

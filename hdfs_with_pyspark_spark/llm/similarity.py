@@ -129,6 +129,17 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-term unrolled dots per row — without re-spreading, the single
     # scan split serializes all of that on one core (textops.spread is
     # a no-op once scans yield >= parallelism splits).
+    #
+    # Deliberately NOT cached/pinned (r11, measured): a blanket
+    # per-(application, sf_dir) persisted frame was tried to dedupe the
+    # up-to-40 repeated scan subtrees composed evals carry
+    # (plans/r11/*_before.txt) and REJECTED by the paired bench — the
+    # eager materialization job plus losing scan->dot-product codegen
+    # fusion cost single-pipeline queries 1.2-1.5x (ann_topk_lsh 0.68
+    # -> 1.03 s, dedup_embedding_ivf 2.52 -> 4.16 s) while the heavy
+    # evals gained only ~5-15%. Composed evals that provably reference
+    # expensive SUB-RESULTS more than once pin those results instead
+    # (bf/shortlist persists in the refine recall evals).
     from hdfs_with_pyspark_spark.llm.textops import spread
     return spread(read_table(spark, sf_dir, "embeddings")
                   .select("vec_id",
@@ -4441,6 +4452,53 @@ rranked AS (
   FROM refined)"""
 
 
+def _exact_rerank_topk(v: DataFrame, shortlist: DataFrame,
+                       top_k: int = TOP_K) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, vec_id) shortlist against
+    the vector frame ``v`` — the refine stage shared verbatim by
+    ann_topk_pq_refine, ann_topk_ivfpq_refine, and the recall evals
+    that compose them (one implementation, every consumer).
+
+    The shortlist is |queries| x R rows, so both it and the query-side
+    vectors broadcast; only the corpus-side vector join touches ``v``.
+    Ranking: ROUND(cos,6) DESC, neighbor ASC (the standard rule)."""
+    v2 = _with_norm(v, "v", "nv")
+    q = (v2.where(F.col("vec_id") < N_QUERIES)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"), F.col("nv").alias("qnv")))
+    refined = (F.broadcast(shortlist.select("query_id", "vec_id"))
+               .join(F.broadcast(q), "query_id")
+               .join(v2, "vec_id")
+               .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                       F.round(F.expr(_sql_dot_cols("qv", "v"))
+                               / (F.col("qnv") * F.col("nv")), 6)
+                        .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (refined.withColumn("rank", F.row_number().over(w).cast("long"))
+                   .where(F.col("rank") <= top_k)
+                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def _pq_adc_shortlist(spark: SparkSession, sf_dir: str,
+                      keep: int = PQ_REFINE_R) -> DataFrame:
+    """ADC-ranked (query_id, vec_id, rank) shortlist over the whole
+    corpus — the first ``keep`` PQ-scored candidates per query. The
+    plain PQ top-K (ann_topk_pq) is by construction the rank <= TOP_K
+    prefix of this frame (same scored set, same (pq_score DESC,
+    vec_id ASC) ordering), which the pq-refine recall eval exploits to
+    score both arms from ONE scored pass."""
+    v = _vectors(spark, sf_dir)
+    codes, luts = _pq_codes_and_luts(spark, v,
+                                     _pq_codebooks(spark, sf_dir))
+    adc = _pq_adc_score(codes, luts)
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
+                                                   F.col("vec_id").asc())
+    return (adc.withColumn("rank", F.row_number().over(w_adc))
+               .where(F.col("rank") <= keep)
+               .select("query_id", "vec_id", "rank"))
+
+
 @register("ann_topk_pq_refine", oracle=f"""
 WITH v AS ({_SQL_VECTORS}),
 {_sql_pq_ctes()},
@@ -4451,31 +4509,8 @@ FROM rranked WHERE rank <= {TOP_K}
 """)
 def ann_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    v = _vectors(spark, sf_dir)
-    codes, luts = _pq_codes_and_luts(spark, v,
-                                     _pq_codebooks(spark, sf_dir))
-    adc = _pq_adc_score(codes, luts)
-    w_adc = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(),
-                                                   F.col("vec_id").asc())
-    shortlist = (adc.withColumn("__ar", F.row_number().over(w_adc))
-                    .where(F.col("__ar") <= PQ_REFINE_R)
-                    .select("query_id", "vec_id"))
-    v2 = _with_norm(v, "v", "nv")
-    q = (v2.where(F.col("vec_id") < N_QUERIES)
-           .select(F.col("vec_id").alias("query_id"),
-                   F.col("v").alias("qv"), F.col("nv").alias("qnv")))
-    refined = (F.broadcast(shortlist)
-               .join(F.broadcast(q), "query_id")
-               .join(v2, "vec_id")
-               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                       F.round(F.expr(_sql_dot_cols("qv", "v"))
-                               / (F.col("qnv") * F.col("nv")), 6)
-                        .alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("neighbor_id").asc())
-    return (refined.withColumn("rank", F.row_number().over(w).cast("long"))
-                   .where(F.col("rank") <= TOP_K)
-                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    shortlist = _pq_adc_shortlist(spark, sf_dir)
+    return _exact_rerank_topk(_vectors(spark, sf_dir), shortlist)
 
 
 def _pq_refine_recall_oracle() -> str:
@@ -4504,11 +4539,27 @@ FROM r JOIN p ON p.query_id = r.query_id
 @register("ann_pq_refine_recall_eval", oracle=None)  # composed below
 def ann_pq_refine_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ref = (ann_topk_pq_refine(spark, sf_dir)
+    # bf feeds BOTH recall arms (r and p below) — persist the 50-row
+    # top-K result so the brute-force NLJ+window pipeline runs once,
+    # not once per arm (r11: it was the plan's biggest duplicated
+    # subtree; plans/r11/ann_pq_refine_recall_eval_before.txt).
+    bf = (ann_topk_bruteforce(spark, sf_dir)
+          .select("query_id", "neighbor_id"))
+    _pin(spark, "ann_pq_refine_recall_eval:bf", bf)
+    bf = bf.persist()
+    # ONE ADC-scored pass serves both arms: ann_topk_pq is by
+    # construction the rank <= TOP_K prefix of the PQ_REFINE_R
+    # shortlist (same scored set, same ordering — _pq_adc_shortlist
+    # docstring), so scoring the shortlist once and slicing replaces
+    # the eval's former second full PQ pipeline. |queries| x R rows.
+    shortlist = _pq_adc_shortlist(spark, sf_dir)
+    _pin(spark, "ann_pq_refine_recall_eval:shortlist", shortlist)
+    shortlist = shortlist.persist()
+    ref = (_exact_rerank_topk(_vectors(spark, sf_dir), shortlist)
            .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
-    pq = (ann_topk_pq(spark, sf_dir)
-          .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    pq = (shortlist.where(F.col("rank") <= TOP_K)
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  F.lit(1).alias("__hit")))
     r = (bf.join(ref, ["query_id", "neighbor_id"], "left")
            .groupBy("query_id").agg(F.count("__hit").alias("n_hit")))
     p = (bf.join(pq, ["query_id", "neighbor_id"], "left")
@@ -4661,9 +4712,13 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    JACCARD_THRESHOLD)
 
     cos_gate_e6 = int(round(COSINE_DUP_THRESHOLD * 1e6))
+    # shared is referenced by four semi-join filters below; persist the
+    # (tiny) id-universe so the scan+join builds once.
     shared = (_vectors(spark, sf_dir).select(F.col("vec_id").alias("id"))
               .join(read_table(spark, sf_dir, "documents")
                     .select(F.col("doc_id").alias("id")), "id"))
+    _pin(spark, "dedup_method_agreement:shared", shared)
+    shared = shared.persist()
     tp = (dedup_minhash_lsh(spark, sf_dir)
           .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
                   F.round(F.col("jaccard") * 1e6).cast("long")
@@ -4676,7 +4731,15 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("cos_e6"))
           .join(shared.withColumnRenamed("id", "id_a"), "id_a")
           .join(shared.withColumnRenamed("id", "id_b"), "id_b"))
+    # u fans out into THREE branches (both_p / tonly / eonly), and
+    # Catalyst recomputes an unpersisted subtree per reference — i.e.
+    # BOTH full banded-LSH pipelines ran three times each (96 query
+    # stages at r11 open; plans/r11/dedup_method_agreement_before.txt).
+    # The frame is near-dup-pair-sized, so pinning it is the C1 idiom,
+    # not a liberty: one pass per modality, three cache reads.
     u = tp.join(ep, ["id_a", "id_b"], "full_outer")
+    _pin(spark, "dedup_method_agreement:u", u)
+    u = u.persist()
 
     both_p = (u.where(F.col("jacc_e6").isNotNull()
                       & F.col("cos_e6").isNotNull())
@@ -4804,22 +4867,7 @@ def ann_topk_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                               top_k=PQ_REFINE_R, kernel="exact")
                  .select("query_id",
                          F.col("neighbor_id").alias("vec_id")))
-    v2 = _with_norm(v, "v", "nv")
-    q = (v2.where(F.col("vec_id") < N_QUERIES)
-           .select(F.col("vec_id").alias("query_id"),
-                   F.col("v").alias("qv"), F.col("nv").alias("qnv")))
-    refined = (F.broadcast(shortlist)
-               .join(F.broadcast(q), "query_id")
-               .join(v2, "vec_id")
-               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                       F.round(F.expr(_sql_dot_cols("qv", "v"))
-                               / (F.col("qnv") * F.col("nv")), 6)
-                        .alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("neighbor_id").asc())
-    return (refined.withColumn("rank", F.row_number().over(w).cast("long"))
-                   .where(F.col("rank") <= TOP_K)
-                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+    return _exact_rerank_topk(v, shortlist)
 
 
 def _ivfpq_refine_recall_oracle() -> str:
@@ -4849,11 +4897,30 @@ FROM r JOIN p ON p.query_id = r.query_id
 def ann_ivfpq_refine_recall_eval(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ref = (ann_topk_ivfpq_refine(spark, sf_dir)
+    # Same single-pass restructure as ann_pq_refine_recall_eval: bf is
+    # persisted (feeds both arms), and ONE IVF+PQ search at
+    # top_k=PQ_REFINE_R serves both the refine shortlist and — as its
+    # rank <= TOP_K prefix (same scored set, same ordering) — the plain
+    # ivfpq arm, replacing the former second full IVF+PQ pipeline.
+    bf = (ann_topk_bruteforce(spark, sf_dir)
+          .select("query_id", "neighbor_id"))
+    _pin(spark, "ann_ivfpq_refine_recall_eval:bf", bf)
+    bf = bf.persist()
+    v = _vectors(spark, sf_dir)
+    shortlist = (ivfpq_search(spark, v,
+                              train_ivf_centroids(spark, sf_dir,
+                                                  k=N_CENTROIDS),
+                              _pq_codebooks(spark, sf_dir),
+                              top_k=PQ_REFINE_R, kernel="exact")
+                 .select("query_id",
+                         F.col("neighbor_id").alias("vec_id"), "rank"))
+    _pin(spark, "ann_ivfpq_refine_recall_eval:shortlist", shortlist)
+    shortlist = shortlist.persist()
+    ref = (_exact_rerank_topk(v, shortlist)
            .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
-    pq = (ann_topk_ivfpq(spark, sf_dir)
-          .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    pq = (shortlist.where(F.col("rank") <= TOP_K)
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  F.lit(1).alias("__hit")))
     r = (bf.join(ref, ["query_id", "neighbor_id"], "left")
            .groupBy("query_id").agg(F.count("__hit").alias("n_hit")))
     p = (bf.join(pq, ["query_id", "neighbor_id"], "left")

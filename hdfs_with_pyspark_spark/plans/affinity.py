@@ -186,11 +186,21 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n").alias("n_orders"))
     fb = freq.select(F.col("p_name").alias("name_b"),
                      F.col("n_item").alias("n_b"))
-    pairs = (items.select(F.col("l_orderkey"),
-                          F.col("p_name").alias("name_a"))
-                  .join(items.select(F.col("l_orderkey"),
-                                     F.col("p_name").alias("name_b")),
-                        "l_orderkey")
+    # Apriori prune BEFORE the per-basket self-join (r11, guide §3.2):
+    # the frequent-set joins used to sit AFTER the pair expansion, so
+    # the self-join expanded C(k,2) over ALL basket items and the prune
+    # only filtered the result — Catalyst does not commute inner joins
+    # below a self-join on its own (no CBO join reorder here). The
+    # broadcast semi-join drops infrequent items from BOTH sides first;
+    # the inner joins commute, so the pair set (and all counts computed
+    # from it) is unchanged.
+    items_f = items.join(F.broadcast(freq.select("p_name")),
+                         "p_name", "left_semi")
+    pairs = (items_f.select(F.col("l_orderkey"),
+                            F.col("p_name").alias("name_a"))
+                    .join(items_f.select(F.col("l_orderkey"),
+                                         F.col("p_name").alias("name_b")),
+                          "l_orderkey")
                   .where(F.col("name_a") < F.col("name_b"))
                   .join(F.broadcast(fa), "name_a")
                   .join(F.broadcast(fb), "name_b")

@@ -49,6 +49,52 @@ WATERMARK = "1 day"
 _SINK_SEQ = [0]
 
 
+def _stage_arrival_files(df: DataFrame, batch_expr, n_batches: int,
+                         in_dir: str, keep: list[str] | None = None,
+                         base_t: int = 1_700_000_000) -> None:
+    """Stage the simulated per-batch arrival files for a file-source
+    stream: ``in_dir/batch_k.parquet`` with strictly increasing mtimes
+    (the order maxFilesPerTrigger=1 drains them in).
+
+    ONE partitioned write instead of one filtered scan + coalesce(1)
+    write per batch (r11, guide §1.2: the four streaming queries each
+    scanned their input B times to stage B files — B scans + B write
+    jobs collapse to one of each; at ingest scale, staging cost becomes
+    O(input), not O(B x input)). ``repartition(n, __b)`` puts each
+    batch value in exactly one task, so every batch directory holds
+    exactly one part file; a batch with no rows (possible only for
+    degenerate inputs, plus stream_late_data_audit's deliberate
+    heartbeat batch) falls back to a 0-row single-part write so the
+    arrival sequence — and therefore the micro-batch choreography —
+    is unchanged.
+    """
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    stage = in_dir + "__stage"
+    cols = keep or df.columns
+    (df.withColumn("__b", batch_expr.cast("int"))
+       .select("__b", *cols)
+       .repartition(n_batches, "__b")
+       .write.mode("overwrite").partitionBy("__b").parquet(stage))
+    for k in range(n_batches):
+        dst = os.path.join(in_dir, f"batch_{k}.parquet")
+        parts = glob.glob(os.path.join(stage, f"__b={k}", "part-*.parquet"))
+        if parts:
+            shutil.move(parts[0], dst)
+        else:
+            empty_stage = os.path.join(stage, f"__empty{k}")
+            df.select(*cols).limit(0).coalesce(1).write.mode("overwrite") \
+              .parquet(empty_stage)
+            shutil.move(
+                glob.glob(os.path.join(empty_stage, "part-*.parquet"))[0],
+                dst)
+        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
+    shutil.rmtree(stage)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema-enforced).
 
@@ -541,7 +587,6 @@ def _read_parquet_if_absent(sp, path):
 
 @register("stream_incremental_dedup", oracle=None)  # composed below
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
@@ -574,16 +619,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(in_dir)
 
     docs = read_table(spark, sf_dir, "documents")
-    base_t = 1_700_000_000  # fixed epoch: mtimes must only be ORDERED
-    for k in range(STREAM_DEDUP_BATCHES):
-        stage = os.path.join(sim, f"stage{k}")
-        (docs.where(F.col("doc_id") % STREAM_DEDUP_BATCHES == k)
-             .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, f"batch_{k}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
-        shutil.rmtree(stage)
+    _stage_arrival_files(docs, F.col("doc_id") % STREAM_DEDUP_BATCHES,
+                         STREAM_DEDUP_BATCHES, in_dir)
 
     def ingest(batch_df, batch_id: int) -> None:
         # IDEMPOTENT per-batch writes (ADVICE r4): both sinks key on
@@ -693,7 +730,6 @@ SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
 FROM flagged GROUP BY d, event_type
 """)
 def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
@@ -715,20 +751,13 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = tempfile.mkdtemp(prefix="stream_late_audit_")
     in_dir, ckpt = os.path.join(sim, "in"), os.path.join(sim, "ckpt")
     out = os.path.join(sim, "out")
-    os.makedirs(in_dir)
-    base_t = 1_700_000_000
-    slices = [flagged.where(~F.col("late")),           # on-time + corpus max
-              flagged.where(F.lit(False)),             # heartbeat batch
-              flagged.where(F.col("late"))]            # the late tail
-    for k, sl in enumerate(slices):
-        stage = os.path.join(sim, f"stage{k}")
-        (sl.select("ts", "event_type")
-           .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, f"batch_{k}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
-        shutil.rmtree(stage)
+    # batch 0 = every on-time event (including the corpus max, which
+    # SETS the watermark), batch 1 = heartbeat (deliberately empty —
+    # _stage_arrival_files writes the 0-row file), batch 2 = late tail.
+    _stage_arrival_files(
+        flagged.select("ts", "event_type",
+                       F.when(F.col("late"), 2).otherwise(0).alias("__k")),
+        F.col("__k"), 3, in_dir, keep=["ts", "event_type"])
 
     def ingest(batch_df, batch_id: int) -> None:
         # Idempotent per-batch-id overwrite slices (the
@@ -833,16 +862,8 @@ def stream_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(in_dir)
 
     orders = read_table(spark, sf_dir, "orders")
-    base_t = 1_700_000_000
-    for k in range(STREAM_IVM_BATCHES):
-        stage = os.path.join(sim, f"stage{k}")
-        (orders.where(F.col("o_orderkey") % STREAM_IVM_BATCHES == k)
-               .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, f"batch_{k}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
-        shutil.rmtree(stage)
+    _stage_arrival_files(orders, F.col("o_orderkey") % STREAM_IVM_BATCHES,
+                         STREAM_IVM_BATCHES, in_dir)
 
     def snap(k: int) -> str:
         return os.path.join(root, f"snapshot_{k}")
@@ -960,7 +981,6 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM iassign
 
 @register("stream_ann_ingest", oracle=None)  # composed below
 def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import hashlib
     import os
     import shutil
@@ -990,16 +1010,8 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     new = emb.where(F.col("vec_id") < INCR_VEC_SPLIT)
-    base_t = 1_700_000_000
-    for k in range(STREAM_ANN_BATCHES):
-        stage = os.path.join(sim, f"stage{k}")
-        (new.where(F.col("vec_id") % STREAM_ANN_BATCHES == k)
-            .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, f"batch_{k}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (base_t + 60 * k, base_t + 60 * k))
-        shutil.rmtree(stage)
+    _stage_arrival_files(new, F.col("vec_id") % STREAM_ANN_BATCHES,
+                         STREAM_ANN_BATCHES, in_dir)
 
     def ingest(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession

@@ -2471,3 +2471,42 @@ def test_ivfpq_store_prune_cells_equivalence(spark, sf_dir, tmp_path):
                         for r in rows}
     assert key(pruned) == key(base)
     assert len(pruned) > 0
+
+
+def test_pq_topk_is_shortlist_prefix(spark, sf_dir):
+    """r11 eval restructure invariant: ann_topk_pq's pair set equals the
+    rank <= TOP_K prefix of the PQ_REFINE_R ADC shortlist (same scored
+    set, same ordering) — what lets the refine recall evals score both
+    arms from ONE scored pass."""
+    from hdfs_with_pyspark_spark.llm.similarity import (
+        TOP_K, _pq_adc_shortlist, ann_topk_pq)
+
+    short = _pq_adc_shortlist(spark, sf_dir)
+    prefix = {(r["query_id"], r["vec_id"], r["rank"])
+              for r in short.where(F.col("rank") <= TOP_K).collect()}
+    topk = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ann_topk_pq(spark, sf_dir).collect()}
+    assert prefix == topk and len(topk) > 0
+
+
+def test_dedup_components_lineage_truncated(spark, sf_dir):
+    """r11: the converged label frame is localCheckpoint'd, so composers
+    inherit a plan rooted at the materialized RDD instead of the full
+    iterative propagation lineage (guide §3.3; the r11-open
+    dedup_cross_source_matrix plan was 107k lines)."""
+    from hdfs_with_pyspark_spark.llm.dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    # The whole composed plan must stay small — the pre-checkpoint form
+    # exceeded tens of thousands of lines through composers.
+    assert len(plan.splitlines()) < 200
+    # and the result is still a well-formed clustering
+    rows = comp.collect()
+    assert len(rows) > 0
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], set()).add(r["doc_id"])
+    for cid, members in by_comp.items():
+        assert cid == min(members)  # min-label fixpoint

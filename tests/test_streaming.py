@@ -316,3 +316,37 @@ def test_stream_ivm_matches_batch_and_replays_idempotently(spark, sf_dir):
     replay = {r.nation: (r.revenue_cents, r.n_orders)
               for r in merged.collect()}
     assert replay == before
+
+
+def test_stage_arrival_files_single_write(spark, tmp_path):
+    """r11 staging helper: one partitioned write yields exactly one file
+    per batch in mtime order, an empty batch still gets a (0-row) file,
+    and the staged rows round-trip exactly."""
+    import glob
+    import os
+
+    from hdfs_with_pyspark_spark.streaming.ops import _stage_arrival_files
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 97).alias("payload"))
+    in_dir = str(tmp_path / "in")
+    # batch 1 deliberately empty (the heartbeat shape): 0 -> 0, 2 -> rest
+    batch = F.when(F.col("doc_id") < 50, 0).otherwise(2)
+    _stage_arrival_files(df, batch, 3, in_dir)
+
+    files = sorted(glob.glob(os.path.join(in_dir, "batch_*.parquet")))
+    assert [os.path.basename(f) for f in files] == [
+        "batch_0.parquet", "batch_1.parquet", "batch_2.parquet"]
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    # no leftover stage dir, no extra part files
+    assert not os.path.exists(in_dir + "__stage")
+    b0 = spark.read.parquet(files[0])
+    b1 = spark.read.parquet(files[1])
+    b2 = spark.read.parquet(files[2])
+    assert b0.columns == ["doc_id", "payload"]  # __b never reaches the file
+    assert b1.count() == 0 and b1.columns == ["doc_id", "payload"]
+    got = sorted((r.doc_id, r.payload) for r in b0.unionByName(b2).collect())
+    want = sorted((r.doc_id, r.payload) for r in df.collect())
+    assert got == want
