@@ -413,6 +413,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist: consumed by the signature agg and both sides of the
     # candidate verification join.
     shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    return _minhash_lsh_pairs(shh)
+
+
+def _minhash_lsh_pairs(shh: DataFrame) -> DataFrame:
+    """dedup_minhash_lsh's banded-candidate + exact-verify body over a
+    PREBUILT (persisted) shingle spine — split out (r11) so composers
+    that already derive the spine for their own verify stage
+    (dedup_method_agreement's inverted-index verify) feed ONE
+    materialized spine to both consumers instead of paying the
+    corpus-scan + spine shuffle twice. Same plan as before for
+    dedup_minhash_lsh itself."""
     # Persist the signatures as well: the band self-join would otherwise
     # recompute the 32-way min aggregation on both sides. K longs per doc.
     sig = shh.groupBy("doc_id").agg(
@@ -1064,8 +1075,18 @@ FROM exact e JOIN lsh l
 @register("dedup_lsh_recall_eval", oracle=None)  # composed below
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE shingle spine feeds both pipelines, and each pipeline's pair
+    # output (near-dup-sized) persists because it is consumed twice
+    # (its own count + the hit join) — unpersisted, each full pipeline
+    # ran twice and the spine materialized twice (r11, guide §1.2).
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    exact = _jaccard_pairs(shh).select("doc_a", "doc_b")
+    _pin_result(spark, f"dedup_lsh_recall_eval:exact:{sf_dir}", exact)
+    exact = exact.persist()
+    lsh = _minhash_lsh_pairs(shh).select("doc_a", "doc_b")
+    _pin_result(spark, f"dedup_lsh_recall_eval:lsh:{sf_dir}", lsh)
+    lsh = lsh.persist()
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
     n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh_pairs"))
     n_hit = (exact.join(lsh, ["doc_a", "doc_b"])

@@ -4707,7 +4707,7 @@ FROM cats c LEFT JOIN agg a ON a.category = c.category
 @register("dedup_method_agreement", oracle=None)  # composed below
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
-    from hdfs_with_pyspark_spark.llm.dedup import (dedup_minhash_lsh,
+    from hdfs_with_pyspark_spark.llm.dedup import (_minhash_lsh_pairs,
                                                    _shingle_hashes,
                                                    JACCARD_THRESHOLD)
 
@@ -4719,7 +4719,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .select(F.col("doc_id").alias("id")), "id"))
     _pin(spark, "dedup_method_agreement:shared", shared)
     shared = shared.persist()
-    tp = (dedup_minhash_lsh(spark, sf_dir)
+    # ONE shingle spine feeds both the MinHash pipeline and the
+    # embedding-only verify's inverted index below (r11): composing
+    # dedup_minhash_lsh directly would materialize its own identical
+    # spine — a second corpus scan + spine shuffle.
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    tp = (_minhash_lsh_pairs(shh)
           .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
                   F.round(F.col("jaccard") * 1e6).cast("long")
                    .alias("jacc_e6"))
@@ -4773,7 +4778,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle coalesce to jaccard 0 — a disagree, not a miss.
     eonly = u.where(F.col("jacc_e6").isNull()).select("id_a", "id_b",
                                                       "cos_e6")
-    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    # shh is the SAME persisted spine the tp pipeline above consumed.
     shn = shh.groupBy("doc_id").agg(F.count("*").alias("n"))
     einter = (eonly.select("id_a", "id_b")
                    .join(shh.select(F.col("doc_id").alias("id_a"), "h"),

@@ -1672,6 +1672,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size(toks).cast("long").alias("dl"))
     stats = d.agg(F.count("*").alias("n_docs"),
                   F.sum("dl").alias("sum_dl"))
+    # stats broadcasts into BOTH idf and the contribution scorer — each
+    # reference re-ran the full tokenize + aggregate pass (r11, guide
+    # §1.2: with tf2's own pass that was three corpus tokenizations).
+    # One row.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"bm25_topk:stats:{sf_dir}", stats)
+    stats = stats.persist()
     def _tf(t: str):
         # closure, not a default-arg lambda: a 2-parameter lambda would
         # be read by Spark as the (element, index) signature
@@ -3458,6 +3465,12 @@ def corpus_heldout_bigram_eval(spark: SparkSession,
                 .agg(F.count("*").alias("vocab")))
     c2 = (train.select(F.explode(shingles(F.col("toks"), 2)).alias("bg"))
                .groupBy("bg").agg(F.count("*").alias("n2")))
+    # c2 feeds the context rollup c1 AND the scored join — two
+    # references, each re-running the bigram explode + count shuffle
+    # (r11, guide §1.2). |distinct train bigrams| rows.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"corpus_heldout_bigram_eval:c2:{sf_dir}", c2)
+    c2 = c2.persist()
     c1 = (c2.withColumn("ctx", F.split("bg", " ").getItem(0))
             .groupBy("ctx").agg(F.sum("n2").alias("n1")))
     evg = (docs.where(F.col("half") == 1)

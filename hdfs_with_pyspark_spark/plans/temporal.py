@@ -934,6 +934,12 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               Window.currentRow))))
     iv = (sessions.groupBy("user_id", "session_id")
                   .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
+    # iv feeds both sweep-point branches AND the session-count arm —
+    # three references, each re-running the two sessionization windows
+    # (r11, guide §1.2). |sessions| rows of three columns.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"daily_peak_concurrency:iv:{sf_dir}", iv)
+    iv = iv.persist()
     pts = (iv.select(F.to_date("st").alias("day"), F.col("st").alias("t"),
                      F.lit(1).alias("delta"))
              .unionByName(
@@ -1078,6 +1084,12 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
     daily = (orders.groupBy("o_orderpriority", "day")
                    .agg(F.sum("cents").cast("long").alias("cents")))
+    # daily feeds bounds + the priority spine + the fill join — three
+    # references, each of which re-ran the orders scan + aggregate
+    # (r11, guide §1.2). |priorities| x |days| rows.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"seasonal_naive_eval:daily:{sf_dir}", daily)
+    daily = daily.persist()
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("day"))
@@ -1170,6 +1182,12 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id",
                     F.date_trunc("week", "ts").cast("date").alias("week"))
             .distinct())
+    # uw feeds the cohort aggregate AND the retention join — two
+    # references, each re-running the events scan + distinct shuffle
+    # (r11, guide §1.2). |users| x |weeks| rows.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"events_user_retention:uw:{sf_dir}", uw)
+    uw = uw.persist()
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (uw.join(cohort, "user_id")
               .groupBy("cohort_week",
@@ -1330,6 +1348,11 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.hour("ts").cast("long").alias("hour_of_day"),
                     F.floor(F.col("value") / 10).cast("long").alias("dec"))
            .agg(F.count("*").cast("long").alias("n")))
+    # b feeds qi, g AND the dense join — three references, each of which
+    # re-ran the corpus shuffle (r11, guide §1.2). |QI| x |decades| rows.
+    from hdfs_with_pyspark_spark.plans.graph import _pin_result
+    _pin_result(spark, f"events_t_closeness:b:{sf_dir}", b)
+    b = b.persist()
     qi = b.groupBy("event_type", "hour_of_day").agg(F.sum("n").alias("n_b"))
     g = b.groupBy("dec").agg(F.sum("n").alias("g_d"))
     tot = g.agg(F.sum("g_d").alias("g"), F.count("*").alias("m"))
