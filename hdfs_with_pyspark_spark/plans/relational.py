@@ -1408,28 +1408,30 @@ def order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_all"),
         *[F.sum(f"le{i}").alias(f"all{i}") for i in range(1, 10)])
     wide = per_grp.crossJoin(F.broadcast(tot))
-    # One explode over the wide row instead of a 9-way union of
-    # projections (r11, guide §1.2/§2.4): each union branch referenced
-    # the SAME wide frame, and Catalyst re-plans and re-executes an
-    # unpersisted subtree per reference — the orders scan + percentile
-    # pass ran once per decile. The struct-array explode is one
-    # map-side pass over the |groups| wide rows; values are the
-    # identical expressions.
-    def gap(i: int):
+    # NOTE (r11, measured and deliberately left as-is): each union
+    # branch below re-references `wide`, so the orders scan +
+    # percentile pass executes once per decile. Two single-scan
+    # rewrites were tried and BOTH rejected by paired A/B — a
+    # struct-array explode (x1.18-1.30) and a persisted-wide union
+    # (x1.44): at bench scale the nine duplicated branches run as
+    # concurrent stages on idle cores, while both rewrites serialize
+    # behind a persist/explode critical path. On a saturated production
+    # cluster the persisted-wide form is the right shape (one scan, 9
+    # cache reads) — revisit with a cluster-scale measurement; shipping
+    # it on this evidence would trade a measured local regression for
+    # an unmeasured remote win.
+    long_form = None
+    for i in range(1, 10):
         # DECIMAL(38,0) cross-multiplication (ADVICE r3): le * n_all
         # overflows int64 once orders exceed ~3M rows. The oracle uses
         # HUGEINT (int128); both are exact, so values stay identical.
-        return F.expr(f"(1000000 * abs(CAST(le{i} AS DECIMAL(38,0)) * n_all"
-                      f" - CAST(all{i} AS DECIMAL(38,0)) * n)) "
-                      f"div (CAST(n AS DECIMAL(38,0)) * n_all)")
-    entries = F.array(*[
-        F.struct(F.lit(i).alias("decile"),
-                 F.col(f"c{i}").alias("cutpoint_cents"),
-                 gap(i).alias("gap_ppm"))
-        for i in range(1, 10)])
-    long_form = (wide.select("grp", F.explode(entries).alias("e"))
-                     .select("grp", "e.decile", "e.cutpoint_cents",
-                             "e.gap_ppm"))
+        gap = F.expr(f"(1000000 * abs(CAST(le{i} AS DECIMAL(38,0)) * n_all"
+                     f" - CAST(all{i} AS DECIMAL(38,0)) * n)) "
+                     f"div (CAST(n AS DECIMAL(38,0)) * n_all)")
+        row = wide.select("grp", F.lit(i).alias("decile"),
+                          F.col(f"c{i}").alias("cutpoint_cents"),
+                          gap.alias("gap_ppm"))
+        long_form = row if long_form is None else long_form.unionByName(row)
     w = Window.partitionBy("grp").orderBy(F.col("gap_ppm").desc(),
                                           F.col("decile").asc())
     return (long_form.withColumn("rn", F.row_number().over(w))

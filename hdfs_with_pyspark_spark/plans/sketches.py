@@ -287,11 +287,12 @@ def rolling_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "user_id")
     daily = (ev.groupBy("day")
                .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    # daily feeds the pinned day spine AND the sketch fan-out — the HLL
-    # aggregate shuffle ran twice (r11, guide §1.2). |days| rows.
-    from hdfs_with_pyspark_spark.plans.graph import _pin_result, _pinned_frame
-    _pin_result(spark, f"rolling_distinct_daily:{sf_dir}", daily)
-    daily = daily.persist()
+    # daily feeds the pinned day spine AND the sketch fan-out (the HLL
+    # aggregate runs twice). A persist was tried in r11 and REVERTED by
+    # the closing bench (0.71 -> 1.15 s, x1.6): materializing the
+    # sketch column under the wide-initial cached-plan session config
+    # costs more than the duplicated |days|-row aggregate saves here.
+    from hdfs_with_pyspark_spark.plans.graph import _pinned_frame
     days = _pinned_frame(spark, f"rolling_distinct_days:{sf_dir}",
                          lambda: daily.select("day"))
 

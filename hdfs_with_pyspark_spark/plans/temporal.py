@@ -934,12 +934,13 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               Window.currentRow))))
     iv = (sessions.groupBy("user_id", "session_id")
                   .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
-    # iv feeds both sweep-point branches AND the session-count arm —
-    # three references, each re-running the two sessionization windows
-    # (r11, guide §1.2). |sessions| rows of three columns.
-    from hdfs_with_pyspark_spark.plans.graph import _pin_result
-    _pin_result(spark, f"daily_peak_concurrency:iv:{sf_dir}", iv)
-    iv = iv.persist()
+    # iv feeds both sweep-point branches AND the session-count arm. A
+    # persist+pin was tried in r11 and REVERTED by the closing bench
+    # (0.91 -> 1.56 s, x1.7): under the session's wide-initial AQE
+    # cached-plan re-planning, materializing the |sessions| frame costs
+    # more than the duplicated sessionization windows save at sf0.1.
+    # At corpus scale the duplication is 3 window passes — revisit with
+    # a cluster-scale measurement before re-pinning.
     pts = (iv.select(F.to_date("st").alias("day"), F.col("st").alias("t"),
                      F.lit(1).alias("delta"))
              .unionByName(
