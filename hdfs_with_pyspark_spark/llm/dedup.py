@@ -667,11 +667,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (already cached — the extra job is a cache read) and replaces the
     # lineage with the checkpointed RDD. Labels are final converged
     # values, so re-execution-under-lineage is not needed for
-    # correctness; at cluster scale a reliable checkpoint() or an
-    # explicit parquet round-trip is the fault-tolerant equivalent.
-    final = (labels.select(F.col("node").alias("doc_id"),
-                           F.col("label").alias("component_id"))
-             .localCheckpoint(eager=True))
+    # correctness; at cluster scale a reliable checkpoint() is the
+    # fault-tolerant equivalent — gated on $SPARK_GRAFT_CHECKPOINT_DIR
+    # (ADVICE r11: localCheckpoint lives on executors, so an executor
+    # loss after construction would make every composed query fail
+    # unrecoverably on a real cluster; point the env var at a durable
+    # DFS path there, leave it unset for the local bench).
+    import os
+    final = labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("component_id"))
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        final = final.checkpoint(eager=True)
+    else:
+        final = final.localCheckpoint(eager=True)
     for f in (cached, edges, pairs, shh):
         f.unpersist()
     w = Window.partitionBy("component_id")
@@ -1080,7 +1090,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (its own count + the hit join) — unpersisted, each full pipeline
     # ran twice and the spine materialized twice (r11, guide §1.2).
     from hdfs_with_pyspark_spark.plans.graph import _pin_result
-    shh = _shingle_hashes(read_table(spark, sf_dir, "documents")).persist()
+    shh = _shingle_hashes(read_table(spark, sf_dir, "documents"))
+    # ADVICE r11: the corpus-sized spine joins the bounded registry too,
+    # so repeated invocations in a long session release the previous
+    # spine cache instead of accumulating entries.
+    _pin_result(spark, f"dedup_lsh_recall_eval:shh:{sf_dir}", shh)
+    shh = shh.persist()
     exact = _jaccard_pairs(shh).select("doc_a", "doc_b")
     _pin_result(spark, f"dedup_lsh_recall_eval:exact:{sf_dir}", exact)
     exact = exact.persist()

@@ -82,6 +82,19 @@ def _stage_arrival_files(df: DataFrame, batch_expr, n_batches: int,
     for k in range(n_batches):
         dst = os.path.join(in_dir, f"batch_{k}.parquet")
         parts = glob.glob(os.path.join(stage, f"__b={k}", "part-*.parquet"))
+        if len(parts) > 1:
+            # Invariant guard (ADVICE r11): hash repartition by __b +
+            # partitionBy must yield exactly one part per batch dir. If
+            # a config such as spark.sql.files.maxRecordsPerFile ever
+            # splits a batch into several files, moving parts[0] would
+            # silently drop rows from the staged stream input (and the
+            # rmtree below would destroy the evidence) — fail loudly
+            # instead.
+            raise RuntimeError(
+                f"_stage_arrival_files: batch {k} produced {len(parts)} "
+                f"part files in {stage}; expected exactly 1 — a session "
+                "config (e.g. spark.sql.files.maxRecordsPerFile) broke "
+                "the one-file-per-batch staging invariant")
         if parts:
             shutil.move(parts[0], dst)
         else:

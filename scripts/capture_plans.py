@@ -1,11 +1,11 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for named queries into plans/r11/.
+"""Capture .explain("formatted") for named queries into plans/r12/.
 
 Usage: python scripts/capture_plans.py --suffix before --only q1,q2 [--sf DIR]
 
 Optimization-round tooling (guide §1): the judge cannot run Spark, so
-every plan claim in OPTIMIZATION_r11.md must be backed by a committed
-plans/r11/<query>_{before,after}.txt pair produced by this script.
+every plan claim in OPTIMIZATION_r12.md must be backed by a committed
+plans/r12/<query>_{before,after}.txt pair produced by this script.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def main() -> int:
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = args.outdir or os.path.join(repo, "plans", "r11")
+    outdir = args.outdir or os.path.join(repo, "plans", "r12")
     os.makedirs(outdir, exist_ok=True)
 
     from hdfs_with_pyspark_spark.session import get_spark
@@ -73,8 +73,10 @@ def main() -> int:
         path = os.path.join(outdir, f"{name}_{args.suffix}.txt")
         with open(path, "w") as f:
             f.write("\n".join(body) + "\n")
-        nex = len(re.findall(r"\bExchange\b", plan))
-        print(f"WROTE {path}  (Exchange x{nex})")
+        # ADVICE r11: report the FULL count, not a recount over the
+        # truncated text, so the console summary never understates a
+        # >4000-line plan's Exchange count.
+        print(f"WROTE {path}  (Exchange x{nex_full})")
         spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)
     return 0

@@ -2489,6 +2489,28 @@ def test_pq_topk_is_shortlist_prefix(spark, sf_dir):
     assert prefix == topk and len(topk) > 0
 
 
+def test_ivfpq_topk_is_shortlist_prefix(spark, sf_dir):
+    """Twin of test_pq_topk_is_shortlist_prefix for the IVF+PQ arm
+    (ADVICE r11): ann_topk_ivfpq's pair set equals the rank <= TOP_K
+    prefix of ivfpq_search(top_k=PQ_REFINE_R, kernel='exact') — the
+    untested half of the claim that lets ann_ivfpq_refine_recall_eval
+    score both arms from one shortlist (top_k must not affect candidate
+    generation or ordering)."""
+    from hdfs_with_pyspark_spark.llm.similarity import (
+        N_CENTROIDS, PQ_REFINE_R, TOP_K, _pq_codebooks, _vectors,
+        ann_topk_ivfpq, ivfpq_search, train_ivf_centroids)
+
+    short = ivfpq_search(spark, _vectors(spark, sf_dir),
+                         train_ivf_centroids(spark, sf_dir, k=N_CENTROIDS),
+                         _pq_codebooks(spark, sf_dir),
+                         top_k=PQ_REFINE_R, kernel="exact")
+    prefix = {(r["query_id"], r["neighbor_id"], r["rank"])
+              for r in short.where(F.col("rank") <= TOP_K).collect()}
+    topk = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ann_topk_ivfpq(spark, sf_dir).collect()}
+    assert prefix == topk and len(topk) > 0
+
+
 def test_dedup_components_lineage_truncated(spark, sf_dir):
     """r11: the converged label frame is localCheckpoint'd, so composers
     inherit a plan rooted at the materialized RDD instead of the full
