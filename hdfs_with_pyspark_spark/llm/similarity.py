@@ -1107,6 +1107,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session(spark)
     v = _with_norm(_vectors(spark, sf_dir), "v", "nv").persist()
     _pin(spark, "dedup_embedding_lsh", v)
+    return _emb_lsh_axis_pairs(spark, v, "dedup_embedding_lsh:bands")
+
+
+def _emb_lsh_axis_pairs(spark: SparkSession, v: DataFrame,
+                        slot: str) -> DataFrame:
+    """dedup_embedding_lsh's banded candidate join + exact cosine
+    verify over a PREBUILT persisted (vec_id, v, nv) frame — split out
+    (r12, VERDICT r11 item 1, the _minhash_lsh_pairs discipline) so
+    composers that operate on a restricted vector universe
+    (dedup_method_agreement's shared slice) run the same machinery on
+    their own input instead of re-filtering the full pipeline's output.
+    Same plan as before for dedup_embedding_lsh itself."""
 
     def bucket_col(band: int):
         # try_element_at, not element_at: past-the-end dims are NULL (a
@@ -1122,8 +1134,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     band_structs = [F.struct(F.lit(k).alias("band"), bucket_col(k).alias("bucket"))
                     for k in range(EMB_LSH_BANDS)]
+    # Persisted like _rand_bands (r12, VERDICT r11 item 1): the bucket
+    # self-join below references bands twice, and unpersisted each side
+    # re-ran the 48-term sign-bit projection over the cached vectors —
+    # the "bands-level share" the rand variant already had. n_vecs x
+    # EMB_LSH_BANDS rows of three integers.
     bands = (v.select("vec_id", F.explode(F.array(*band_structs)).alias("b"))
-              .select("vec_id", "b.band", "b.bucket"))
+              .select("vec_id", "b.band", "b.bucket")
+              .persist())
+    _pin(spark, slot, bands)
     cand = (bands.alias("x")
                  .join(bands.alias("y"),
                        (F.col("x.band") == F.col("y.band"))
@@ -1131,15 +1150,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("x.vec_id") < F.col("y.vec_id")))
                  .select(F.col("x.vec_id").alias("vec_a"),
                          F.col("y.vec_id").alias("vec_b"))
-                 .distinct()
-                 # The band table is tiny relative to the pair set it
-                 # emits, so AQE sizes (and locally coalesces to 1) the
-                 # post-distinct partitions from the MAP side and the
-                 # whole verify lands on one core. Spread the narrow
-                 # (vec_a, vec_b) pairs across the cluster before the
-                 # vectors re-attach — the verify's cost is per-pair,
-                 # not per-byte-shuffled.
-                 .repartition(spark.sparkContext.defaultParallelism))
+                 # ONE shuffle instead of two (r12, guide §2.4): the
+                 # band table is tiny relative to the pair set it
+                 # emits, so AQE would size (and locally coalesce to 1)
+                 # the post-distinct partitions from the MAP side and
+                 # the whole per-pair verify would land on one core.
+                 # Repartitioning BY THE PAIR KEY first both spreads
+                 # the narrow pairs across the cluster and provides
+                 # exactly the clustering the distinct needs, so the
+                 # dedup aggregate runs in place — the former
+                 # .distinct().repartition(N) paid a second full
+                 # exchange of the deduped pairs for the same layout.
+                 .repartition(spark.sparkContext.defaultParallelism,
+                              "vec_a", "vec_b")
+                 .distinct())
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nv").alias("na"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
@@ -1300,8 +1324,13 @@ def dedup_embedding_lsh_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("x.vec_id") < F.col("y.vec_id")))
                  .select(F.col("x.vec_id").alias("vec_a"),
                          F.col("y.vec_id").alias("vec_b"))
-                 .distinct()
-                 .repartition(spark.sparkContext.defaultParallelism))
+                 # ONE shuffle instead of two (r12, guide §2.4): see the
+                 # same move in dedup_embedding_lsh — repartition by the
+                 # pair key both spreads the per-pair verify and feeds
+                 # the distinct in place.
+                 .repartition(spark.sparkContext.defaultParallelism,
+                              "vec_a", "vec_b")
+                 .distinct())
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                  F.col("nv").alias("na"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
@@ -4731,6 +4760,18 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_gate_e6 = int(round(COSINE_DUP_THRESHOLD * 1e6))
     # shared is referenced by four semi-join filters below; persist the
     # (tiny) id-universe so the scan+join builds once.
+    #
+    # r12 measured rejection (guide §1.1): restricting BOTH pipeline
+    # INPUTS to the shared universe (spine over docs ⋉ shared, bands
+    # over vectors ⋉ shared — semantically exact, since signatures are
+    # per-doc functions and only both-shared pairs survive) ran
+    # 15-30% SLOWER in three interleaved A/B windows: every pipeline
+    # then serializes behind the shared build, while this late-filter
+    # form runs the spine, the MinHash aggregate and the band join
+    # CONCURRENTLY on idle cores and applies shared to the tiny pair
+    # sets at the end. On a saturated cluster the input-restricted form
+    # does strictly less corpus work (at 100 TB the embedded slice lags
+    # the crawl by far more than sf0.1's 2.5x) — prefer it there.
     shared = (_vectors(spark, sf_dir).select(F.col("vec_id").alias("id"))
               .join(read_table(spark, sf_dir, "documents")
                     .select(F.col("doc_id").alias("id")), "id"))

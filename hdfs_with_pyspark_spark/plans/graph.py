@@ -568,15 +568,31 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.conv(F.substring(F.md5(F.concat_ws(
                 ":", F.col("start_u"), F.col("w"), F.lit(k),
                 F.col("cur"), F.col("v"))), 1, 15), 16, 10).cast("long")
-        pick = (frontier.join(edges, frontier["cur"] == edges["u"])
-                        .select("start_u", "w", "v", h.alias("h"))
-                        .groupBy("start_u", "w")
-                        .agg(F.min(F.struct("h", "v")).alias("m"))
-                        .select("start_u", "w", F.col("m.v").alias("nxt")))
-        frontier = (frontier.join(pick, ["start_u", "w"], "left")
+        # ONE pass per step (r12, guide §1.2/§2.4): LEFT-join the
+        # frontier to the edge list and take the min-(h, v) pick in the
+        # SAME aggregate that carries the walk state. The former shape
+        # (inner join -> groupBy -> LEFT join the pick back into the
+        # frontier) referenced the frontier subtree twice per step, so
+        # the unpersisted plan DOUBLED per step (WALK_LEN 3 -> a
+        # 291-Exchange / 3.4k-line composed plan, 44 AQE jobs;
+        # plans/r12/walk_skipgram_pairs_before.txt) and paid an extra
+        # (start_u, w) shuffle per step for the join-back. Grouping by
+        # the carried state instead is exact: (start_u, w) is the group
+        # key and every carried column is a function of it. A walker
+        # whose cur has no out-edges keeps exactly one null-v row from
+        # the left join, so min(struct(h, v)).v is NULL -> coalesce
+        # keeps cur — bit-identical to the oracle's LEFT JOIN p{k}.
+        carried = ["start_u", "w", "cur"] + [f"step_{i}"
+                                             for i in range(1, k)]
+        frontier = (frontier.join(edges, frontier["cur"] == edges["u"],
+                                  "left")
+                            .select(*carried, h.alias("h"), "v")
+                            .groupBy(*carried)
+                            .agg(F.min(F.struct("h", "v")).alias("m"))
                             .withColumn(f"step_{k}",
-                                        F.coalesce("nxt", "cur"))
-                            .drop("nxt")
+                                        F.coalesce(F.col("m.v"),
+                                                   F.col("cur")))
+                            .drop("m")
                             .withColumn("cur", F.col(f"step_{k}")))
     result = (frontier.select(
                   F.col("start_u").alias("user_id"),
